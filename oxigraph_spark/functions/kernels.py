@@ -1,0 +1,206 @@
+"""SPARQL expression kernels over TERM structs.
+
+These reproduce the value semantics of the reference's evaluator
+(``lib/spareval/src/eval.rs`` — expression evaluation over ``EncodedTerm``)
+and its XSD kernels (``lib/oxsdatatypes/``): three-valued logic where a
+SPARQL *evaluation error* is represented as SQL NULL, the numeric promotion
+lattice integer→decimal→float→double (spec §17.4.4 — note int÷int is
+decimal), and the Effective Boolean Value rules (§17.2.2).
+
+Everything here is a pure Column→Column function built from
+``pyspark.sql.functions`` — no Python UDFs — so the whole expression tree
+stays inside Catalyst constant-folding and whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+from ..model import terms as T
+
+# value classes for operator dispatch
+VC_NONLIT = -1
+VC_OTHER = 0
+VC_NUMERIC = 1
+VC_BOOLEAN = 2
+VC_DATETIME = 3
+VC_STRING = 4       # simple literal / xsd:string
+VC_LANGSTRING = 5
+
+
+def vclass(t: Column) -> Column:
+    return (
+        F.when(t["kind"] != T.KIND_LITERAL, F.lit(VC_NONLIT))
+        .when(t["datatype"].isin(*T.NUMERIC_DATATYPES), F.lit(VC_NUMERIC))
+        .when(t["datatype"] == T.XSD_BOOLEAN, F.lit(VC_BOOLEAN))
+        .when(t["datatype"].isin(T.XSD_DATETIME, T.XSD_DATE, T.XSD_TIME),
+              F.lit(VC_DATETIME))
+        .when(t["datatype"].eqNullSafe(T.XSD_STRING) | t["datatype"].isNull(),
+              F.lit(VC_STRING))
+        .when(t["lang"].isNotNull(), F.lit(VC_LANGSTRING))
+        .otherwise(F.lit(VC_OTHER))
+    )
+
+
+def as_double(t: Column) -> Column:
+    return F.coalesce(t["dbl"], t["num"].cast("double"))
+
+
+def _num_exact(a: Column, b: Column) -> Column:
+    """True when both operands are in the exact (integer/decimal) lattice."""
+    return (a["num"].isNotNull() & b["num"].isNotNull()
+            & a["dbl"].isNull() & b["dbl"].isNull())
+
+
+# ---------------------------------------------------------------------------
+# Effective Boolean Value (spec §17.2.2; reference: spareval EBV eval)
+# ---------------------------------------------------------------------------
+
+def ebv(t: Column) -> Column:
+    c = vclass(t)
+    d = as_double(t)
+    num_ebv = F.coalesce((d != 0.0) & ~F.isnan(d), F.lit(False))
+    return (
+        F.when(t.isNull() | t["kind"].isNull(), F.lit(None).cast("boolean"))
+        .when(c == VC_BOOLEAN, F.coalesce(t["bool"], F.lit(False)))
+        .when(c == VC_NUMERIC, num_ebv)
+        .when((c == VC_STRING) | (c == VC_LANGSTRING), F.length(t["lex"]) > 0)
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Comparisons (spec §17.4.1 operator mapping + RDF term equality fallback)
+# ---------------------------------------------------------------------------
+
+def _num_eq(a: Column, b: Column) -> Column:
+    return F.when(_num_exact(a, b), a["num"] == b["num"]) \
+            .otherwise(as_double(a) == as_double(b))
+
+
+def eq(a: Column, b: Column) -> Column:
+    ca, cb = vclass(a), vclass(b)
+    same = T.same_term(a, b)
+    return (
+        F.when(a.isNull() | b.isNull(), F.lit(None).cast("boolean"))
+        .when((ca == VC_NUMERIC) & (cb == VC_NUMERIC), _num_eq(a, b))
+        .when((ca == VC_BOOLEAN) & (cb == VC_BOOLEAN), a["bool"] == b["bool"])
+        .when((ca == VC_DATETIME) & (cb == VC_DATETIME), a["ts"] == b["ts"])
+        .when((ca == VC_STRING) & (cb == VC_STRING), a["lex"] == b["lex"])
+        .when((ca == VC_LANGSTRING) & (cb == VC_LANGSTRING)
+              & a["lang"].eqNullSafe(b["lang"]), a["lex"] == b["lex"])
+        # both literals, value spaces incomparable: true iff same term,
+        # else type error (spec: RDF term equality errors for such literals)
+        .when((ca >= 0) & (cb >= 0),
+              F.when(same, F.lit(True)).otherwise(F.lit(None).cast("boolean")))
+        # a non-literal involved: plain RDF term identity
+        .otherwise(same)
+    )
+
+
+def neq(a: Column, b: Column) -> Column:
+    return ~eq(a, b)
+
+
+def _ordered(a: Column, b: Column, op: str) -> Column:
+    def cmp(x: Column, y: Column) -> Column:
+        return {"<": x < y, "<=": x <= y, ">": x > y, ">=": x >= y}[op]
+
+    ca, cb = vclass(a), vclass(b)
+    num_cmp = F.when(_num_exact(a, b), cmp(a["num"], b["num"])) \
+               .otherwise(cmp(as_double(a), as_double(b)))
+    return (
+        F.when(a.isNull() | b.isNull(), F.lit(None).cast("boolean"))
+        .when((ca == VC_NUMERIC) & (cb == VC_NUMERIC), num_cmp)
+        .when((ca == VC_BOOLEAN) & (cb == VC_BOOLEAN),
+              cmp(a["bool"].cast("int"), b["bool"].cast("int")))
+        .when((ca == VC_DATETIME) & (cb == VC_DATETIME), cmp(a["ts"], b["ts"]))
+        .when((ca == VC_STRING) & (cb == VC_STRING), cmp(a["lex"], b["lex"]))
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+
+
+def lt(a: Column, b: Column) -> Column:
+    return _ordered(a, b, "<")
+
+
+def le(a: Column, b: Column) -> Column:
+    return _ordered(a, b, "<=")
+
+
+def gt(a: Column, b: Column) -> Column:
+    return _ordered(a, b, ">")
+
+
+def ge(a: Column, b: Column) -> Column:
+    return _ordered(a, b, ">=")
+
+
+# ---------------------------------------------------------------------------
+# Arithmetic (spec §17.4.4; reference: oxsdatatypes checked ops)
+# ---------------------------------------------------------------------------
+
+def _decimal_lex(c: Column) -> Column:
+    """Canonical lexical form for a decimal value (strip trailing zeros)."""
+    s = c.cast("string")
+    s = F.regexp_replace(s, r"(\.\d*?)0+$", r"$1")
+    return F.regexp_replace(s, r"\.$", "")
+
+
+def arith(op: str, a: Column, b: Column) -> Column:
+    """``op`` in ``+ - * /``; returns a TERM struct (NULL on error)."""
+    ca, cb = vclass(a), vclass(b)
+    valid = (ca == VC_NUMERIC) & (cb == VC_NUMERIC)
+
+    use_double = a["dbl"].isNotNull() | b["dbl"].isNotNull()
+    da, db_ = as_double(a), as_double(b)
+    if op == "+":
+        dres, nres = da + db_, a["num"] + b["num"]
+    elif op == "-":
+        dres, nres = da - db_, a["num"] - b["num"]
+    elif op == "*":
+        dres, nres = da * db_, a["num"] * b["num"]
+    elif op == "/":
+        # XSD: double/float division by zero yields ±Inf/NaN; Spark yields
+        # NULL, so emulate IEEE explicitly.
+        inf = F.lit(float("inf"))
+        nan = F.lit(float("nan"))
+        dres = (
+            F.when(db_ != 0.0, da / db_)
+            .when(F.isnan(da) | F.isnan(db_), nan)
+            .when(da > 0, inf).when(da < 0, -inf).otherwise(nan)
+        )
+        nres = (a["num"] / b["num"]).cast(T.DECIMAL_T)  # /0 → NULL = error ✓
+    else:  # pragma: no cover
+        raise ValueError(op)
+
+    both_integer = (a["datatype"].isin(*T.INTEGER_DATATYPES)
+                    & b["datatype"].isin(*T.INTEGER_DATATYPES))
+    # result datatype per the promotion lattice
+    dt_exact = F.when(both_integer & F.lit(op != "/"), F.lit(T.XSD_INTEGER)) \
+                .otherwise(F.lit(T.XSD_DECIMAL))
+    has_float = (a["datatype"] == T.XSD_FLOAT) | (b["datatype"] == T.XSD_FLOAT)
+    only_float = has_float & ~((a["datatype"] == T.XSD_DOUBLE)
+                               | (b["datatype"] == T.XSD_DOUBLE))
+    dt_dbl = F.when(only_float, F.lit(T.XSD_FLOAT)).otherwise(F.lit(T.XSD_DOUBLE))
+
+    nres = nres.cast(T.DECIMAL_T)
+    exact_term = T.term_struct(
+        T.KIND_LITERAL,
+        F.when(dt_exact == T.XSD_INTEGER, nres.cast("long").cast("string"))
+         .otherwise(_decimal_lex(nres)),
+        datatype=dt_exact, num=nres)
+    dbl_term = T.term_struct(T.KIND_LITERAL, dres.cast("string"),
+                             datatype=dt_dbl, dbl=dres)
+
+    result = F.when(use_double, dbl_term).otherwise(exact_term)
+    # error (NULL) when: non-numeric operand, or exact-path overflow/div0
+    payload_ok = F.when(use_double, dres.isNotNull()).otherwise(nres.isNotNull())
+    return F.when(valid & payload_ok, result).otherwise(
+        F.lit(None).cast(T.TERM_SCHEMA))
+
+
+def neg(a: Column) -> Column:
+    """Unary minus."""
+    zero = T.int_lit(F.lit(0))
+    return arith("-", zero, a)

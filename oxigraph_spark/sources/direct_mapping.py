@@ -1,0 +1,152 @@
+"""Relational parquet → RDF quads (W3C Direct Mapping style).
+
+The reference engine ingests RDF syntaxes; our driver test data is
+relational parquet (TESTDATA.md), so this module is the bridge that makes
+every SPARQL query oracle-checkable against DuckDB over the *same* tables
+(FIXTURES.md §3).
+
+Scale design: the mapping is *vertically partitioned* — one narrow
+DataFrame per predicate (à la S2RDF / Property Tables; see PAPERS.md).
+A triple pattern with a bound predicate (the overwhelmingly common case)
+touches exactly one of these, which Spark prunes to a (pk, col) column
+projection on the parquet scan — the Spark-equivalent of the reference's
+index selection by bound-prefix (``lib/oxigraph/src/store.rs`` ·
+``Store::quads_for_pattern``).  At 100 TB the same structure maps to a
+quads table physically partitioned by predicate (see
+:mod:`oxigraph_spark.sources.quad_store`); nothing in the query compiler
+changes.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterable, Optional, Tuple
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..model import terms as T
+from .tables import load_table
+
+G = "urn:g:"  # base namespace for the direct mapping
+
+
+def table_iri_base(table: str) -> str:
+    return f"{G}{table}/"
+
+
+def pred_iri(table: str, col: str) -> str:
+    return f"{G}{table}#{col}"
+
+
+def ref_pred_iri(table: str, target: str) -> str:
+    return f"{G}{table}#ref_{target}"
+
+
+# table → (pk columns, {fk column → referenced table})
+TABLE_DEFS: Dict[str, Tuple[Tuple[str, ...], Dict[str, str]]] = {
+    "region": (("r_regionkey",), {}),
+    "nation": (("n_nationkey",), {"n_regionkey": "region"}),
+    "customer": (("c_custkey",), {"c_nationkey": "nation"}),
+    "supplier": (("s_suppkey",), {"s_nationkey": "nation"}),
+    "part": (("p_partkey",), {}),
+    "orders": (("o_orderkey",), {"o_custkey": "customer"}),
+    "lineitem": (("l_orderkey", "l_linenumber"),
+                 {"l_orderkey": "orders", "l_partkey": "part",
+                  "l_suppkey": "supplier"}),
+    "events": (("event_id",), {}),
+    "documents": (("doc_id",), {}),
+}
+
+
+def _subject(table: str, df: DataFrame, pk: Tuple[str, ...]) -> Column:
+    parts = [F.lit(table_iri_base(table))]
+    for i, k in enumerate(pk):
+        if i:
+            parts.append(F.lit("/"))
+        parts.append(F.col(k).cast("string"))
+    return T.iri(F.concat(*parts))
+
+
+def _object_literal(df: DataFrame, col: str) -> Optional[Column]:
+    dt = dict(df.dtypes)[col].lower()
+    c = F.col(col)
+    if dt in ("bigint", "int", "smallint", "tinyint"):
+        return T.int_lit(c)
+    if dt == "double":
+        return T.double_lit(c)
+    if dt == "float":
+        return T.double_lit(c.cast("double"))
+    if dt == "string":
+        return T.str_lit(c)
+    if dt == "timestamp":
+        return T.datetime_lit(c)
+    if dt == "boolean":
+        return T.bool_lit(c)
+    return None  # arrays/maps (e.g. embeddings.embedding) are not mapped
+
+
+class DirectMappingSource:
+    """Quad source backed by the driver's relational parquet tables.
+
+    ``predicate_frames()`` exposes the vertical partitioning; ``scan()`` is
+    the pattern-scan entry point the compiler uses (SURVEY.md §2.1 S1).
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str,
+                 tables: Optional[Iterable[str]] = None):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self._raw: Dict[str, DataFrame] = {}
+        self._frames: Dict[str, DataFrame] = {}
+        names = list(tables) if tables is not None else list(TABLE_DEFS)
+        for t in names:
+            path = os.path.join(sf_dir, f"{t}.parquet")
+            if not os.path.exists(path):
+                continue
+            self._raw[t] = load_table(spark, sf_dir, t)
+        self._build()
+
+    def _build(self) -> None:
+        g = T.default_graph()
+        for t, df in self._raw.items():
+            pk, fks = TABLE_DEFS[t]
+            subj = _subject(t, df, pk)
+            for col in df.columns:
+                obj = _object_literal(df, col)
+                if obj is not None:
+                    p = pred_iri(t, col)
+                    self._frames[p] = df.select(
+                        subj.alias("s"), T.iri(F.lit(p)).alias("p"),
+                        obj.alias("o"), g.alias("g"))
+            for col, target in fks.items():
+                p = ref_pred_iri(t, target)
+                obj = T.iri(F.concat(F.lit(table_iri_base(target)),
+                                     F.col(col).cast("string")))
+                self._frames[p] = df.select(
+                    subj.alias("s"), T.iri(F.lit(p)).alias("p"),
+                    obj.alias("o"), g.alias("g"))
+
+    # -- QuadSource interface ----------------------------------------------
+
+    def predicates(self) -> Dict[str, DataFrame]:
+        return dict(self._frames)
+
+    def quads(self) -> DataFrame:
+        """All quads as one DataFrame (for unbound-predicate patterns)."""
+        out = None
+        for df in self._frames.values():
+            out = df if out is None else out.unionByName(df)
+        if out is None:
+            raise ValueError("no tables mapped")
+        return out
+
+    def scan(self, p_lex: Optional[str] = None) -> DataFrame:
+        """Pattern scan: bound predicate → single vertical partition
+        (column-pruned parquet read); unbound → union of all partitions.
+        Returns an empty frame for a predicate that cannot match."""
+        if p_lex is not None:
+            if p_lex in self._frames:
+                return self._frames[p_lex]
+            return self.spark.createDataFrame(
+                [], next(iter(self._frames.values())).schema)
+        return self.quads()

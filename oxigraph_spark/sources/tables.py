@@ -1,0 +1,50 @@
+"""Loader for the driver's relational parquet tables.
+
+``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]).  We read nanos as
+longs (``spark.sql.legacy.parquet.nanosAsLong``) and convert to proper
+timestamps — microsecond truncation is irrelevant for the driver data
+(millisecond resolution) and documented here for anyone feeding true
+nano-resolution data.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+from typing import List, Tuple
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+@lru_cache(maxsize=None)
+def _nano_ts_columns(path: str) -> Tuple[str, ...]:
+    try:
+        import pyarrow.parquet as pq
+        schema = pq.read_schema(_first_parquet_file(path))
+        return tuple(f.name for f in schema
+                     if str(f.type) == "timestamp[ns]")
+    except Exception:
+        return ()
+
+
+def _first_parquet_file(path: str) -> str:
+    if os.path.isfile(path):
+        return path
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                return os.path.join(root, f)
+    return path
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read ``{sf_dir}/{name}.parquet`` handling nano-timestamp columns."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    nanos: List[str] = list(_nano_ts_columns(path))
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos:
+        df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    return df
