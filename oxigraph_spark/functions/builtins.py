@@ -1,0 +1,438 @@
+"""SPARQL 1.1 §17 builtin functions over TERM structs.
+
+Reference: expression evaluation in ``lib/spareval/src/eval.rs`` (the
+per-``Function`` match arms) with numeric/temporal kernels in
+``lib/oxsdatatypes/``.  Every function here is Column→Column (term in,
+term out), errors are NULL, and everything stays JVM-side — no Python
+UDFs anywhere in the expression path.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List
+
+from pyspark.sql import Column, functions as F
+
+from ..model import terms as T
+from . import kernels as K
+
+def err() -> Column:
+    """NULL TERM (a SPARQL evaluation error / unbound)."""
+    return F.lit(None).cast(T.TERM_SCHEMA)
+
+
+def bool_term(c: Column) -> Column:
+    """Boolean Column (3-valued) → boolean TERM (NULL = error)."""
+    return F.when(c.isNotNull(), T.bool_lit(c)).otherwise(err())
+
+
+def _is_stringish(t: Column) -> Column:
+    """simple literal / xsd:string / language-tagged string."""
+    return (t["kind"] == T.KIND_LITERAL) & (
+        t["datatype"].eqNullSafe(T.XSD_STRING)
+        | t["datatype"].eqNullSafe(T.RDF_LANGSTRING)
+        | (t["datatype"].isNull() & t["lang"].isNull())
+        | t["lang"].isNotNull())
+
+
+def _is_plain_string(t: Column) -> Column:
+    return (t["kind"] == T.KIND_LITERAL) & t["lang"].isNull() & (
+        t["datatype"].eqNullSafe(T.XSD_STRING) | t["datatype"].isNull())
+
+
+def _arg_compatible(a: Column, b: Column) -> Column:
+    """Argument-compatibility rule (§17.4.3.4.1) for two-string builtins."""
+    return _is_stringish(a) & (
+        _is_plain_string(b)
+        | (a["lang"].isNotNull() & a["lang"].eqNullSafe(b["lang"])))
+
+
+def _same_kind_string(src: Column, lex: Column) -> Column:
+    """Build a string-ish literal carrying ``src``'s lang/datatype."""
+    return T.term_struct(T.KIND_LITERAL, lex, datatype=src["datatype"],
+                         lang=src["lang"])
+
+
+# ---------------------------------------------------------------------------
+# terms: accessors / constructors / tests
+# ---------------------------------------------------------------------------
+
+def fn_str(t: Column) -> Column:
+    ok = (t["kind"] == T.KIND_IRI) | (t["kind"] == T.KIND_LITERAL)
+    return F.when(ok, T.str_lit(t["lex"])).otherwise(err())
+
+
+def fn_lang(t: Column) -> Column:
+    return F.when(t["kind"] == T.KIND_LITERAL,
+                  T.str_lit(F.coalesce(t["lang"], F.lit("")))).otherwise(err())
+
+
+def fn_datatype(t: Column) -> Column:
+    dt = F.coalesce(
+        t["datatype"],
+        F.when(t["lang"].isNotNull(), F.lit(T.RDF_LANGSTRING))
+         .otherwise(F.lit(T.XSD_STRING)))
+    return F.when(t["kind"] == T.KIND_LITERAL, T.iri(dt)).otherwise(err())
+
+
+def fn_iri(t: Column) -> Column:
+    return (F.when(t["kind"] == T.KIND_IRI, t)
+             .when(_is_plain_string(t), T.iri(t["lex"]))
+             .otherwise(err()))
+
+
+def fn_strdt(lex: Column, dt: Column) -> Column:
+    ok = _is_plain_string(lex) & (dt["kind"] == T.KIND_IRI)
+    return F.when(ok, T.make_typed(lex["lex"], dt["lex"])).otherwise(err())
+
+
+def fn_strlang(lex: Column, lang: Column) -> Column:
+    ok = _is_plain_string(lex) & _is_plain_string(lang)
+    return F.when(ok, T.lang_lit(lex["lex"], F.lower(lang["lex"]))).otherwise(err())
+
+
+def fn_same_term(a: Column, b: Column) -> Column:
+    return bool_term(T.same_term(a, b))
+
+
+def fn_is_iri(t: Column) -> Column:
+    return F.when(t.isNull(), err()).otherwise(bool_term(t["kind"] == T.KIND_IRI))
+
+
+def fn_is_blank(t: Column) -> Column:
+    return F.when(t.isNull(), err()).otherwise(bool_term(t["kind"] == T.KIND_BNODE))
+
+
+def fn_is_literal(t: Column) -> Column:
+    return F.when(t.isNull(), err()).otherwise(bool_term(t["kind"] == T.KIND_LITERAL))
+
+
+def fn_is_numeric(t: Column) -> Column:
+    return F.when(t.isNull(), err()).otherwise(bool_term(T.is_numeric(t)))
+
+
+# ---------------------------------------------------------------------------
+# strings
+# ---------------------------------------------------------------------------
+
+def fn_strlen(t: Column) -> Column:
+    return F.when(_is_stringish(t), T.int_lit(F.length(t["lex"]))).otherwise(err())
+
+
+def fn_substr(t: Column, start: Column, length: Column = None) -> Column:
+    pos = start["num"].cast("int")
+    ln = length["num"].cast("int") if length is not None else F.lit(2 ** 31 - 1)
+    out = _same_kind_string(t, t["lex"].substr(pos, ln))
+    return F.when(_is_stringish(t), out).otherwise(err())
+
+
+def fn_ucase(t: Column) -> Column:
+    return F.when(_is_stringish(t), _same_kind_string(t, F.upper(t["lex"]))).otherwise(err())
+
+
+def fn_lcase(t: Column) -> Column:
+    return F.when(_is_stringish(t), _same_kind_string(t, F.lower(t["lex"]))).otherwise(err())
+
+
+def fn_strstarts(a: Column, b: Column) -> Column:
+    return F.when(_arg_compatible(a, b),
+                  bool_term(a["lex"].startswith(b["lex"]))).otherwise(err())
+
+
+def fn_strends(a: Column, b: Column) -> Column:
+    return F.when(_arg_compatible(a, b),
+                  bool_term(a["lex"].endswith(b["lex"]))).otherwise(err())
+
+
+def fn_contains(a: Column, b: Column) -> Column:
+    return F.when(_arg_compatible(a, b),
+                  bool_term(a["lex"].contains(b["lex"]))).otherwise(err())
+
+
+def fn_strbefore(a: Column, b: Column) -> Column:
+    pos = F.instr(a["lex"], b["lex"])
+    found = pos > 0
+    out = F.when(b["lex"] == "", _same_kind_string(a, F.lit(""))) \
+           .when(found, _same_kind_string(a, a["lex"].substr(F.lit(1), pos - 1))) \
+           .otherwise(T.str_lit(F.lit("")))
+    return F.when(_arg_compatible(a, b), out).otherwise(err())
+
+
+def fn_strafter(a: Column, b: Column) -> Column:
+    pos = F.instr(a["lex"], b["lex"])
+    found = pos > 0
+    after = a["lex"].substr(pos + F.length(b["lex"]),
+                            F.length(a["lex"]))
+    out = F.when(b["lex"] == "", a) \
+           .when(found, _same_kind_string(a, after)) \
+           .otherwise(T.str_lit(F.lit("")))
+    return F.when(_arg_compatible(a, b), out).otherwise(err())
+
+
+def fn_encode_for_uri(t: Column) -> Column:
+    # RFC 3986 percent-encoding; Spark url_encode is
+    # application/x-www-form-urlencoded, so fix up the deltas.
+    enc = F.url_encode(t["lex"])
+    enc = F.replace(enc, F.lit("+"), F.lit("%20"))
+    enc = F.replace(enc, F.lit("*"), F.lit("%2A"))
+    enc = F.replace(enc, F.lit("%7E"), F.lit("~"))
+    return F.when(_is_stringish(t), T.str_lit(enc)).otherwise(err())
+
+
+def fn_concat(*args: Column) -> Column:
+    all_str = F.lit(True)
+    for a in args:
+        all_str = all_str & _is_stringish(a)
+    lex = F.concat(*[a["lex"] for a in args])
+    if args:
+        same_lang = F.lit(True)
+        lang0 = args[0]["lang"]
+        for a in args[1:]:
+            same_lang = same_lang & lang0.eqNullSafe(a["lang"])
+        lang = F.when(same_lang & lang0.isNotNull(), lang0)
+    else:
+        lang = F.lit(None).cast("string")
+    dt = F.when(lang.isNotNull(), F.lit(T.RDF_LANGSTRING)).otherwise(F.lit(T.XSD_STRING))
+    out = T.term_struct(T.KIND_LITERAL, lex, datatype=dt, lang=lang)
+    return F.when(all_str, out).otherwise(err())
+
+
+def fn_langmatches(tag: Column, rng: Column) -> Column:
+    t, r = F.lower(tag["lex"]), F.lower(rng["lex"])
+    m = F.when(rng["lex"] == "*", tag["lex"] != "") \
+         .otherwise((t == r) | t.startswith(F.concat(r, F.lit("-"))))
+    ok = _is_plain_string(tag) & _is_plain_string(rng)
+    return F.when(ok, bool_term(m)).otherwise(err())
+
+
+def _regex_pattern(pattern: Column, flags: Column = None) -> Column:
+    if flags is None:
+        return pattern["lex"]
+    return F.when(F.length(flags["lex"]) > 0,
+                  F.concat(F.lit("(?"), flags["lex"], F.lit(")"), pattern["lex"])) \
+            .otherwise(pattern["lex"])
+
+
+def fn_regex(text: Column, pattern: Column, flags: Column = None) -> Column:
+    ok = _is_stringish(text) & _is_plain_string(pattern)
+    return F.when(ok, bool_term(text["lex"].rlike(_regex_pattern(pattern, flags)))) \
+            .otherwise(err())
+
+
+def fn_replace(text: Column, pattern: Column, repl: Column, flags: Column = None) -> Column:
+    ok = _is_stringish(text) & _is_plain_string(pattern) & _is_plain_string(repl)
+    out = _same_kind_string(
+        text, F.regexp_replace(text["lex"], _regex_pattern(pattern, flags), repl["lex"]))
+    return F.when(ok, out).otherwise(err())
+
+
+# ---------------------------------------------------------------------------
+# numerics
+# ---------------------------------------------------------------------------
+
+def _rebuild_numeric(src: Column, num: Column, dbl: Column) -> Column:
+    """Result term with the same numeric datatype as ``src``."""
+    is_int = src["datatype"].isin(*T.INTEGER_DATATYPES)
+    lex = F.when(is_int, num.cast("long").cast("string")) \
+           .when(src["num"].isNotNull(), K._decimal_lex(num)) \
+           .otherwise(dbl.cast("string"))
+    return T.term_struct(
+        T.KIND_LITERAL, lex, datatype=src["datatype"],
+        num=F.when(src["num"].isNotNull(), num),
+        dbl=F.when(src["dbl"].isNotNull(), dbl))
+
+
+def fn_abs(t: Column) -> Column:
+    return F.when(T.is_numeric(t),
+                  _rebuild_numeric(t, F.abs(t["num"]), F.abs(t["dbl"]))).otherwise(err())
+
+
+def fn_ceil(t: Column) -> Column:
+    return F.when(T.is_numeric(t),
+                  _rebuild_numeric(t, F.ceil(t["num"]).cast(T.DECIMAL_T),
+                                   F.ceil(t["dbl"]).cast("double"))).otherwise(err())
+
+
+def fn_floor(t: Column) -> Column:
+    return F.when(T.is_numeric(t),
+                  _rebuild_numeric(t, F.floor(t["num"]).cast(T.DECIMAL_T),
+                                   F.floor(t["dbl"]).cast("double"))).otherwise(err())
+
+
+def fn_round(t: Column) -> Column:
+    # XPath fn:round: half rounds toward +∞ (floor(x+0.5)), unlike Spark's
+    # HALF_UP which rounds -2.5 to -3.
+    rnum = F.floor(t["num"] + 0.5).cast(T.DECIMAL_T)
+    rdbl = F.floor(t["dbl"] + 0.5).cast("double")
+    return F.when(T.is_numeric(t), _rebuild_numeric(t, rnum, rdbl)).otherwise(err())
+
+
+# ---------------------------------------------------------------------------
+# temporal (reference kernels: lib/oxsdatatypes/src/date_time.rs)
+# ---------------------------------------------------------------------------
+
+def _dt_ok(t: Column) -> Column:
+    return (t["kind"] == T.KIND_LITERAL) & t["ts"].isNotNull() \
+        & t["datatype"].isin(T.XSD_DATETIME, T.XSD_DATE, T.XSD_TIME)
+
+
+def _int_part(f: Callable[[Column], Column]) -> Callable[[Column], Column]:
+    def g(t: Column) -> Column:
+        return F.when(_dt_ok(t), T.int_lit(f(t["ts"]))).otherwise(err())
+    return g
+
+
+fn_year = _int_part(F.year)
+fn_month = _int_part(F.month)
+fn_day = _int_part(F.day)
+fn_hours = _int_part(F.hour)
+fn_minutes = _int_part(F.minute)
+
+
+def fn_seconds(t: Column) -> Column:
+    micros = F.unix_micros(t["ts"]) % 60_000_000
+    val = (micros.cast(T.DECIMAL_T) / 1_000_000).cast(T.DECIMAL_T)
+    out = T.term_struct(T.KIND_LITERAL, K._decimal_lex(val),
+                        datatype=F.lit(T.XSD_DECIMAL), num=val)
+    return F.when(_dt_ok(t), out).otherwise(err())
+
+
+def fn_tz(t: Column) -> Column:
+    m = t["tz_min"]
+    sign = F.when(m < 0, F.lit("-")).otherwise(F.lit("+"))
+    hh = F.lpad(F.floor(F.abs(m) / 60).cast("string"), 2, "0")
+    mm = F.lpad((F.abs(m) % 60).cast("string"), 2, "0")
+    s = F.when(m.isNull(), F.lit("")) \
+         .when(m == 0, F.lit("Z")) \
+         .otherwise(F.concat(sign, hh, F.lit(":"), mm))
+    return F.when(_dt_ok(t), T.str_lit(s)).otherwise(err())
+
+
+def fn_timezone(t: Column) -> Column:
+    m = t["tz_min"]
+    sign = F.when(m < 0, F.lit("-")).otherwise(F.lit(""))
+    h, mn = F.floor(F.abs(m) / 60), F.abs(m) % 60
+    lex = F.concat(
+        sign, F.lit("PT"),
+        F.when(h > 0, F.concat(h.cast("string"), F.lit("H"))).otherwise(F.lit("")),
+        F.when((mn > 0) | (h == 0), F.concat(mn.cast("string"), F.lit("M"))).otherwise(F.lit("")))
+    out = T.term_struct(T.KIND_LITERAL, lex,
+                        datatype=F.lit(T.XSD + "dayTimeDuration"))
+    return F.when(_dt_ok(t) & m.isNotNull(), out).otherwise(err())
+
+
+# ---------------------------------------------------------------------------
+# hashes
+# ---------------------------------------------------------------------------
+
+def _hash_fn(h: Callable[[Column], Column]) -> Callable[[Column], Column]:
+    def g(t: Column) -> Column:
+        return F.when(_is_plain_string(t), T.str_lit(h(t["lex"]))).otherwise(err())
+    return g
+
+
+fn_md5 = _hash_fn(lambda c: F.md5(F.encode(c, "UTF-8")))
+fn_sha1 = _hash_fn(lambda c: F.sha1(F.encode(c, "UTF-8")))
+fn_sha256 = _hash_fn(lambda c: F.sha2(F.encode(c, "UTF-8"), 256))
+fn_sha384 = _hash_fn(lambda c: F.sha2(F.encode(c, "UTF-8"), 384))
+fn_sha512 = _hash_fn(lambda c: F.sha2(F.encode(c, "UTF-8"), 512))
+
+
+# ---------------------------------------------------------------------------
+# casts (XSD constructor functions; reference: oxsdatatypes from_str/checked)
+# ---------------------------------------------------------------------------
+
+def _cast_numeric_exact(t: Column, datatype: str) -> Column:
+    src_num = F.coalesce(
+        t["num"],
+        F.when(t["dbl"].isNotNull() & ~F.isnan(t["dbl"]), t["dbl"].cast(T.DECIMAL_T)),
+        F.when(t["bool"].isNotNull(), t["bool"].cast("int").cast(T.DECIMAL_T)),
+        F.when(_is_plain_string(t), t["lex"].cast(T.DECIMAL_T)))
+    if datatype == T.XSD_INTEGER:
+        v = src_num.cast("long")  # truncates toward zero ✓ (XPath semantics)
+        # string → integer must reject non-integer lexical forms
+        v = F.when(_is_plain_string(t) & ~t["lex"].rlike(r"^[+-]?\d+$"),
+                   F.lit(None).cast("long")).otherwise(v)
+        out = T.term_struct(T.KIND_LITERAL, v.cast("string"),
+                            datatype=F.lit(T.XSD_INTEGER), num=v.cast(T.DECIMAL_T))
+        return F.when(v.isNotNull(), out).otherwise(err())
+    out = T.term_struct(T.KIND_LITERAL, K._decimal_lex(src_num),
+                        datatype=F.lit(T.XSD_DECIMAL), num=src_num)
+    return F.when(src_num.isNotNull(), out).otherwise(err())
+
+
+def _cast_double(t: Column, datatype: str) -> Column:
+    v = F.coalesce(t["dbl"], t["num"].cast("double"),
+                   F.when(t["bool"].isNotNull(), t["bool"].cast("int").cast("double")),
+                   F.when(_is_plain_string(t),
+                          F.when(t["lex"] == "INF", F.lit(float("inf")))
+                           .when(t["lex"] == "-INF", F.lit(float("-inf")))
+                           .when(t["lex"] == "NaN", F.lit(float("nan")))
+                           .otherwise(t["lex"].cast("double"))))
+    out = T.term_struct(T.KIND_LITERAL, v.cast("string"),
+                        datatype=F.lit(datatype), dbl=v)
+    return F.when(v.isNotNull(), out).otherwise(err())
+
+
+def _cast_boolean(t: Column) -> Column:
+    v = F.coalesce(
+        t["bool"],
+        F.when(t["num"].isNotNull(), t["num"] != 0),
+        F.when(t["dbl"].isNotNull(), (t["dbl"] != 0) & ~F.isnan(t["dbl"])),
+        F.when(_is_plain_string(t),
+               F.when(t["lex"].isin("true", "1"), F.lit(True))
+                .when(t["lex"].isin("false", "0"), F.lit(False))))
+    return F.when(v.isNotNull(), T.bool_lit(v)).otherwise(err())
+
+
+def _cast_datetime(t: Column) -> Column:
+    v = F.coalesce(t["ts"],
+                   F.when(_is_plain_string(t), F.to_timestamp(t["lex"])))
+    return F.when(v.isNotNull(), T.datetime_lit(v)).otherwise(err())
+
+
+def fn_cast(datatype: str, t: Column) -> Column:
+    if datatype == T.XSD_STRING:
+        return fn_str(t)
+    if datatype in (T.XSD_INTEGER, T.XSD_DECIMAL):
+        return _cast_numeric_exact(t, datatype)
+    if datatype in (T.XSD_DOUBLE, T.XSD_FLOAT):
+        return _cast_double(t, datatype)
+    if datatype == T.XSD_BOOLEAN:
+        return _cast_boolean(t)
+    if datatype in (T.XSD_DATETIME, T.XSD_DATE):
+        return _cast_datetime(t)
+    raise ValueError(f"unsupported cast datatype: {datatype}")
+
+
+# ---------------------------------------------------------------------------
+# registry (name → kernel) — the compiler dispatches ECall through this;
+# extension functions (§2.9 QueryOptions::with_custom_function analog)
+# register here by IRI.
+# ---------------------------------------------------------------------------
+
+REGISTRY: Dict[str, Callable[..., Column]] = {
+    "STR": fn_str, "LANG": fn_lang, "DATATYPE": fn_datatype, "IRI": fn_iri,
+    "URI": fn_iri, "STRDT": fn_strdt, "STRLANG": fn_strlang,
+    "SAMETERM": fn_same_term, "ISIRI": fn_is_iri, "ISURI": fn_is_iri,
+    "ISBLANK": fn_is_blank, "ISLITERAL": fn_is_literal,
+    "ISNUMERIC": fn_is_numeric,
+    "STRLEN": fn_strlen, "SUBSTR": fn_substr, "UCASE": fn_ucase,
+    "LCASE": fn_lcase, "STRSTARTS": fn_strstarts, "STRENDS": fn_strends,
+    "CONTAINS": fn_contains, "STRBEFORE": fn_strbefore,
+    "STRAFTER": fn_strafter, "ENCODE_FOR_URI": fn_encode_for_uri,
+    "CONCAT": fn_concat, "LANGMATCHES": fn_langmatches, "REGEX": fn_regex,
+    "REPLACE": fn_replace,
+    "ABS": fn_abs, "CEIL": fn_ceil, "FLOOR": fn_floor, "ROUND": fn_round,
+    "YEAR": fn_year, "MONTH": fn_month, "DAY": fn_day, "HOURS": fn_hours,
+    "MINUTES": fn_minutes, "SECONDS": fn_seconds, "TZ": fn_tz,
+    "TIMEZONE": fn_timezone,
+    "MD5": fn_md5, "SHA1": fn_sha1, "SHA256": fn_sha256,
+    "SHA384": fn_sha384, "SHA512": fn_sha512,
+}
+
+
+def register_custom(iri: str, fn: Callable[..., Column]) -> None:
+    """Register an extension function addressed by IRI (mirrors
+    ``QueryOptions::with_custom_function`` — lib/oxigraph/src/sparql/mod.rs)."""
+    REGISTRY[iri] = fn

@@ -204,6 +204,20 @@ def typed_lit(lex: ColumnOrName, datatype: str) -> Column:
     return term_struct(KIND_LITERAL, lexc, datatype=F.lit(datatype))
 
 
+def make_typed(lex: Column, datatype: Column) -> Column:
+    """Literal with a *dynamic* datatype IRI column (STRDT); payload fields
+    derived from the datatype at runtime."""
+    num = F.when(datatype.isin(*INTEGER_DATATYPES) | (datatype == XSD_DECIMAL),
+                 lex.cast(DECIMAL_T))
+    dbl = F.when(datatype.isin(XSD_FLOAT, XSD_DOUBLE), lex.cast("double"))
+    b = F.when(datatype == XSD_BOOLEAN,
+               F.when(lex.isin("true", "1"), F.lit(True))
+                .when(lex.isin("false", "0"), F.lit(False)))
+    ts = F.when(datatype.isin(XSD_DATETIME, XSD_DATE), F.to_timestamp(lex))
+    return term_struct(KIND_LITERAL, lex, datatype=datatype,
+                       num=num, dbl=dbl, ts=ts, bool_=b)
+
+
 # -- predicates over terms --------------------------------------------------
 
 def is_iri(t: Column) -> Column:

@@ -1,0 +1,188 @@
+"""Property-path evaluation (SPARQL §9; SURVEY.md §2.6 PP1–PP8).
+
+Reference: ``lib/spargebra/src/algebra.rs`` · ``PropertyPathExpression``,
+evaluated in ``lib/spareval/src/eval.rs`` by an in-memory BFS with a
+visited set.  Spark-first re-expression: every path is a *relation*
+``(src, dst)`` built from DataFrame ops; the transitive-closure variants
+(``p+``/``p*``) are a semi-naive iterative fixpoint —
+
+    frontier' = (frontier ⋈ edges) \\ paths
+
+with ``localCheckpoint`` per iteration to cut lineage and let AQE re-plan
+each step.  When an endpoint is a concrete term we seed the BFS from it
+instead of closing the whole relation — the difference between touching
+the frontier's partitions and materializing an O(V²) closure at 100 TB.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..algebra import ast as A
+from ..model import terms as T
+
+
+def _key(c: Column) -> Column:
+    return T.term_key(c)
+
+
+def _pair_key(df: DataFrame):
+    return _key(df["src"]), _key(df["dst"])
+
+
+def compile_path(compiler, pp: A.PathPattern, graph_ctx):
+    from ..plans.compiler import Compiled, _const_term_col
+
+    path, s, o = pp.path, pp.s, pp.o
+
+    # seeded fast path for closures with a concrete endpoint
+    if isinstance(path, (A.POneOrMore, A.PZeroOrMore)):
+        include_zero = isinstance(path, A.PZeroOrMore)
+        if not isinstance(s, A.Var):
+            rel = _seeded_closure(compiler, path.inner, graph_ctx,
+                                  _const_df(compiler, s), include_zero)
+        elif not isinstance(o, A.Var):
+            inv = _relation(compiler, A.PInv(path.inner), graph_ctx)
+            rel = _closure(compiler, inv, _const_df(compiler, o))
+            if include_zero:
+                rel = rel.unionByName(_zero_len_for(compiler, graph_ctx,
+                                                    _const_df(compiler, o)))
+            rel = rel.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        else:
+            rel = _relation(compiler, path, graph_ctx)
+    else:
+        rel = _relation(compiler, path, graph_ctx)
+
+    conds = []
+    sel = {}
+    for col, term in (("src", s), ("dst", o)):
+        if isinstance(term, A.Var):
+            if term.name in sel:  # ?x path ?x
+                conds.append(_key(rel[sel[term.name]]) == _key(rel[col]))
+            else:
+                sel[term.name] = col
+        else:
+            conds.append(_key(rel[col]) == _key(_const_term_col(term)))
+    df = rel
+    if conds:
+        df = df.where(reduce(lambda a, b: a & b, conds))
+    if sel:
+        out = df.select(*[df[c].alias(v) for v, c in sel.items()])
+    else:
+        out = df.select(F.lit(1).alias("__unit"))
+    names = frozenset(sel)
+    return Compiled(out, names, names)
+
+
+def _const_df(compiler, term) -> DataFrame:
+    from ..plans.compiler import _const_term_col
+    return compiler.spark.range(1).select(_const_term_col(term).alias("src"))
+
+
+# ---------------------------------------------------------------------------
+# path → relation(src, dst)
+# ---------------------------------------------------------------------------
+
+def _relation(compiler, path, graph_ctx) -> DataFrame:
+    if isinstance(path, A.PLink):
+        df = compiler.source.scan(path.iri)
+        df = compiler._graph_filter(df, graph_ctx)
+        df = df.where((df["p"]["kind"] == T.KIND_IRI)
+                      & (df["p"]["lex"] == path.iri))
+        return df.select(df["s"].alias("src"), df["o"].alias("dst"))
+    if isinstance(path, A.PInv):
+        r = _relation(compiler, path.inner, graph_ctx)
+        return r.select(r["dst"].alias("src"), r["src"].alias("dst"))
+    if isinstance(path, A.PSeq):
+        l = _relation(compiler, path.left, graph_ctx).alias("l")
+        r = _relation(compiler, path.right, graph_ctx).alias("r")
+        return l.join(r, _key(F.col("l.dst")) == _key(F.col("r.src"))) \
+                .select(F.col("l.src").alias("src"), F.col("r.dst").alias("dst"))
+    if isinstance(path, A.PAlt):
+        return _relation(compiler, path.left, graph_ctx).unionByName(
+            _relation(compiler, path.right, graph_ctx))
+    if isinstance(path, A.PZeroOrOne):
+        return _relation(compiler, path.inner, graph_ctx).unionByName(
+            _zero_len_for(compiler, graph_ctx, None)).distinct()
+    if isinstance(path, A.POneOrMore):
+        return _closure(compiler, _relation(compiler, path.inner, graph_ctx), None)
+    if isinstance(path, A.PZeroOrMore):
+        closed = _closure(compiler, _relation(compiler, path.inner, graph_ctx), None)
+        return closed.unionByName(_zero_len_for(compiler, graph_ctx, None)).distinct()
+    if isinstance(path, A.PNeg):
+        df = compiler._graph_filter(compiler.source.scan(), graph_ctx)
+        parts = []
+        if path.forward or not path.inverse:
+            fwd = df.where(df["p"]["kind"] == T.KIND_IRI)
+            if path.forward:
+                fwd = fwd.where(~df["p"]["lex"].isin(*path.forward))
+            parts.append(fwd.select(df["s"].alias("src"), df["o"].alias("dst")))
+        if path.inverse:
+            inv = df.where(df["p"]["kind"] == T.KIND_IRI)
+            inv = inv.where(~df["p"]["lex"].isin(*path.inverse))
+            parts.append(inv.select(df["o"].alias("src"), df["s"].alias("dst")))
+        return reduce(lambda a, b: a.unionByName(b), parts)
+    raise NotImplementedError(f"path {type(path).__name__}")
+
+
+def _nodes(compiler, graph_ctx) -> DataFrame:
+    """Zero-length path domain: every term occurring in the active graph
+    as subject or object (§9.3 — subtle, see SURVEY.md PP7)."""
+    df = compiler._graph_filter(compiler.source.scan(), graph_ctx)
+    return df.select(df["s"].alias("node")).unionByName(
+        df.select(df["o"].alias("node"))).distinct()
+
+
+def _zero_len_for(compiler, graph_ctx, seeds: Optional[DataFrame]) -> DataFrame:
+    nodes = _nodes(compiler, graph_ctx)
+    if seeds is not None:
+        nodes = nodes.join(F.broadcast(seeds),
+                           _key(nodes["node"]) == _key(seeds["src"]), "leftsemi")
+    return nodes.select(nodes["node"].alias("src"), nodes["node"].alias("dst"))
+
+
+# ---------------------------------------------------------------------------
+# transitive closure (semi-naive fixpoint)
+# ---------------------------------------------------------------------------
+
+MAX_ITERATIONS = 64  # guards cyclic data; 2^64-length paths are unreachable
+
+
+def _closure(compiler, edges: DataFrame, start: Optional[DataFrame]) -> DataFrame:
+    edges = edges.distinct().localCheckpoint(eager=False)
+    if start is not None:
+        sk = _key(start["src"])
+        paths = edges.join(F.broadcast(start),
+                           _key(edges["src"]) == sk, "leftsemi")
+    else:
+        paths = edges
+    paths = paths.distinct().localCheckpoint()
+    frontier = paths
+    for _ in range(MAX_ITERATIONS):
+        f, e = frontier.alias("f"), edges.alias("e")
+        stepped = f.join(e, _key(F.col("f.dst")) == _key(F.col("e.src"))) \
+                   .select(F.col("f.src").alias("src"),
+                           F.col("e.dst").alias("dst")).distinct()
+        pk_s, pk_d = _pair_key(paths)
+        new = stepped.join(
+            paths,
+            (_key(stepped["src"]) == pk_s) & (_key(stepped["dst"]) == pk_d),
+            "leftanti").localCheckpoint()
+        if new.isEmpty():
+            break
+        paths = paths.unionByName(new).localCheckpoint()
+        frontier = new
+    return paths
+
+
+def _seeded_closure(compiler, inner_path, graph_ctx, seeds: DataFrame,
+                    include_zero: bool) -> DataFrame:
+    edges = _relation(compiler, inner_path, graph_ctx)
+    out = _closure(compiler, edges, seeds)
+    if include_zero:
+        out = out.unionByName(_zero_len_for(compiler, graph_ctx, seeds)) \
+                 .distinct()
+    return out

@@ -1,0 +1,710 @@
+"""Algebra → DataFrame compiler.
+
+This is our analog of the reference's evaluator compile step
+(``lib/spareval/src/eval.rs`` · ``SimpleEvaluator`` compiles the optimized
+algebra bottom-up into closures).  We compile bottom-up into *DataFrame
+plans* instead: each algebra node yields a DataFrame with one nullable
+TERM column per in-scope variable (unbound = NULL), and Catalyst+Tungsten
+replace the reference's hand-rolled joins/iterators wholesale (SURVEY.md
+§3/§4).
+
+Scale-critical choices:
+- joins are on :func:`terms.term_key` (4-field identity), never the
+  9-field struct — narrow shuffle keys;
+- *certainly-bound* analysis (SURVEY.md §4.2.2): a shared variable bound
+  on both sides compiles to a null-rejecting equi-join Catalyst can hash;
+  the NULL-tolerant compatibility predicate (SPARQL §18.3) is emitted only
+  for variables that may be unbound (they arise only under OPTIONAL/UNION);
+- triple patterns with a bound predicate scan a single vertical partition
+  (predicate-pruned parquet read) — the Spark equivalent of the reference's
+  index selection (``Store::quads_for_pattern``).
+"""
+
+from __future__ import annotations
+
+import itertools
+import uuid as _uuid
+from dataclasses import dataclass, replace
+from datetime import datetime, timezone
+from functools import reduce
+from typing import Dict, List, Optional, Tuple, Union
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..algebra import ast as A
+from ..functions import builtins as B
+from ..functions import kernels as K
+from ..model import terms as T
+
+
+
+@dataclass
+class Compiled:
+    df: DataFrame
+    vars: frozenset
+    certain: frozenset  # subset of vars that can never be NULL
+
+
+def _true() -> Column:
+    return F.lit(True)
+
+
+class Compiler:
+    def __init__(self, spark: SparkSession, source, *,
+                 optimize: bool = True):
+        self.spark = spark
+        self.source = source  # exposes .scan(p_lex) -> DataFrame(s,p,o,g)
+        self.optimize = optimize
+        self.now = datetime.now(timezone.utc)  # NOW() fixed per query (§2.7)
+        self._counter = itertools.count()
+        self._exists_markers: Dict[int, str] = {}
+
+    # ------------------------------------------------------------------
+    # entry points
+    # ------------------------------------------------------------------
+
+    def compile_query(self, q: A.Query) -> DataFrame:
+        if isinstance(q, A.SelectQuery):
+            return self.compile_pattern(q.pattern).df
+        if isinstance(q, A.AskQuery):
+            inner = self.compile_pattern(q.pattern).df.limit(1)
+            return inner.select(F.lit(True).alias("ask")).limit(1)
+        if isinstance(q, A.ConstructQuery):
+            return self._compile_construct(q)
+        if isinstance(q, A.DescribeQuery):
+            return self._compile_describe(q)
+        raise TypeError(type(q))
+
+    # ------------------------------------------------------------------
+    # graph patterns
+    # ------------------------------------------------------------------
+
+    def compile_pattern(self, node, graph_ctx=None) -> Compiled:
+        m = getattr(self, f"_c_{type(node).__name__}", None)
+        if m is None:
+            raise NotImplementedError(f"pattern node {type(node).__name__}")
+        return m(node, graph_ctx)
+
+    def _fresh(self, prefix: str) -> str:
+        return f"__{prefix}{next(self._counter)}"
+
+    # -- triple patterns ------------------------------------------------
+
+    def _c_TriplePattern(self, tp: A.TriplePattern, graph_ctx) -> Compiled:
+        p_lex = tp.p.iri if isinstance(tp.p, A.NamedNode) else None
+        df = self.source.scan(p_lex)
+        df = self._graph_filter(df, graph_ctx)
+
+        conds: List[Column] = []
+        sel: Dict[str, Column] = {}
+        for pos, term in (("s", tp.s), ("p", tp.p), ("o", tp.o)):
+            col = df[pos]
+            if isinstance(term, A.Var):
+                if term.name in sel:  # repeated var in one pattern
+                    conds.append(T.same_term(sel[term.name], col))
+                else:
+                    sel[term.name] = col
+            elif isinstance(term, A.NamedNode):
+                if pos != "p" or p_lex is None:
+                    conds.append((col["kind"] == T.KIND_IRI)
+                                 & (col["lex"] == term.iri))
+            elif isinstance(term, A.Literal):
+                conds.append(T.same_term(col, _const_term_col(term)))
+            else:
+                raise NotImplementedError(
+                    f"{type(term).__name__} in triple pattern (bnodes are "
+                    "replaced by variables during parsing)")
+        if isinstance(graph_ctx, A.Var):
+            sel.setdefault(graph_ctx.name, df["g"])
+        if conds:
+            df = df.where(reduce(lambda a, b: a & b, conds))
+        # all-concrete pattern: one (empty) solution per matching quad
+        out = df.select(*[c.alias(v) for v, c in sel.items()]) if sel \
+            else df.select(F.lit(1).alias("__unit"))
+        names = frozenset(sel)
+        return Compiled(out, names, names)
+
+    def _graph_filter(self, df: DataFrame, graph_ctx) -> DataFrame:
+        if graph_ctx is None:
+            return df.where(df["g"]["kind"] == T.KIND_DEFAULT_GRAPH)
+        if isinstance(graph_ctx, A.NamedNode):
+            return df.where((df["g"]["kind"] == T.KIND_IRI)
+                            & (df["g"]["lex"] == graph_ctx.iri))
+        if isinstance(graph_ctx, A.Var):
+            return df.where(df["g"]["kind"] != T.KIND_DEFAULT_GRAPH)
+        raise TypeError(type(graph_ctx))
+
+    def _c_PathPattern(self, pp: A.PathPattern, graph_ctx) -> Compiled:
+        from ..operators.paths import compile_path
+        return compile_path(self, pp, graph_ctx)
+
+    def _c_BGP(self, bgp: A.BGP, graph_ctx) -> Compiled:
+        if not bgp.patterns:
+            df = self.spark.range(1).select(F.lit(1).alias("__unit"))
+            return Compiled(df, frozenset(), frozenset())
+        ordered = self._order_patterns(list(bgp.patterns)) if self.optimize \
+            else list(bgp.patterns)
+        acc = self.compile_pattern(ordered[0], graph_ctx)
+        for tp in ordered[1:]:
+            acc = self._join(acc, self.compile_pattern(tp, graph_ctx), "inner")
+        return acc
+
+    def _order_patterns(self, pats: List) -> List:
+        """Greedy join ordering by bound-term selectivity — a port of the
+        reference's statistics-free heuristic (``lib/sparopt/src/optimizer.rs``
+        join reordering): start with the most-bound pattern, then repeatedly
+        pick the most-bound pattern connected to the bound-variable set
+        (avoids Cartesian products); AQE fixes residual skew at runtime."""
+        def bound_score(tp, bound_vars) -> int:
+            if isinstance(tp, A.PathPattern):
+                terms = [tp.s, tp.o]
+                score = 1  # paths are less selective than plain patterns
+            else:
+                terms = [tp.s, tp.p, tp.o]
+                score = 0
+            for t in terms:
+                if not isinstance(t, A.Var) or t.name in bound_vars:
+                    score += 2
+            return score
+
+        remaining = list(pats)
+        out: List = []
+        bound: set = set()
+        while remaining:
+            connected = [tp for tp in remaining
+                         if not out or (A.pattern_vars(tp) & bound)]
+            pool = connected or remaining
+            best = max(pool, key=lambda tp: bound_score(tp, bound))
+            out.append(best)
+            remaining.remove(best)
+            bound |= A.pattern_vars(best)
+        return out
+
+    # -- binary operators ----------------------------------------------
+
+    def _join(self, l: Compiled, r: Compiled, how: str,
+              extra_expr: Optional[A.Expression] = None,
+              graph_ctx=None) -> Compiled:
+        """Compatibility-aware join (SPARQL §18.3 Join/LeftJoin/Minus core)."""
+        shared = sorted(l.vars & r.vars)
+        rdf = r.df
+        ren = {v: f"{v}__r" for v in shared}
+        for v, rv in ren.items():
+            rdf = rdf.withColumnRenamed(v, rv)
+
+        conds: List[Column] = []
+        for v in shared:
+            lc, rc = l.df[v], rdf[ren[v]]
+            if v in l.certain and v in r.certain:
+                conds.append(T.term_key(lc) == T.term_key(rc))
+            else:
+                conds.append(lc.isNull() | rc.isNull()
+                             | (T.term_key(lc) == T.term_key(rc)))
+
+        # merged-view environment for expressions scoping over both sides
+        env: Dict[str, Column] = {}
+        for v in l.vars:
+            env[v] = F.coalesce(l.df[v], rdf[ren[v]]) if v in shared else l.df[v]
+        for v in r.vars - l.vars:
+            env[v] = rdf[v]
+        if extra_expr is not None:
+            cond_expr = K.ebv(self.compile_expr(extra_expr, env))
+            conds.append(F.coalesce(cond_expr, F.lit(False)))
+
+        cond = reduce(lambda a, b: a & b, conds) if conds else _true()
+        joined = l.df.join(rdf, cond, how)
+
+        if how in ("leftsemi", "leftanti"):
+            return Compiled(joined, l.vars, l.certain)
+
+        out_cols = [env[v].alias(v) for v in sorted(l.vars | r.vars)]
+        if not out_cols:
+            out_cols = [F.lit(1).alias("__unit")]
+        out = joined.select(*out_cols)
+        if how == "inner":
+            certain = l.certain | r.certain
+        elif how == "left":
+            certain = l.certain
+        else:
+            certain = frozenset()
+        return Compiled(out, l.vars | r.vars, certain)
+
+    def _c_Join(self, n: A.Join, graph_ctx) -> Compiled:
+        return self._join(self.compile_pattern(n.left, graph_ctx),
+                          self.compile_pattern(n.right, graph_ctx), "inner")
+
+    def _c_LeftJoin(self, n: A.LeftJoin, graph_ctx) -> Compiled:
+        # the OPTIONAL-embedded FILTER must be part of the join condition,
+        # not a post-filter (SPARQL §8.3; reference GraphPattern::LeftJoin)
+        return self._join(self.compile_pattern(n.left, graph_ctx),
+                          self.compile_pattern(n.right, graph_ctx), "left",
+                          extra_expr=n.expr)
+
+    def _c_Minus(self, n: A.Minus, graph_ctx) -> Compiled:
+        l = self.compile_pattern(n.left, graph_ctx)
+        r = self.compile_pattern(n.right, graph_ctx)
+        shared = sorted(l.vars & r.vars)
+        if not shared:
+            # disjoint domains: MINUS removes nothing (spec §8.3.3)
+            return l
+        rdf = r.df
+        ren = {v: f"{v}__r" for v in shared}
+        for v, rv in ren.items():
+            rdf = rdf.withColumnRenamed(v, rv)
+        compat = []
+        overlap = []
+        for v in shared:
+            lc, rc = l.df[v], rdf[ren[v]]
+            compat.append(lc.isNull() | rc.isNull()
+                          | (T.term_key(lc) == T.term_key(rc)))
+            overlap.append(lc.isNotNull() & rc.isNotNull())
+        cond = reduce(lambda a, b: a & b, compat) \
+            & reduce(lambda a, b: a | b, overlap)
+        out = l.df.join(rdf.select(*[ren[v] for v in shared]).distinct(),
+                        cond, "leftanti")
+        return Compiled(out, l.vars, l.certain)
+
+    def _c_Union_(self, n: A.Union_, graph_ctx) -> Compiled:
+        l = self.compile_pattern(n.left, graph_ctx)
+        r = self.compile_pattern(n.right, graph_ctx)
+        lv, rv = l.vars, r.vars
+        ldf, rdf = l.df, r.df
+        for v in sorted(rv - lv):
+            ldf = ldf.withColumn(v, B.err())
+        for v in sorted(lv - rv):
+            rdf = rdf.withColumn(v, B.err())
+        out = ldf.unionByName(rdf.select(*ldf.columns))
+        certain = (l.certain & r.certain)
+        return Compiled(out, lv | rv, certain)
+
+    # -- unary operators -----------------------------------------------
+
+    def _c_Filter(self, n: A.Filter, graph_ctx) -> Compiled:
+        inner = self.compile_pattern(n.inner, graph_ctx)
+        inner, env, markers = self._attach_exists(inner, n.expr, graph_ctx)
+        cond = K.ebv(self.compile_expr(n.expr, env))
+        df = inner.df.where(F.coalesce(cond, F.lit(False)))
+        if markers:
+            df = df.drop(*markers)
+        return Compiled(df, inner.vars, inner.certain)
+
+    def _c_Extend(self, n: A.Extend, graph_ctx) -> Compiled:
+        inner = self.compile_pattern(n.inner, graph_ctx)
+        inner, env, markers = self._attach_exists(inner, n.expr, graph_ctx)
+        df = inner.df.withColumn(n.var.name, self.compile_expr(n.expr, env))
+        if markers:
+            df = df.drop(*markers)
+        return Compiled(df, inner.vars | {n.var.name}, inner.certain)
+
+    def _c_Values(self, n: A.Values, graph_ctx) -> Compiled:
+        from pyspark.sql.types import StructField, StructType
+        schema = StructType([StructField(v.name, T.TERM_SCHEMA)
+                             for v in n.vars])
+        rows = [tuple(_term_to_py(t) for t in row) for row in n.rows]
+        df = self.spark.createDataFrame(rows, schema)
+        names = frozenset(v.name for v in n.vars)
+        certain = frozenset(
+            v.name for i, v in enumerate(n.vars)
+            if all(row[i] is not None for row in n.rows))
+        return Compiled(df, names, certain)
+
+    def _c_Graph(self, n: A.Graph, graph_ctx) -> Compiled:
+        return self.compile_pattern(n.inner, n.name)
+
+    def _c_Project(self, n: A.Project, graph_ctx) -> Compiled:
+        inner = self.compile_pattern(n.inner, graph_ctx)
+        cols = [(inner.df[v.name] if v.name in inner.vars else B.err())
+                .alias(v.name) for v in n.vars]
+        names = frozenset(v.name for v in n.vars)
+        return Compiled(inner.df.select(*cols), names,
+                        inner.certain & names)
+
+    def _c_Distinct(self, n: A.Distinct, graph_ctx) -> Compiled:
+        inner = self.compile_pattern(n.inner, graph_ctx)
+        return replace(inner, df=inner.df.distinct())
+
+    def _c_Reduced(self, n: A.Reduced, graph_ctx) -> Compiled:
+        # REDUCED permits any level of duplicate elimination (§15.3.1)
+        inner = self.compile_pattern(n.inner, graph_ctx)
+        return replace(inner, df=inner.df.distinct())
+
+    def _c_Slice(self, n: A.Slice, graph_ctx) -> Compiled:
+        inner = self.compile_pattern(n.inner, graph_ctx)
+        df = inner.df
+        if n.offset:
+            df = df.offset(n.offset)
+        if n.limit is not None:
+            df = df.limit(n.limit)
+        return replace(inner, df=df)
+
+    def _c_OrderBy(self, n: A.OrderBy, graph_ctx) -> Compiled:
+        inner = self.compile_pattern(n.inner, graph_ctx)
+        env = {v: inner.df[v] for v in inner.vars}
+        sort_cols = []
+        for c in n.conds:
+            k = T.sort_key(self.compile_expr(c.expr, env))
+            sort_cols.append(k.asc() if c.asc else k.desc())
+        return replace(inner, df=inner.df.orderBy(*sort_cols))
+
+    # -- grouping / aggregation ----------------------------------------
+
+    def _c_Group(self, n: A.Group, graph_ctx) -> Compiled:
+        inner = self.compile_pattern(n.inner, graph_ctx)
+        df = inner.df
+        env = {v: df[v] for v in inner.vars}
+
+        # pre-compute aggregate input expressions as columns
+        pre_cols = list(df.columns)
+        agg_inputs: Dict[str, str] = {}
+        for var, agg in n.aggregates:
+            if agg.expr is not None:
+                cname = self._fresh("aggin")
+                df = df.withColumn(cname, self.compile_expr(agg.expr, env))
+                agg_inputs[var.name] = cname
+
+        group_cols = [v.name for v in n.by]
+        aggs: List[Column] = []
+        post: Dict[str, Column] = {}
+        for var, agg in n.aggregates:
+            cname = agg_inputs.get(var.name)
+            aggs.extend(_agg_exprs(var.name, agg, cname))
+        gdf = (df.groupBy(*group_cols) if group_cols else df.groupBy()).agg(*aggs)
+        out_cols = [gdf[v] for v in group_cols]
+        for var, agg in n.aggregates:
+            out_cols.append(_agg_finalize(gdf, var.name, agg).alias(var.name))
+        out = gdf.select(*out_cols)
+        names = frozenset(group_cols) | frozenset(v.name for v, _ in n.aggregates)
+        return Compiled(out, names, frozenset(group_cols) & inner.certain)
+
+    # -- EXISTS handling ------------------------------------------------
+
+    def _attach_exists(self, inner: Compiled, expr: A.Expression, graph_ctx):
+        """Decorrelate EXISTS subpatterns (reference evaluates them as
+        correlated nested loops — ``Expression::Exists``; we compile to a
+        marker left-join so Catalyst can pick hash joins)."""
+        markers: List[str] = []
+        env: Dict[str, Column] = {}
+        exists_nodes = _find_exists(expr)
+        df = inner.df
+        for node in exists_nodes:
+            sub = self.compile_pattern(node.pattern, graph_ctx)
+            shared = sorted(frozenset(inner.vars) & sub.vars)
+            marker = self._fresh("ex")
+            sdf = sub.df.select(
+                *[sub.df[v].alias(f"{v}__e{marker}") for v in shared],
+                F.lit(True).alias(marker))
+            if shared:
+                sdf = sdf.distinct()
+                conds = []
+                for v in shared:
+                    lc, rc = df[v], sdf[f"{v}__e{marker}"]
+                    if v in inner.certain and v in sub.certain:
+                        conds.append(T.term_key(lc) == T.term_key(rc))
+                    else:
+                        conds.append(lc.isNull() | rc.isNull()
+                                     | (T.term_key(lc) == T.term_key(rc)))
+                df = df.join(sdf, reduce(lambda a, b: a & b, conds), "left")
+            else:
+                # uncorrelated EXISTS: one-row broadcast flag (true iff the
+                # subpattern has any solution; agg over empty input → NULL)
+                flag = sdf.agg(F.max(F.col(marker)).alias(marker))
+                df = df.crossJoin(F.broadcast(flag))
+            df = df.drop(*[f"{v}__e{marker}" for v in shared])
+            self._exists_markers[id(node)] = marker
+            markers.append(marker)
+        for v in inner.vars:
+            env[v] = df[v]
+        return Compiled(df, inner.vars, inner.certain), env, markers
+
+    # ------------------------------------------------------------------
+    # expressions
+    # ------------------------------------------------------------------
+
+    def compile_expr(self, e: A.Expression, env: Dict[str, Column]) -> Column:
+        if isinstance(e, A.EVar):
+            return env.get(e.name, B.err())
+        if isinstance(e, A.ETerm):
+            return _const_term_col(e.term)
+        if isinstance(e, A.EOp):
+            return self._compile_op(e, env)
+        if isinstance(e, A.ECall):
+            return self._compile_call(e, env)
+        if isinstance(e, A.EIn):
+            return self._compile_in(e, env)
+        if isinstance(e, A.EExists):
+            marker = self._exists_markers.get(id(e))
+            if marker is None:
+                raise NotImplementedError("EXISTS outside FILTER/BIND scope")
+            c = F.coalesce(F.col(marker), F.lit(False))
+            return B.bool_term(~c if e.negated else c)
+        raise TypeError(type(e))
+
+    def _compile_op(self, e: A.EOp, env) -> Column:
+        args = [self.compile_expr(a, env) for a in e.args]
+        op = e.op
+        if op in ("&&", "||"):
+            a, b = K.ebv(args[0]), K.ebv(args[1])
+            return B.bool_term(a & b if op == "&&" else a | b)
+        if op == "!":
+            return B.bool_term(~K.ebv(args[0]))
+        if op in ("=", "!=", "<", "<=", ">", ">="):
+            fn = {"=": K.eq, "!=": K.neq, "<": K.lt, "<=": K.le,
+                  ">": K.gt, ">=": K.ge}[op]
+            return B.bool_term(fn(args[0], args[1]))
+        if op in ("+", "-", "*", "/"):
+            return K.arith(op, args[0], args[1])
+        if op == "u-":
+            return K.neg(args[0])
+        if op == "u+":
+            return F.when(T.is_numeric(args[0]), args[0]).otherwise(B.err())
+        raise NotImplementedError(f"operator {op}")
+
+    def _compile_call(self, e: A.ECall, env) -> Column:
+        name = e.name.upper() if not e.name.startswith("http") else e.name
+        if name == "BOUND":
+            if not isinstance(e.args[0], A.EVar):
+                raise ValueError("BOUND requires a variable")
+            v = env.get(e.args[0].name)
+            return B.bool_term(v.isNotNull() if v is not None else F.lit(False))
+        if name == "IF":
+            c = K.ebv(self.compile_expr(e.args[0], env))
+            a = self.compile_expr(e.args[1], env)
+            b = self.compile_expr(e.args[2], env)
+            return F.when(c, a).when(~c, b).otherwise(B.err())
+        if name == "COALESCE":
+            return F.coalesce(*[self.compile_expr(a, env) for a in e.args],
+                              B.err())
+        if name == "NOW":
+            return T.datetime_lit(F.lit(self.now.replace(tzinfo=None)),
+                                  tz_min=F.lit(0))
+        if name == "RAND":
+            return T.double_lit(F.rand())
+        if name == "UUID":
+            return T.iri(F.concat(F.lit("urn:uuid:"), F.expr("uuid()")))
+        if name == "STRUUID":
+            return T.str_lit(F.expr("uuid()"))
+        if name == "BNODE" and not e.args:
+            return T.bnode(F.expr("uuid()"))
+        if name.startswith(T.XSD):
+            return B.fn_cast(name, self.compile_expr(e.args[0], env))
+        fn = B.REGISTRY.get(name)
+        if fn is None:
+            raise NotImplementedError(f"function {e.name}")
+        return fn(*[self.compile_expr(a, env) for a in e.args])
+
+    def _compile_in(self, e: A.EIn, env) -> Column:
+        x = self.compile_expr(e.expr, env)
+        eqs = [K.eq(x, self.compile_expr(o, env)) for o in e.options]
+        if not eqs:
+            res: Column = F.lit(False)
+        else:
+            any_true = reduce(lambda a, b: a | b,
+                              [c.eqNullSafe(F.lit(True)) for c in eqs])
+            any_err = reduce(lambda a, b: a | b, [c.isNull() for c in eqs])
+            res = F.when(any_true, F.lit(True)) \
+                   .when(any_err, F.lit(None).cast("boolean")) \
+                   .otherwise(F.lit(False))
+        return B.bool_term(~res if e.negated else res)
+
+    # ------------------------------------------------------------------
+    # CONSTRUCT / DESCRIBE
+    # ------------------------------------------------------------------
+
+    def _compile_construct(self, q: A.ConstructQuery) -> DataFrame:
+        sol = self.compile_pattern(q.pattern)
+        frames = []
+        for i, tp in enumerate(q.template):
+            env = {v: sol.df[v] for v in sol.vars}
+
+            def term_col(t, position):
+                if isinstance(t, A.Var):
+                    return env.get(t.name, B.err())
+                if isinstance(t, A.BlankNode):
+                    # fresh bnode per solution per template bnode (§16.2.1)
+                    return T.bnode(F.concat(F.lit(f"b{i}_{t.label}_"),
+                                            F.expr("uuid()")))
+                return _const_term_col(t)
+
+            row = sol.df.select(term_col(tp.s, "s").alias("s"),
+                                term_col(tp.p, "p").alias("p"),
+                                term_col(tp.o, "o").alias("o"))
+            # drop incomplete triples (unbound template var → skip)
+            row = row.where(F.col("s").isNotNull() & F.col("p").isNotNull()
+                            & F.col("o").isNotNull())
+            # positions must be valid RDF: no literal subjects etc.
+            row = row.where((F.col("s")["kind"] != T.KIND_LITERAL)
+                            & (F.col("p")["kind"] == T.KIND_IRI))
+            frames.append(row)
+        out = reduce(lambda a, b: a.unionByName(b), frames)
+        return out.distinct()
+
+    def _compile_describe(self, q: A.DescribeQuery) -> DataFrame:
+        # implementation-defined; like the reference we return the outgoing
+        # triples of each described resource (Query::Describe eval)
+        targets: List[Compiled] = []
+        if q.pattern is not None:
+            sol = self.compile_pattern(q.pattern)
+            for t in q.terms:
+                if isinstance(t, A.Var) and t.name in sol.vars:
+                    targets.append(Compiled(
+                        sol.df.select(sol.df[t.name].alias("node")).distinct(),
+                        frozenset(["node"]), frozenset(["node"])))
+        for t in q.terms:
+            if isinstance(t, A.NamedNode):
+                targets.append(Compiled(
+                    self.spark.range(1).select(_const_term_col(t).alias("node")),
+                    frozenset(["node"]), frozenset(["node"])))
+        nodes = reduce(lambda a, b: a.unionByName(b),
+                       [t.df for t in targets]).distinct()
+        quads = self.source.scan().where(
+            F.col("g")["kind"] == T.KIND_DEFAULT_GRAPH)
+        out = quads.join(
+            F.broadcast(nodes),
+            T.term_key(quads["s"]) == T.term_key(nodes["node"]), "leftsemi")
+        return out.select("s", "p", "o")
+
+
+# ---------------------------------------------------------------------------
+# constants & aggregate helpers
+# ---------------------------------------------------------------------------
+
+
+def _const_term_col(t: A.GroundTerm) -> Column:
+    if isinstance(t, A.NamedNode):
+        return T.iri(F.lit(t.iri))
+    if isinstance(t, A.BlankNode):
+        return T.bnode(F.lit(t.label))
+    if isinstance(t, A.Literal):
+        if t.lang:
+            return T.lang_lit(F.lit(t.lex), F.lit(t.lang))
+        dt = t.datatype or T.XSD_STRING
+        return T.typed_lit(F.lit(t.lex), dt)
+    raise TypeError(type(t))
+
+
+def _term_to_py(t: Optional[A.GroundTerm]):
+    """Ground term → TERM struct Row tuple (for VALUES)."""
+    if t is None:
+        return None
+    from decimal import Decimal
+    kind, lex, datatype, lang = None, None, None, None
+    num = dbl = ts = tz = b = None
+    if isinstance(t, A.NamedNode):
+        kind, lex = T.KIND_IRI, t.iri
+    elif isinstance(t, A.BlankNode):
+        kind, lex = T.KIND_BNODE, t.label
+    elif isinstance(t, A.Literal):
+        kind, lex = T.KIND_LITERAL, t.lex
+        lang = t.lang
+        datatype = t.datatype or (T.RDF_LANGSTRING if t.lang else T.XSD_STRING)
+        try:
+            if datatype in T.INTEGER_DATATYPES or datatype == T.XSD_DECIMAL:
+                num = Decimal(lex)
+            elif datatype in (T.XSD_FLOAT, T.XSD_DOUBLE):
+                dbl = float(lex)
+            elif datatype == T.XSD_BOOLEAN:
+                b = lex in ("true", "1")
+            elif datatype in (T.XSD_DATETIME, T.XSD_DATE):
+                ts = datetime.fromisoformat(lex.replace("Z", "+00:00"))
+                if ts.tzinfo is not None:
+                    tz = int(ts.utcoffset().total_seconds() // 60)
+                    ts = ts.astimezone(timezone.utc).replace(tzinfo=None)
+        except (ValueError, ArithmeticError):
+            pass
+    return (kind, lex, datatype, lang, num, dbl, ts, tz, b)
+
+
+def _agg_exprs(name: str, agg: A.AggExpr, cname: Optional[str]) -> List[Column]:
+    """Partial aggregate columns for one SPARQL aggregate (map-side combine
+    happens for free — every one of these is a built-in Spark aggregate)."""
+    k = agg.name.upper()
+    if k == "COUNT":
+        if cname is None:
+            return [F.count(F.lit(1)).alias(f"{name}__cnt")]
+        c = F.col(cname)
+        if agg.distinct:
+            return [F.count_distinct(c).alias(f"{name}__cnt")]
+        return [F.count(c).alias(f"{name}__cnt")]
+    c = F.col(cname)
+    if k in ("SUM", "AVG"):
+        d = K.as_double(c)
+        num = c["num"]
+        if agg.distinct:
+            # distinct on the term value; exact/double tracked separately
+            sum_n, sum_d = F.sum_distinct(num), F.sum_distinct(d)
+            cnt = F.count_distinct(c)
+        else:
+            sum_n, sum_d = F.sum(num), F.sum(d)
+            cnt = F.count(c)
+        return [
+            sum_n.alias(f"{name}__sn"),
+            sum_d.alias(f"{name}__sd"),
+            cnt.alias(f"{name}__n"),
+            F.count(F.when(c.isNull() | ~T.is_numeric(c), 1)).alias(f"{name}__err"),
+            F.max(c["dbl"].isNotNull()).alias(f"{name}__hasdbl"),
+            F.min(c["datatype"].isin(*T.INTEGER_DATATYPES)).alias(f"{name}__allint"),
+        ]
+    if k == "MIN":
+        return [F.min_by(c, T.sort_key(c)).alias(f"{name}__v")]
+    if k == "MAX":
+        return [F.max_by(c, T.sort_key(c)).alias(f"{name}__v")]
+    if k == "SAMPLE":
+        return [F.first(c, ignorenulls=True).alias(f"{name}__v")]
+    if k == "GROUP_CONCAT":
+        s = F.when(c["kind"].isin(T.KIND_LITERAL, T.KIND_IRI), c["lex"])
+        lst = F.collect_set(s) if agg.distinct else F.collect_list(s)
+        return [F.array_join(lst, agg.separator).alias(f"{name}__s"),
+                F.count(F.when(c.isNotNull() & ~_stringable(c), 1)).alias(f"{name}__err")]
+    raise NotImplementedError(f"aggregate {agg.name}")
+
+
+def _stringable(c: Column) -> Column:
+    return c["kind"].isin(T.KIND_LITERAL, T.KIND_IRI)
+
+
+def _agg_finalize(gdf: DataFrame, name: str, agg: A.AggExpr) -> Column:
+    k = agg.name.upper()
+    if k == "COUNT":
+        return T.int_lit(F.coalesce(gdf[f"{name}__cnt"], F.lit(0)))
+    if k in ("SUM", "AVG"):
+        sn, sd = gdf[f"{name}__sn"], gdf[f"{name}__sd"]
+        n = gdf[f"{name}__n"]
+        err, hasdbl = gdf[f"{name}__err"], gdf[f"{name}__hasdbl"]
+        allint = gdf[f"{name}__allint"]
+        if k == "AVG":
+            sn = (sn / n).cast(T.DECIMAL_T)
+            sd = sd / n
+            allint = F.lit(False)  # avg of integers is decimal (§17.4.4)
+        exact = F.when(
+            F.coalesce(allint, F.lit(False)),
+            T.term_struct(T.KIND_LITERAL, sn.cast("long").cast("string"),
+                          datatype=F.lit(T.XSD_INTEGER), num=sn.cast(T.DECIMAL_T))
+        ).otherwise(
+            T.term_struct(T.KIND_LITERAL, K._decimal_lex(sn.cast(T.DECIMAL_T)),
+                          datatype=F.lit(T.XSD_DECIMAL), num=sn.cast(T.DECIMAL_T)))
+        dbl = T.double_lit(sd)
+        empty = T.int_lit(F.lit(0))  # SUM({})=0, AVG({})=0 (§18.5.1)
+        return (F.when(err > 0, B.err())
+                 .when(n == 0, empty)
+                 .when(F.coalesce(hasdbl, F.lit(False)), dbl)
+                 .otherwise(exact))
+    if k in ("MIN", "MAX", "SAMPLE"):
+        return gdf[f"{name}__v"]
+    if k == "GROUP_CONCAT":
+        return F.when(gdf[f"{name}__err"] > 0, B.err()) \
+                .otherwise(T.str_lit(F.coalesce(gdf[f"{name}__s"], F.lit(""))))
+    raise NotImplementedError(k)
+
+
+def _find_exists(e) -> List[A.EExists]:
+    out: List[A.EExists] = []
+    if isinstance(e, A.EExists):
+        out.append(e)
+    elif isinstance(e, (A.EOp, A.ECall)):
+        for a in e.args:
+            out.extend(_find_exists(a))
+    elif isinstance(e, A.EIn):
+        out.extend(_find_exists(e.expr))
+        for o in e.options:
+            out.extend(_find_exists(o))
+    return out

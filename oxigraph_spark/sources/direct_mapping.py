@@ -50,7 +50,10 @@ TABLE_DEFS: Dict[str, Tuple[Tuple[str, ...], Dict[str, str]]] = {
     "supplier": (("s_suppkey",), {"s_nationkey": "nation"}),
     "part": (("p_partkey",), {}),
     "orders": (("o_orderkey",), {"o_custkey": "customer"}),
-    "lineitem": (("l_orderkey", "l_linenumber"),
+    # driver data has no unique (l_orderkey, l_linenumber): W3C direct
+    # mapping assigns row nodes for keyless tables — we use a full-row hash
+    # (rows verified distinct) so solutions stay 1:1 with table rows
+    "lineitem": ((),
                  {"l_orderkey": "orders", "l_partkey": "part",
                   "l_suppkey": "supplier"}),
     "events": (("event_id",), {}),
@@ -59,6 +62,11 @@ TABLE_DEFS: Dict[str, Tuple[Tuple[str, ...], Dict[str, str]]] = {
 
 
 def _subject(table: str, df: DataFrame, pk: Tuple[str, ...]) -> Column:
+    if not pk:  # keyless table → deterministic full-row node id
+        row = F.sha1(F.encode(
+            F.concat_ws("\x1f", *[F.col(c).cast("string") for c in df.columns]),
+            "UTF-8"))
+        return T.iri(F.concat(F.lit(table_iri_base(table)), row))
     parts = [F.lit(table_iri_base(table))]
     for i, k in enumerate(pk):
         if i:
@@ -78,8 +86,10 @@ def _object_literal(df: DataFrame, col: str) -> Optional[Column]:
         return T.double_lit(c.cast("double"))
     if dt == "string":
         return T.str_lit(c)
-    if dt == "timestamp":
-        return T.datetime_lit(c)
+    if dt in ("timestamp", "timestamp_ntz"):
+        # parquet TIMESTAMP with isAdjustedToUTC=false reads as NTZ in
+        # Spark 4; session tz is pinned to UTC so the cast is lossless
+        return T.datetime_lit(c.cast("timestamp"))
     if dt == "boolean":
         return T.bool_lit(c)
     return None  # arrays/maps (e.g. embeddings.embedding) are not mapped
