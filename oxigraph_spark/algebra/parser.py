@@ -1,0 +1,1021 @@
+"""SPARQL 1.1 parser → algebra (spec §19 grammar, §18.2 ToAlgebra).
+
+Reference: ``lib/spargebra/src/parser.rs`` (a rust-peg grammar that applies
+the ToAlgebra translation during parsing — we do the same: the parser's
+output is already the algebra of :mod:`oxigraph_spark.algebra.ast`, not a
+parse tree).  Hand-written recursive descent over a regex tokenizer.
+
+Supported surface: SELECT/ASK/CONSTRUCT/DESCRIBE, prologue (BASE/PREFIX),
+group patterns with OPTIONAL/UNION/MINUS/FILTER/BIND/VALUES/GRAPH/sub-SELECT,
+property paths, full expression grammar with aggregates, solution modifiers
+(GROUP BY/HAVING/ORDER BY/LIMIT/OFFSET/DISTINCT/REDUCED), blank-node
+property lists and collections (desugared per spec).
+"""
+
+from __future__ import annotations
+
+import itertools
+import re
+from typing import Dict, List, Optional, Tuple, Union
+
+from . import ast as A
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDF_TYPE = RDF + "type"
+RDF_FIRST, RDF_REST, RDF_NIL = RDF + "first", RDF + "rest", RDF + "nil"
+
+
+class ParseError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# tokenizer
+# ---------------------------------------------------------------------------
+
+TOKEN_RE = re.compile(r"""
+    (?P<WS>\s+|\#[^\n]*)
+  | (?P<IRIREF><[^<>"{}|^`\\\s]*>)
+  | (?P<STRING_LONG1>'''(?:[^'\\]|\\.|'(?!''))*''')
+  | (?P<STRING_LONG2>\"\"\"(?:[^"\\]|\\.|"(?!""))*\"\"\")
+  | (?P<STRING1>'(?:[^'\\\n]|\\.)*')
+  | (?P<STRING2>"(?:[^"\\\n]|\\.)*")
+  | (?P<BLANK>_:[A-Za-z0-9_][A-Za-z0-9_.-]*)
+  | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
+  | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
+  | (?P<DOUBLE>[0-9]*\.?[0-9]+[eE][+-]?[0-9]+)
+  | (?P<DECIMAL>[0-9]*\.[0-9]+)
+  | (?P<INTEGER>[0-9]+)
+  | (?P<PNAME>(?:[A-Za-z_][A-Za-z0-9_.-]*)?:(?:[A-Za-z0-9_:%\-.]*[A-Za-z0-9_:%\-])?)
+  | (?P<NAME>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}()\[\],;.^|/*+?!=<>-])
+""", re.VERBOSE)
+
+
+class Token:
+    __slots__ = ("kind", "value", "pos")
+
+    def __init__(self, kind: str, value: str, pos: int):
+        self.kind, self.value, self.pos = kind, value, pos
+
+    def __repr__(self):
+        return f"{self.kind}({self.value!r})"
+
+
+def tokenize(text: str) -> List[Token]:
+    out: List[Token] = []
+    i = 0
+    while i < len(text):
+        m = TOKEN_RE.match(text, i)
+        if not m:
+            raise ParseError(f"lex error at {i}: {text[i:i+30]!r}")
+        kind = m.lastgroup
+        if kind != "WS":
+            out.append(Token(kind, m.group(), i))
+        i = m.end()
+    out.append(Token("EOF", "", len(text)))
+    return out
+
+
+_ESCAPES = {"t": "\t", "n": "\n", "r": "\r", "b": "\b", "f": "\f",
+            '"': '"', "'": "'", "\\": "\\"}
+
+
+def _unescape(s: str) -> str:
+    out: List[str] = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            n = s[i + 1]
+            if n == "u":
+                out.append(chr(int(s[i + 2:i + 6], 16))); i += 6; continue
+            if n == "U":
+                out.append(chr(int(s[i + 2:i + 10], 16))); i += 10; continue
+            out.append(_ESCAPES.get(n, n)); i += 2; continue
+        out.append(c); i += 1
+    return "".join(out)
+
+
+AGG_NAMES = {"COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT"}
+
+BUILTIN_NAMES = {
+    "STR", "LANG", "LANGMATCHES", "DATATYPE", "BOUND", "IRI", "URI",
+    "BNODE", "RAND", "ABS", "CEIL", "FLOOR", "ROUND", "CONCAT", "STRLEN",
+    "UCASE", "LCASE", "ENCODE_FOR_URI", "CONTAINS", "STRSTARTS", "STRENDS",
+    "STRBEFORE", "STRAFTER", "YEAR", "MONTH", "DAY", "HOURS", "MINUTES",
+    "SECONDS", "TIMEZONE", "TZ", "NOW", "UUID", "STRUUID", "MD5", "SHA1",
+    "SHA256", "SHA384", "SHA512", "COALESCE", "IF", "STRLANG", "STRDT",
+    "SAMETERM", "ISIRI", "ISURI", "ISBLANK", "ISLITERAL", "ISNUMERIC",
+    "REGEX", "SUBSTR", "REPLACE",
+}
+
+
+class Parser:
+    def __init__(self, text: str):
+        self.toks = tokenize(text)
+        self.i = 0
+        self.base: Optional[str] = None
+        self.prefixes: Dict[str, str] = {}
+        self._bnode_counter = itertools.count()
+        self._anon_counter = itertools.count()
+        self._agg_counter = itertools.count()
+
+    # -- token helpers --------------------------------------------------
+
+    def peek(self, k: int = 0) -> Token:
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self) -> Token:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def at_kw(self, *kws: str) -> bool:
+        t = self.peek()
+        return t.kind == "NAME" and t.value.upper() in kws
+
+    def eat_kw(self, *kws: str) -> str:
+        if not self.at_kw(*kws):
+            raise ParseError(f"expected {kws}, got {self.peek()}")
+        return self.next().value.upper()
+
+    def at_op(self, *ops: str) -> bool:
+        t = self.peek()
+        return t.kind == "OP" and t.value in ops
+
+    def eat_op(self, op: str) -> None:
+        t = self.peek()
+        if t.kind != "OP" or t.value != op:
+            raise ParseError(f"expected {op!r}, got {t} at {t.pos}")
+        self.next()
+
+    # -- entry ----------------------------------------------------------
+
+    def parse_query(self) -> A.Query:
+        self._prologue()
+        if self.at_kw("SELECT"):
+            q = self._select_query()
+        elif self.at_kw("ASK"):
+            q = self._ask_query()
+        elif self.at_kw("CONSTRUCT"):
+            q = self._construct_query()
+        elif self.at_kw("DESCRIBE"):
+            q = self._describe_query()
+        else:
+            raise ParseError(f"expected query form, got {self.peek()}")
+        # trailing VALUES clause
+        if self.at_kw("VALUES"):
+            values = self._values_clause()
+            q = _join_values(q, values)
+        if self.peek().kind != "EOF":
+            raise ParseError(f"trailing input: {self.peek()}")
+        return q
+
+    def _prologue(self) -> None:
+        while True:
+            if self.at_kw("PREFIX"):
+                self.next()
+                pn = self.next()
+                if pn.kind != "PNAME" or not pn.value.endswith(":"):
+                    raise ParseError(f"bad PREFIX name {pn}")
+                iri = self._iriref()
+                self.prefixes[pn.value[:-1]] = iri
+            elif self.at_kw("BASE"):
+                self.next()
+                self.base = self._iriref()
+            else:
+                return
+
+    def _iriref(self) -> str:
+        t = self.next()
+        if t.kind != "IRIREF":
+            raise ParseError(f"expected IRIREF, got {t}")
+        iri = t.value[1:-1]
+        if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", iri):
+            iri = self.base + iri
+        return iri
+
+    # -- query forms -----------------------------------------------------
+
+    def _select_query(self) -> A.SelectQuery:
+        pattern = self._select_inner()
+        return A.SelectQuery(pattern)
+
+    def _select_inner(self) -> A.GraphPattern:
+        """SELECT clause + WHERE + modifiers → algebra pattern (shared by
+        top-level SELECT and sub-SELECT)."""
+        self.eat_kw("SELECT")
+        distinct = reduced = False
+        if self.at_kw("DISTINCT"):
+            self.next(); distinct = True
+        elif self.at_kw("REDUCED"):
+            self.next(); reduced = True
+
+        proj: List[Tuple[A.Var, Optional[A.Expression]]] = []
+        star = False
+        if self.at_op("*"):
+            self.next(); star = True
+        else:
+            while True:
+                if self.peek().kind == "VAR":
+                    proj.append((A.Var(self.next().value[1:]), None))
+                elif self.at_op("("):
+                    self.next()
+                    e = self._expression()
+                    self.eat_kw("AS")
+                    v = A.Var(self.next().value[1:])
+                    self.eat_op(")")
+                    proj.append((v, e))
+                else:
+                    break
+            if not proj:
+                raise ParseError("empty SELECT clause")
+
+        # dataset clauses (FROM / FROM NAMED) — parsed, default-graph only
+        while self.at_kw("FROM"):
+            self.next()
+            if self.at_kw("NAMED"):
+                self.next()
+            self._iri()
+
+        if self.at_kw("WHERE"):
+            self.next()
+        pattern = self._group_graph_pattern()
+        return self._solution_modifiers(pattern, proj, star, distinct, reduced)
+
+    def _ask_query(self) -> A.AskQuery:
+        self.eat_kw("ASK")
+        while self.at_kw("FROM"):
+            self.next()
+            if self.at_kw("NAMED"):
+                self.next()
+            self._iri()
+        if self.at_kw("WHERE"):
+            self.next()
+        return A.AskQuery(self._group_graph_pattern())
+
+    def _construct_query(self) -> A.ConstructQuery:
+        self.eat_kw("CONSTRUCT")
+        if self.at_op("{"):
+            template = self._construct_template()
+            if self.at_kw("WHERE"):
+                self.next()
+            pattern = self._group_graph_pattern()
+        else:  # CONSTRUCT WHERE { pattern } shorthand
+            self.eat_kw("WHERE")
+            template_pattern = self._group_graph_pattern()
+            if not isinstance(template_pattern, A.BGP):
+                raise ParseError("CONSTRUCT WHERE requires a plain BGP")
+            template = [tp for tp in template_pattern.patterns
+                        if isinstance(tp, A.TriplePattern)]
+            pattern = template_pattern
+        pattern = self._slice_modifiers(pattern)
+        return A.ConstructQuery(tuple(template), pattern)
+
+    def _construct_template(self) -> List[A.TriplePattern]:
+        self.eat_op("{")
+        triples: List = []
+        self._triples_block(triples)
+        self.eat_op("}")
+        out = []
+        for t in triples:
+            if isinstance(t, A.PathPattern):
+                raise ParseError("property paths not allowed in CONSTRUCT template")
+            out.append(t)
+        return out
+
+    def _describe_query(self) -> A.DescribeQuery:
+        self.eat_kw("DESCRIBE")
+        terms: List[A.TermOrVar] = []
+        if self.at_op("*"):
+            self.next()
+        else:
+            while True:
+                if self.peek().kind == "VAR":
+                    terms.append(A.Var(self.next().value[1:]))
+                elif self.peek().kind in ("IRIREF", "PNAME"):
+                    terms.append(A.NamedNode(self._iri()))
+                else:
+                    break
+        pattern = None
+        if self.at_kw("WHERE") or self.at_op("{"):
+            if self.at_kw("WHERE"):
+                self.next()
+            pattern = self._group_graph_pattern()
+        return A.DescribeQuery(tuple(terms), pattern)
+
+    # -- solution modifiers (ToAlgebra §18.2.4-5) ------------------------
+
+    def _solution_modifiers(self, pattern, proj, star, distinct, reduced):
+        group_by: List[Tuple[A.Var, Optional[A.Expression]]] = []
+        if self.at_kw("GROUP"):
+            self.next(); self.eat_kw("BY")
+            while True:
+                if self.peek().kind == "VAR":
+                    group_by.append((A.Var(self.next().value[1:]), None))
+                elif self.at_op("("):
+                    self.next()
+                    e = self._expression()
+                    if self.at_kw("AS"):
+                        self.next()
+                        v = A.Var(self.next().value[1:])
+                    else:
+                        v = A.Var(f"__grp{next(self._agg_counter)}")
+                    self.eat_op(")")
+                    group_by.append((v, e))
+                elif self.peek().kind in ("IRIREF", "PNAME") or (
+                        self.peek().kind == "NAME"
+                        and self.peek().value.upper() in BUILTIN_NAMES):
+                    e = self._builtin_or_function_call()
+                    group_by.append((A.Var(f"__grp{next(self._agg_counter)}"), e))
+                else:
+                    break
+
+        having: List[A.Expression] = []
+        if self.at_kw("HAVING"):
+            self.next()
+            while True:
+                having.append(self._constraint())
+                t = self.peek()
+                starts_constraint = self.at_op("(") or (
+                    t.kind == "NAME" and t.value.upper() in
+                    (BUILTIN_NAMES | AGG_NAMES | {"NOT", "EXISTS"}))
+                if not starts_constraint:
+                    break
+
+        order: List[A.OrderCond] = []
+        if self.at_kw("ORDER"):
+            self.next(); self.eat_kw("BY")
+            while True:
+                if self.at_kw("ASC", "DESC"):
+                    asc = self.eat_kw("ASC", "DESC") == "ASC"
+                    self.eat_op("(")
+                    e = self._expression()
+                    self.eat_op(")")
+                    order.append(A.OrderCond(e, asc))
+                elif self.peek().kind == "VAR":
+                    order.append(A.OrderCond(A.EVar(self.next().value[1:])))
+                elif self.at_op("("):
+                    self.next()
+                    e = self._expression()
+                    self.eat_op(")")
+                    order.append(A.OrderCond(e))
+                elif self.peek().kind == "NAME" and self.peek().value.upper() in (
+                        BUILTIN_NAMES | AGG_NAMES):
+                    order.append(A.OrderCond(self._builtin_or_function_call()))
+                else:
+                    break
+
+        offset, limit = 0, None
+        while self.at_kw("LIMIT", "OFFSET"):
+            kw = self.eat_kw("LIMIT", "OFFSET")
+            n = int(self.next().value)
+            if kw == "LIMIT":
+                limit = n
+            else:
+                offset = n
+
+        return _assemble_select(pattern, proj, star, distinct, reduced,
+                                group_by, having, order, offset, limit,
+                                self._agg_counter)
+
+    def _slice_modifiers(self, pattern):
+        order: List[A.OrderCond] = []
+        if self.at_kw("ORDER"):
+            self.next(); self.eat_kw("BY")
+            while self.peek().kind == "VAR" or self.at_kw("ASC", "DESC") or self.at_op("("):
+                if self.at_kw("ASC", "DESC"):
+                    asc = self.eat_kw("ASC", "DESC") == "ASC"
+                    self.eat_op("(")
+                    e = self._expression()
+                    self.eat_op(")")
+                    order.append(A.OrderCond(e, asc))
+                elif self.at_op("("):
+                    self.next(); e = self._expression(); self.eat_op(")")
+                    order.append(A.OrderCond(e))
+                else:
+                    order.append(A.OrderCond(A.EVar(self.next().value[1:])))
+        if order:
+            pattern = A.OrderBy(pattern, tuple(order))
+        offset, limit = 0, None
+        while self.at_kw("LIMIT", "OFFSET"):
+            kw = self.eat_kw("LIMIT", "OFFSET")
+            n = int(self.next().value)
+            if kw == "LIMIT":
+                limit = n
+            else:
+                offset = n
+        if offset or limit is not None:
+            pattern = A.Slice(pattern, offset, limit)
+        return pattern
+
+    # -- group graph pattern (ToAlgebra §18.2.2.6) -----------------------
+
+    def _group_graph_pattern(self) -> A.GraphPattern:
+        self.eat_op("{")
+        if self.at_kw("SELECT"):
+            sub = self._select_inner()
+            self.eat_op("}")
+            return sub
+
+        acc: Optional[A.GraphPattern] = None
+        triples: List = []
+        filters: List[A.Expression] = []
+
+        def flush_triples():
+            nonlocal acc, triples
+            if triples:
+                bgp = A.BGP(tuple(triples))
+                acc = bgp if acc is None else A.Join(acc, bgp)
+                triples = []
+
+        while not self.at_op("}"):
+            if self.at_kw("OPTIONAL"):
+                self.next()
+                flush_triples()
+                right = self._group_graph_pattern()
+                expr = None
+                if isinstance(right, A.Filter):  # {P FILTER F} → LeftJoin(..,P,F)
+                    expr, right = right.expr, right.inner
+                acc = A.LeftJoin(acc if acc is not None else A.BGP(), right, expr)
+            elif self.at_kw("MINUS"):
+                self.next()
+                flush_triples()
+                acc = A.Minus(acc if acc is not None else A.BGP(),
+                              self._group_graph_pattern())
+            elif self.at_kw("FILTER"):
+                self.next()
+                filters.append(self._constraint())
+            elif self.at_kw("BIND"):
+                self.next()
+                self.eat_op("(")
+                e = self._expression()
+                self.eat_kw("AS")
+                v = A.Var(self.next().value[1:])
+                self.eat_op(")")
+                flush_triples()
+                acc = A.Extend(acc if acc is not None else A.BGP(), v, e)
+            elif self.at_kw("VALUES"):
+                values = self._values_clause()
+                flush_triples()
+                acc = values if acc is None else A.Join(acc, values)
+            elif self.at_kw("GRAPH"):
+                self.next()
+                if self.peek().kind == "VAR":
+                    name: Union[A.NamedNode, A.Var] = A.Var(self.next().value[1:])
+                else:
+                    name = A.NamedNode(self._iri())
+                g = A.Graph(name, self._group_graph_pattern())
+                flush_triples()
+                acc = g if acc is None else A.Join(acc, g)
+            elif self.at_kw("SERVICE"):
+                self.next()
+                silent = False
+                if self.at_kw("SILENT"):
+                    self.next(); silent = True
+                if self.peek().kind == "VAR":
+                    name = A.Var(self.next().value[1:])
+                else:
+                    name = A.NamedNode(self._iri())
+                svc = A.Service(name, self._group_graph_pattern(), silent)
+                flush_triples()
+                acc = svc if acc is None else A.Join(acc, svc)
+            elif self.at_op("{"):
+                flush_triples()
+                sub = self._group_or_union()
+                acc = sub if acc is None else A.Join(acc, sub)
+            elif self.at_op("."):
+                self.next()
+            else:
+                self._triples_block(triples)
+        self.eat_op("}")
+        flush_triples()
+        if acc is None:
+            acc = A.BGP()
+        for f in filters:
+            acc = A.Filter(f, acc)
+        return acc
+
+    def _group_or_union(self) -> A.GraphPattern:
+        left = self._group_graph_pattern()
+        while self.at_kw("UNION"):
+            self.next()
+            left = A.Union_(left, self._group_graph_pattern())
+        return left
+
+    def _values_clause(self) -> A.Values:
+        self.eat_kw("VALUES")
+        vars_: List[A.Var] = []
+        rows: List[Tuple] = []
+        if self.peek().kind == "VAR":
+            vars_.append(A.Var(self.next().value[1:]))
+            self.eat_op("{")
+            while not self.at_op("}"):
+                rows.append((self._data_value(),))
+            self.eat_op("}")
+        else:
+            self.eat_op("(")
+            while self.peek().kind == "VAR":
+                vars_.append(A.Var(self.next().value[1:]))
+            self.eat_op(")")
+            self.eat_op("{")
+            while self.at_op("("):
+                self.next()
+                row = []
+                while not self.at_op(")"):
+                    row.append(self._data_value())
+                self.eat_op(")")
+                if len(row) != len(vars_):
+                    raise ParseError("VALUES row arity mismatch")
+                rows.append(tuple(row))
+            self.eat_op("}")
+        return A.Values(tuple(vars_), tuple(rows))
+
+    def _data_value(self):
+        if self.at_kw("UNDEF"):
+            self.next()
+            return None
+        return self._term_literal_or_iri()
+
+    # -- triples ---------------------------------------------------------
+
+    def _triples_block(self, out: List) -> None:
+        while True:
+            subj = self._graph_node(out)
+            self._property_list(subj, out, required=False)
+            if self.at_op("."):
+                self.next()
+                t = self.peek()
+                if t.kind in ("VAR", "IRIREF", "PNAME", "BLANK", "INTEGER",
+                              "DECIMAL", "DOUBLE", "STRING1", "STRING2",
+                              "STRING_LONG1", "STRING_LONG2") \
+                        or self.at_op("[", "(") or self.at_kw("TRUE", "FALSE"):
+                    continue
+            return
+
+    def _property_list(self, subj, out: List, required: bool) -> None:
+        first = True
+        while True:
+            if self.peek().kind == "VAR":
+                verb: Union[A.Var, object] = A.Var(self.next().value[1:])
+                is_path = False
+                path = None
+            else:
+                t = self.peek()
+                if not (t.kind in ("IRIREF", "PNAME")
+                        or (t.kind == "NAME" and t.value == "a")
+                        or self.at_op("^", "!", "(")):
+                    if first and required:
+                        raise ParseError(f"expected predicate at {t}")
+                    return
+                path = self._path()
+                is_path = not isinstance(path, A.PLink)
+                verb = A.NamedNode(path.iri) if isinstance(path, A.PLink) else None
+            while True:
+                obj = self._graph_node(out)
+                if is_path:
+                    out.append(A.PathPattern(subj, path, obj))
+                else:
+                    out.append(A.TriplePattern(subj, verb, obj))
+                if self.at_op(","):
+                    self.next()
+                    continue
+                break
+            if self.at_op(";"):
+                self.next()
+                first = False
+                # allow trailing ;
+                t = self.peek()
+                if t.kind == "VAR" or t.kind in ("IRIREF", "PNAME") \
+                        or (t.kind == "NAME" and t.value == "a") \
+                        or self.at_op("^", "!", "("):
+                    continue
+            return
+
+    def _graph_node(self, out: List):
+        t = self.peek()
+        if t.kind == "VAR":
+            self.next()
+            return A.Var(t.value[1:])
+        if t.kind == "BLANK":
+            self.next()
+            return A.Var(f"__bn_{t.value[2:]}")  # bnodes in queries = fresh vars
+        if self.at_op("["):
+            self.next()
+            v = A.Var(f"__anon{next(self._anon_counter)}")
+            if not self.at_op("]"):
+                self._property_list(v, out, required=True)
+            self.eat_op("]")
+            return v
+        if self.at_op("("):
+            self.next()
+            items = []
+            while not self.at_op(")"):
+                items.append(self._graph_node(out))
+            self.eat_op(")")
+            if not items:
+                return A.NamedNode(RDF_NIL)
+            head = A.Var(f"__list{next(self._anon_counter)}")
+            cur = head
+            for i, item in enumerate(items):
+                out.append(A.TriplePattern(cur, A.NamedNode(RDF_FIRST), item))
+                nxt = A.NamedNode(RDF_NIL) if i == len(items) - 1 \
+                    else A.Var(f"__list{next(self._anon_counter)}")
+                out.append(A.TriplePattern(cur, A.NamedNode(RDF_REST), nxt))
+                cur = nxt
+            return head
+        return self._term_literal_or_iri()
+
+    def _term_literal_or_iri(self):
+        t = self.peek()
+        if t.kind in ("IRIREF", "PNAME"):
+            return A.NamedNode(self._iri())
+        if t.kind in ("STRING1", "STRING2", "STRING_LONG1", "STRING_LONG2"):
+            return self._rdf_literal()
+        if t.kind in ("INTEGER", "DECIMAL", "DOUBLE"):
+            self.next()
+            dt = {"INTEGER": XSD + "integer", "DECIMAL": XSD + "decimal",
+                  "DOUBLE": XSD + "double"}[t.kind]
+            return A.Literal(t.value, datatype=dt)
+        if self.at_op("-", "+"):
+            sign = self.next().value
+            n = self.next()
+            dt = {"INTEGER": XSD + "integer", "DECIMAL": XSD + "decimal",
+                  "DOUBLE": XSD + "double"}[n.kind]
+            lex = n.value if sign == "+" else "-" + n.value
+            return A.Literal(lex, datatype=dt)
+        if t.kind == "NAME" and t.value.upper() in ("TRUE", "FALSE"):
+            self.next()
+            return A.Literal(t.value.lower(), datatype=XSD + "boolean")
+        raise ParseError(f"expected RDF term, got {t} at {t.pos}")
+
+    def _rdf_literal(self) -> A.Literal:
+        t = self.next()
+        raw = t.value
+        if t.kind in ("STRING_LONG1", "STRING_LONG2"):
+            lex = _unescape(raw[3:-3])
+        else:
+            lex = _unescape(raw[1:-1])
+        if self.peek().kind == "LANGTAG":
+            lang = self.next().value[1:].lower()
+            return A.Literal(lex, lang=lang)
+        if self.at_op("^^"):
+            self.next()
+            return A.Literal(lex, datatype=self._iri())
+        return A.Literal(lex, datatype=XSD + "string")
+
+    def _iri(self) -> str:
+        t = self.peek()
+        if t.kind == "IRIREF":
+            return self._iriref()
+        if t.kind == "PNAME":
+            self.next()
+            pfx, _, local = t.value.partition(":")
+            if pfx not in self.prefixes:
+                raise ParseError(f"unknown prefix {pfx!r}")
+            return self.prefixes[pfx] + local.replace("\\", "")
+        if t.kind == "NAME" and t.value == "a":
+            self.next()
+            return RDF_TYPE
+        raise ParseError(f"expected IRI, got {t} at {t.pos}")
+
+    # -- property paths (§19 grammar Path*) ------------------------------
+
+    def _path(self) -> A.PathExpr:
+        return self._path_alternative()
+
+    def _path_alternative(self) -> A.PathExpr:
+        left = self._path_sequence()
+        while self.at_op("|"):
+            self.next()
+            left = A.PAlt(left, self._path_sequence())
+        return left
+
+    def _path_sequence(self) -> A.PathExpr:
+        left = self._path_elt_or_inverse()
+        while self.at_op("/"):
+            self.next()
+            left = A.PSeq(left, self._path_elt_or_inverse())
+        return left
+
+    def _path_elt_or_inverse(self) -> A.PathExpr:
+        if self.at_op("^"):
+            self.next()
+            return A.PInv(self._path_elt())
+        return self._path_elt()
+
+    def _path_elt(self) -> A.PathExpr:
+        p = self._path_primary()
+        if self.at_op("?"):
+            self.next()
+            return A.PZeroOrOne(p)
+        if self.at_op("*"):
+            self.next()
+            return A.PZeroOrMore(p)
+        if self.at_op("+"):
+            self.next()
+            return A.POneOrMore(p)
+        return p
+
+    def _path_primary(self) -> A.PathExpr:
+        if self.at_op("("):
+            self.next()
+            p = self._path()
+            self.eat_op(")")
+            return p
+        if self.at_op("!"):
+            self.next()
+            return self._path_negated()
+        return A.PLink(self._iri())
+
+    def _path_negated(self) -> A.PathExpr:
+        fwd: List[str] = []
+        inv: List[str] = []
+
+        def one():
+            if self.at_op("^"):
+                self.next()
+                inv.append(self._iri())
+            else:
+                fwd.append(self._iri())
+
+        if self.at_op("("):
+            self.next()
+            if not self.at_op(")"):
+                one()
+                while self.at_op("|"):
+                    self.next()
+                    one()
+            self.eat_op(")")
+        else:
+            one()
+        return A.PNeg(tuple(fwd), tuple(inv))
+
+    # -- expressions (§19 grammar Expression*) ---------------------------
+
+    def _constraint(self) -> A.Expression:
+        if self.at_op("("):
+            self.next()
+            e = self._expression()
+            self.eat_op(")")
+            return e
+        if self.at_kw("NOT"):
+            self.next()
+            self.eat_kw("EXISTS")
+            return A.EExists(self._group_graph_pattern(), negated=True)
+        if self.at_kw("EXISTS"):
+            self.next()
+            return A.EExists(self._group_graph_pattern(), negated=False)
+        return self._builtin_or_function_call()
+
+    def _expression(self) -> A.Expression:
+        left = self._and_expression()
+        while self.at_op("||"):
+            self.next()
+            left = A.EOp("||", (left, self._and_expression()))
+        return left
+
+    def _and_expression(self) -> A.Expression:
+        left = self._relational()
+        while self.at_op("&&"):
+            self.next()
+            left = A.EOp("&&", (left, self._relational()))
+        return left
+
+    def _relational(self) -> A.Expression:
+        left = self._additive()
+        if self.at_op("=", "!=", "<", "<=", ">", ">="):
+            op = self.next().value
+            return A.EOp(op, (left, self._additive()))
+        if self.at_kw("IN"):
+            self.next()
+            return A.EIn(left, tuple(self._expr_list()), negated=False)
+        if self.at_kw("NOT"):
+            self.next()
+            self.eat_kw("IN")
+            return A.EIn(left, tuple(self._expr_list()), negated=True)
+        return left
+
+    def _expr_list(self) -> List[A.Expression]:
+        self.eat_op("(")
+        out: List[A.Expression] = []
+        if not self.at_op(")"):
+            out.append(self._expression())
+            while self.at_op(","):
+                self.next()
+                out.append(self._expression())
+        self.eat_op(")")
+        return out
+
+    def _additive(self) -> A.Expression:
+        left = self._multiplicative()
+        while self.at_op("+", "-"):
+            op = self.next().value
+            left = A.EOp(op, (left, self._multiplicative()))
+        return left
+
+    def _multiplicative(self) -> A.Expression:
+        left = self._unary()
+        while self.at_op("*", "/"):
+            op = self.next().value
+            left = A.EOp(op, (left, self._unary()))
+        return left
+
+    def _unary(self) -> A.Expression:
+        if self.at_op("!"):
+            self.next()
+            return A.EOp("!", (self._unary(),))
+        if self.at_op("-"):
+            self.next()
+            return A.EOp("u-", (self._unary(),))
+        if self.at_op("+"):
+            self.next()
+            return A.EOp("u+", (self._unary(),))
+        return self._primary()
+
+    def _primary(self) -> A.Expression:
+        t = self.peek()
+        if self.at_op("("):
+            self.next()
+            e = self._expression()
+            self.eat_op(")")
+            return e
+        if t.kind == "VAR":
+            self.next()
+            return A.EVar(t.value[1:])
+        if t.kind in ("STRING1", "STRING2", "STRING_LONG1", "STRING_LONG2",
+                      "INTEGER", "DECIMAL", "DOUBLE"):
+            return A.ETerm(self._term_literal_or_iri())
+        if t.kind == "NAME":
+            up = t.value.upper()
+            if up in ("TRUE", "FALSE"):
+                self.next()
+                return A.ETerm(A.Literal(t.value.lower(), datatype=XSD + "boolean"))
+            if up == "NOT":
+                self.next()
+                self.eat_kw("EXISTS")
+                return A.EExists(self._group_graph_pattern(), negated=True)
+            if up == "EXISTS":
+                self.next()
+                return A.EExists(self._group_graph_pattern(), negated=False)
+            return self._builtin_or_function_call()
+        if t.kind in ("IRIREF", "PNAME"):
+            iri = self._iri()
+            if self.at_op("("):
+                args = self._expr_list()
+                return A.ECall(iri, tuple(args))
+            return A.ETerm(A.NamedNode(iri))
+        raise ParseError(f"expected expression, got {t} at {t.pos}")
+
+    def _builtin_or_function_call(self) -> A.Expression:
+        t = self.next()
+        name = t.value.upper()
+        if name in AGG_NAMES:
+            return self._aggregate(name)
+        if name not in BUILTIN_NAMES:
+            raise ParseError(f"unknown function {t.value!r} at {t.pos}")
+        if name in ("NOW", "RAND", "UUID", "STRUUID") or \
+                (name == "BNODE" and self.at_op("(") and self.peek(1).kind == "OP"
+                 and self.peek(1).value == ")"):
+            self.eat_op("(")
+            self.eat_op(")")
+            return A.ECall(name, ())
+        args = tuple(self._expr_list())
+        return A.ECall(name, args)
+
+    def _aggregate(self, name: str) -> A.ECall:
+        """Aggregates surface as ECall('__agg', AggExpr marker) and are
+        hoisted by _assemble_select."""
+        self.eat_op("(")
+        distinct = False
+        if self.at_kw("DISTINCT"):
+            self.next()
+            distinct = True
+        sep = " "
+        if name == "COUNT" and self.at_op("*"):
+            self.next()
+            expr = None
+        else:
+            expr = self._expression()
+        if name == "GROUP_CONCAT" and self.at_op(";"):
+            self.next()
+            self.eat_kw("SEPARATOR")
+            self.eat_op("=")
+            sep = self._rdf_literal().lex
+        self.eat_op(")")
+        return A.ECall("__agg", (AggMarker(A.AggExpr(name, expr, distinct, sep)),))
+
+
+class AggMarker:
+    """Wrapper so an AggExpr can ride inside an ECall arg tuple."""
+
+    def __init__(self, agg: A.AggExpr):
+        self.agg = agg
+
+
+# ---------------------------------------------------------------------------
+# SELECT assembly (ToAlgebra §18.2.4): grouping, having, order, projection
+# ---------------------------------------------------------------------------
+
+
+def _hoist_aggregates(e, aggs: List[Tuple[A.Var, A.AggExpr]], counter):
+    """Replace __agg markers with fresh variables, collecting (var, agg)."""
+    if isinstance(e, A.ECall) and e.name == "__agg":
+        marker = e.args[0]
+        v = A.Var(f"__agg{next(counter)}")
+        aggs.append((v, marker.agg))
+        return A.EVar(v.name)
+    if isinstance(e, A.EOp):
+        return A.EOp(e.op, tuple(_hoist_aggregates(a, aggs, counter) for a in e.args))
+    if isinstance(e, A.ECall):
+        return A.ECall(e.name, tuple(_hoist_aggregates(a, aggs, counter) for a in e.args))
+    if isinstance(e, A.EIn):
+        return A.EIn(_hoist_aggregates(e.expr, aggs, counter),
+                     tuple(_hoist_aggregates(o, aggs, counter) for o in e.options),
+                     e.negated)
+    return e
+
+
+def _has_aggregate(e) -> bool:
+    if isinstance(e, A.ECall):
+        if e.name == "__agg":
+            return True
+        return any(_has_aggregate(a) for a in e.args if isinstance(
+            a, (A.EOp, A.ECall, A.EIn, A.ETerm, A.EVar)))
+    if isinstance(e, A.EOp):
+        return any(_has_aggregate(a) for a in e.args)
+    if isinstance(e, A.EIn):
+        return _has_aggregate(e.expr) or any(_has_aggregate(o) for o in e.options)
+    return False
+
+
+def _assemble_select(pattern, proj, star, distinct, reduced, group_by,
+                     having, order, offset, limit, counter):
+    needs_group = bool(group_by) or any(
+        e is not None and _has_aggregate(e) for _, e in proj) or any(
+        _has_aggregate(h) for h in having) or any(
+        _has_aggregate(o.expr) for o in order)
+
+    if needs_group:
+        # GROUP BY (expr AS ?v) → Extend before grouping
+        by_vars: List[A.Var] = []
+        for v, e in group_by:
+            if e is not None:
+                pattern = A.Extend(pattern, v, e)
+            by_vars.append(v)
+        aggs: List[Tuple[A.Var, A.AggExpr]] = []
+        new_proj = []
+        for v, e in proj:
+            if e is None:
+                new_proj.append((v, None))
+            else:
+                new_proj.append((v, _hoist_aggregates(e, aggs, counter)))
+        new_having = [_hoist_aggregates(h, aggs, counter) for h in having]
+        new_order = [A.OrderCond(_hoist_aggregates(o.expr, aggs, counter), o.asc)
+                     for o in order]
+        pattern = A.Group(pattern, tuple(by_vars), tuple(aggs))
+        for h in new_having:
+            pattern = A.Filter(h, pattern)
+        proj, having, order = new_proj, [], new_order
+
+    # SELECT (expr AS ?v) → Extend
+    out_vars: List[A.Var] = []
+    for v, e in proj:
+        if e is not None:
+            pattern = A.Extend(pattern, v, e)
+        out_vars.append(v)
+
+    for h in having:
+        pattern = A.Filter(h, pattern)
+    if order:
+        pattern = A.OrderBy(pattern, tuple(order))
+
+    if star:
+        vars_ = sorted(n for n in A.pattern_vars(pattern)
+                       if not n.startswith("__"))
+        out_vars = [A.Var(n) for n in vars_]
+    pattern = A.Project(pattern, tuple(out_vars))
+    if distinct:
+        pattern = A.Distinct(pattern)
+    elif reduced:
+        pattern = A.Reduced(pattern)
+    if offset or limit is not None:
+        pattern = A.Slice(pattern, offset, limit)
+    return pattern
+
+
+def _join_values(q: A.Query, values: A.Values) -> A.Query:
+    import dataclasses
+    if isinstance(q, A.SelectQuery):
+        return A.SelectQuery(A.Join(q.pattern, values))
+    if isinstance(q, A.AskQuery):
+        return A.AskQuery(A.Join(q.pattern, values))
+    if isinstance(q, A.ConstructQuery):
+        return A.ConstructQuery(q.template, A.Join(q.pattern, values))
+    return q
+
+
+def parse_query(text: str) -> A.Query:
+    return Parser(text).parse_query()

@@ -1,0 +1,66 @@
+"""Engine facade — the analog of the reference's ``Store`` API
+(``lib/oxigraph/src/store.rs`` · ``Store::query`` / ``quads_for_pattern``)
+and of pyoxigraph's ``Store.query`` (``python/src/store.rs`` ·
+``PyStore::query``): SPARQL text in, DataFrame out.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from .algebra import ast as A
+from .algebra.parser import parse_query
+from .model import terms as T
+from .plans.compiler import Compiler
+
+
+class Store:
+    def __init__(self, spark: SparkSession, source, *, optimize: bool = True):
+        self.spark = spark
+        self.source = source
+        self.optimize = optimize
+
+    @classmethod
+    def from_tables(cls, spark: SparkSession, sf_dir: str, tables=None,
+                    **kw) -> "Store":
+        from .sources.direct_mapping import DirectMappingSource
+        return cls(spark, DirectMappingSource(spark, sf_dir, tables=tables), **kw)
+
+    @classmethod
+    def from_parquet(cls, spark: SparkSession, path: str, **kw) -> "Store":
+        from .sources.quad_store import ParquetQuadStore
+        return cls(spark, ParquetQuadStore(spark, path), **kw)
+
+    def query(self, sparql: str) -> DataFrame:
+        """Run a SPARQL query; returns a DataFrame of TERM structs
+        (SELECT: one column per projected variable; ASK: single boolean;
+        CONSTRUCT/DESCRIBE: columns s, p, o)."""
+        ast = parse_query(sparql)
+        compiler = Compiler(self.spark, self.source, optimize=self.optimize)
+        return compiler.compile_query(ast)
+
+    def ask(self, sparql: str) -> bool:
+        return self.query(sparql).count() > 0
+
+
+# -- result extraction (for interop / oracle comparison) --------------------
+
+_EXTRACTORS = {
+    "str": lambda c: c["lex"],
+    "long": lambda c: c["num"].cast("long"),
+    "double": lambda c: F.coalesce(c["dbl"], c["num"].cast("double")),
+    "decimal": lambda c: c["num"],
+    "ts": lambda c: c["ts"],
+    "bool": lambda c: c["bool"],
+}
+
+
+def to_native(df: DataFrame, spec: Dict[str, str]) -> DataFrame:
+    """Project TERM columns to native Spark types, e.g.
+    ``to_native(df, {"name": "str", "total": "double"})``."""
+    cols = []
+    for name, kind in spec.items():
+        cols.append(_EXTRACTORS[kind](df[name]).alias(name))
+    return df.select(*cols)
