@@ -69,6 +69,22 @@ def ebv(t: Column) -> Column:
     )
 
 
+def ebv_typed(t: Column, st: "int | None") -> Column:
+    """EBV when the operand's value class is statically known (type
+    inference, SURVEY.md §4.2.3 — port of sparopt type_inference): the
+    dynamic dispatch collapses to a field access.  A NULL term propagates
+    through the field access as NULL (= error) in every branch."""
+    if st == VC_BOOLEAN:
+        return t["bool"]
+    if st == VC_NUMERIC:
+        d = as_double(t)
+        return F.when(t.isNull(), F.lit(None).cast("boolean")) \
+                .otherwise(F.coalesce((d != 0.0) & ~F.isnan(d), F.lit(False)))
+    if st in (VC_STRING, VC_LANGSTRING):
+        return F.length(t["lex"]) > 0
+    return ebv(t)
+
+
 # ---------------------------------------------------------------------------
 # Comparisons (spec §17.4.1 operator mapping + RDF term equality fallback)
 # ---------------------------------------------------------------------------
@@ -120,6 +136,105 @@ def _ordered(a: Column, b: Column, op: str) -> Column:
     )
 
 
+_NULL_B = None
+
+
+def _nb() -> Column:
+    return F.lit(None).cast("boolean")
+
+
+def eq_typed(a: Column, b: Column, sta, stb) -> Column:
+    """Equality with static value-class knowledge on one or both sides.
+    Collapses the 10-branch dynamic dispatch to a handful of nodes."""
+    if sta is None and stb is not None:
+        return eq_typed(b, a, stb, sta)  # symmetric
+    if sta is not None and stb is not None:
+        if sta != stb and VC_NONLIT not in (sta, stb):
+            # distinct literal value spaces: equal only never; error unless
+            # same term (impossible across classes) → error
+            return _nb()
+        if sta == stb == VC_NUMERIC:
+            return _num_eq(a, b)
+        if sta == stb == VC_BOOLEAN:
+            return a["bool"] == b["bool"]
+        if sta == stb == VC_DATETIME:
+            return a["ts"] == b["ts"]
+        if sta == stb == VC_STRING:
+            return a["lex"] == b["lex"]
+        if sta == stb == VC_LANGSTRING:
+            return F.when(a["lang"].eqNullSafe(b["lang"]), a["lex"] == b["lex"]) \
+                    .otherwise(_nb())
+        return eq(a, b)
+    # one side statically known (b), other dynamic (a)
+    if stb == VC_NUMERIC:
+        return (F.when(T.is_numeric(a), _num_eq(a, b))
+                 .when(a.isNull() | b.isNull(), _nb())
+                 .when(a["kind"] != T.KIND_LITERAL, F.lit(False))
+                 .otherwise(_nb()))
+    if stb == VC_STRING:
+        plain = (a["kind"] == T.KIND_LITERAL) & a["lang"].isNull() \
+            & a["datatype"].eqNullSafe(T.XSD_STRING)
+        return (F.when(a.isNull() | b.isNull(), _nb())
+                 .when(plain, a["lex"] == b["lex"])
+                 .when(a["kind"] != T.KIND_LITERAL, F.lit(False))
+                 .otherwise(_nb()))
+    if stb == VC_BOOLEAN:
+        return (F.when(a.isNull() | b.isNull(), _nb())
+                 .when(a["bool"].isNotNull(), a["bool"] == b["bool"])
+                 .when(a["kind"] != T.KIND_LITERAL, F.lit(False))
+                 .otherwise(_nb()))
+    if stb == VC_DATETIME:
+        return (F.when(a.isNull() | b.isNull(), _nb())
+                 .when(a["ts"].isNotNull(), a["ts"] == b["ts"])
+                 .when(a["kind"] != T.KIND_LITERAL, F.lit(False))
+                 .otherwise(_nb()))
+    if stb == VC_NONLIT:  # IRI / bnode constant → term identity
+        return T.same_term(a, b)
+    return eq(a, b)
+
+
+def cmp_typed(a: Column, b: Column, op: str, sta, stb) -> Column:
+    """Ordered comparison with static class knowledge; class mismatch or
+    non-literal operand is always an error (NULL)."""
+    def c(x: Column, y: Column) -> Column:
+        return {"<": x < y, "<=": x <= y, ">": x > y, ">=": x >= y}[op]
+
+    known = sta if sta is not None else stb
+    if sta is not None and stb is not None and sta != stb:
+        return _nb()
+    if known == VC_NUMERIC:
+        num_cmp = F.when(_num_exact(a, b), c(a["num"], b["num"])) \
+                   .otherwise(c(as_double(a), as_double(b)))
+        if sta is not None and stb is not None:
+            return num_cmp
+        other = a if sta is None else b
+        return F.when(T.is_numeric(other), num_cmp).otherwise(_nb())
+    if known == VC_STRING:
+        cond = c(a["lex"], b["lex"])
+        if sta is not None and stb is not None:
+            return cond
+        other = a if sta is None else b
+        plain = (other["kind"] == T.KIND_LITERAL) & other["lang"].isNull() \
+            & other["datatype"].eqNullSafe(T.XSD_STRING)
+        return F.when(plain, cond).otherwise(_nb())
+    if known == VC_DATETIME:
+        cond = c(a["ts"], b["ts"])
+        if sta is not None and stb is not None:
+            return cond
+        other = a if sta is None else b
+        return F.when(other["ts"].isNotNull()
+                      & other["datatype"].isin(T.XSD_DATETIME, T.XSD_DATE,
+                                               T.XSD_TIME),
+                      cond).otherwise(_nb())
+    if known == VC_BOOLEAN:
+        cond = c(a["bool"].cast("int"), b["bool"].cast("int"))
+        if sta is not None and stb is not None:
+            return cond
+        other = a if sta is None else b
+        return F.when(other["bool"].isNotNull(), cond).otherwise(_nb())
+    return _ordered(a, b, op)
+
+
 def lt(a: Column, b: Column) -> Column:
     return _ordered(a, b, "<")
 
@@ -145,6 +260,49 @@ def _decimal_lex(c: Column) -> Column:
     s = c.cast("string")
     s = F.regexp_replace(s, r"(\.\d*?)0+$", r"$1")
     return F.regexp_replace(s, r"\.$", "")
+
+
+def arith_typed(op: str, a: Column, b: Column, nta, ntb) -> Column:
+    """Arithmetic with static numeric-subtype hints ('integer', 'decimal',
+    'double', or None).  The slim paths avoid building both promotion
+    branches — the full kernel's struct-when duplication otherwise blows
+    codegen past 64 KB for chained arithmetic."""
+    if nta == "double" or ntb == "double":
+        da, db_ = as_double(a), as_double(b)
+        if op == "+":
+            d = da + db_
+        elif op == "-":
+            d = da - db_
+        elif op == "*":
+            d = da * db_
+        else:
+            inf, nan = F.lit(float("inf")), F.lit(float("nan"))
+            d = (F.when(db_ != 0.0, da / db_)
+                 .when(F.isnan(da) | F.isnan(db_), nan)
+                 .when(da > 0, inf).when(da < 0, -inf).otherwise(nan))
+        out = T.term_struct(T.KIND_LITERAL, d.cast("string"),
+                            datatype=F.lit(T.XSD_DOUBLE), dbl=d)
+        return F.when(d.isNotNull(), out).otherwise(F.lit(None).cast(T.TERM_SCHEMA))
+    exact = ("integer", "decimal")
+    if nta in exact and ntb in exact:
+        na, nb = a["num"], b["num"]
+        if op == "+":
+            n = na + nb
+        elif op == "-":
+            n = na - nb
+        elif op == "*":
+            n = na * nb
+        else:
+            n = na / nb  # /0 → NULL = error ✓
+        n = n.cast(T.DECIMAL_T)
+        if nta == ntb == "integer" and op != "/":
+            out = T.term_struct(T.KIND_LITERAL, n.cast("long").cast("string"),
+                                datatype=F.lit(T.XSD_INTEGER), num=n)
+        else:
+            out = T.term_struct(T.KIND_LITERAL, _decimal_lex(n),
+                                datatype=F.lit(T.XSD_DECIMAL), num=n)
+        return F.when(n.isNotNull(), out).otherwise(F.lit(None).cast(T.TERM_SCHEMA))
+    return arith(op, a, b)
 
 
 def arith(op: str, a: Column, b: Column) -> Column:

@@ -166,10 +166,12 @@ def _closure(compiler, edges: DataFrame, start: Optional[DataFrame]) -> DataFram
         stepped = f.join(e, _key(F.col("f.dst")) == _key(F.col("e.src"))) \
                    .select(F.col("f.src").alias("src"),
                            F.col("e.dst").alias("dst")).distinct()
-        pk_s, pk_d = _pair_key(paths)
+        seen = paths.select(F.col("src").alias("psrc"),
+                            F.col("dst").alias("pdst"))
         new = stepped.join(
-            paths,
-            (_key(stepped["src"]) == pk_s) & (_key(stepped["dst"]) == pk_d),
+            seen,
+            (_key(stepped["src"]) == _key(seen["psrc"]))
+            & (_key(stepped["dst"]) == _key(seen["pdst"])),
             "leftanti").localCheckpoint()
         if new.isEmpty():
             break

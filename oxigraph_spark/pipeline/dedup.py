@@ -1,0 +1,196 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not in the reference (oxigraph has no document processing); required by the
+project north star (BASELINE.json) as first-class operators.  All are pure
+DataFrame ops designed for the 100 TB shape:
+
+- exact dedup: one shuffle on a 64-bit content hash;
+- MinHash+LSH: shingle→minhash→band→bucket-join, so candidate generation
+  never compares all pairs — cost is Σ bucket²  instead of n²;
+- SimHash: 64-bit fingerprint + banded hamming candidate join;
+- n-gram Jaccard: exact set similarity via shingle co-occurrence counts
+  (explode + groupBy joins, no cross product).
+
+Determinism: every hash is seeded xxhash64 — stable across runs/cluster
+sizes, so results are oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def normalize_text(c: Column) -> Column:
+    """Lowercase, collapse whitespace, strip punctuation — the canonical
+    form used by all dedup operators."""
+    c = F.lower(c)
+    c = F.regexp_replace(c, r"[^\p{L}\p{N}\s]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one representative (min id) per exact normalized text.
+    One shuffle on the content hash; the text itself never shuffles."""
+    h = F.xxhash64(normalize_text(F.col(text_col)))
+    return (df.withColumn("__h", h)
+              .groupBy("__h")
+              .agg(F.min(F.col(id_col)).alias(id_col),
+                   F.count(F.lit(1)).alias("dup_count"))
+              .drop("__h"))
+
+
+def shingles(c: Column, n: int = 3) -> Column:
+    """Word n-gram shingle array of the normalized text."""
+    words = F.split(normalize_text(c), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    return F.when(
+        F.size(words) >= n,
+        F.array_distinct(F.transform(
+            idx, lambda i: F.array_join(F.slice(words, i + 1, n), " ")))
+    ).otherwise(F.array(F.array_join(words, " ")))
+
+
+def minhash_signature(shingle_col: Column, num_perm: int = 32) -> Column:
+    """MinHash signature: per permutation seed, min of seeded xxhash64 over
+    the shingle set.  Pure expressions — computed map-side, no UDF."""
+    return F.array(*[
+        F.array_min(F.transform(shingle_col,
+                                lambda s: F.xxhash64(s, F.lit(i))))
+        for i in range(num_perm)])
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
+                      num_perm: int = 32, bands: int = 8,
+                      threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash LSH, verified by
+    signature-agreement similarity.
+
+    Returns (id_a, id_b, sim) with id_a < id_b and sim >= threshold.
+    Scale: docs hash into (band, band_hash) buckets; only same-bucket pairs
+    join — the classic LSH trade: recall controlled by (bands, rows/band).
+    """
+    rows = num_perm // bands
+    sig = (df.select(F.col(id_col).alias("id"),
+                     minhash_signature(shingles(F.col(text_col)), num_perm)
+                     .alias("sig")))
+    banded = sig.select(
+        "id", "sig",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.xxhash64(F.concat_ws(
+                         ",", *[F.element_at("sig", b * rows + r + 1).cast("string")
+                                for r in range(rows)])).alias("bh"))
+            for b in range(bands)])).alias("bucket"))
+    banded = banded.select("id", "sig", "bucket.band", "bucket.bh")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bh") == F.col("b.bh"))
+                   & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                     F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+             .distinct())
+    agree = F.size(F.filter(
+        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+        lambda v: v))
+    sim = agree.cast("double") / F.lit(float(num_perm))
+    return (cand.withColumn("sim", sim)
+                .where(F.col("sim") >= threshold)
+                .select("id_a", "id_b", "sim"))
+
+
+def simhash(text: Column, bits: int = 64) -> Column:
+    """64-bit SimHash: sign of per-bit weighted sums over token hashes."""
+    words = F.split(normalize_text(text), " ")
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    acc = F.lit(0).cast("long")
+    out = acc
+    for i in range(bits):
+        bit_sum = F.aggregate(
+            hashes, F.lit(0),
+            lambda a, h: a + F.when(h.bitwiseAND(F.lit(1 << i) if i < 63
+                                                 else F.lit(-(2 ** 63))) != 0,
+                                    F.lit(1)).otherwise(F.lit(-1)))
+        out = out + F.when(bit_sum > 0, F.lit(1 << i) if i < 63
+                           else F.lit(-(2 ** 63))).otherwise(F.lit(0))
+    return out
+
+
+def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
+                  max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash banding: fingerprints split into 4
+    16-bit chunks; pairs agreeing on ≥1 chunk are candidates (guaranteed
+    to include all pairs with hamming ≤ 3 chunks' worth of differences)."""
+    fp = df.select(F.col(id_col).alias("id"),
+                   simhash(F.col(text_col)).alias("fp"))
+    chunks = fp.select("id", "fp", F.explode(F.array(*[
+        F.struct(F.lit(i).alias("chunk"),
+                 F.shiftrightunsigned("fp", i * 16).bitwiseAND(F.lit(0xFFFF))
+                 .alias("ch"))
+        for i in range(4)])).alias("c")).select("id", "fp", "c.chunk", "c.ch")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+                   & (F.col("a.ch") == F.col("b.ch"))
+                   & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                     F.col("a.fp").alias("fp_a"), F.col("b.fp").alias("fp_b"))
+             .distinct())
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (cand.withColumn("hamming", ham)
+                .where(F.col("hamming") <= max_hamming)
+                .select("id_a", "id_b", "hamming"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                        n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (id_a < id_b, sim >= threshold).
+
+    No cross product: explode shingles, count co-occurrences per pair via a
+    groupBy on the shingle (inverted index), then jaccard from set sizes.
+    """
+    sh = (df.select(F.col(id_col).alias("id"),
+                    F.explode(shingles(F.col(text_col), n)).alias("sh")))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
+                    & (F.col("a.id") < F.col("b.id")))
+              .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+              .agg(F.count(F.lit(1)).alias("inter")))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (inter.join(sa, "id_a").join(sb, "id_b")
+           .withColumn("sim", F.col("inter").cast("double")
+                       / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+           .where(F.col("sim") >= threshold)
+           .select("id_a", "id_b", "sim"))
+    return out
+
+
+def embedding_cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
+                           threshold: float = 0.95,
+                           planes: int = 12) -> DataFrame:
+    """Embedding near-duplicate pairs: random-hyperplane LSH buckets, then
+    exact cosine inside buckets.  Hyperplanes are derived from seeded
+    hashes of the dimension index — deterministic, no fitted model."""
+    from .simsearch import cosine, norm
+    dim = None  # derived lazily from data via transform index
+    sgn = [
+        F.when(F.aggregate(
+            F.zip_with(F.col(vec_col),
+                       F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
+                       lambda v, i: v * ((F.xxhash64(i.cast("string"), F.lit(p))
+                                          % 1000).cast("double") / 500.0 - 1.0)),
+            F.lit(0.0), lambda a, x: a + x) > 0, F.lit(1)).otherwise(F.lit(0))
+        for p in range(planes)]
+    bucket = F.concat_ws("", *[s.cast("string") for s in sgn])
+    emb = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                    bucket.alias("bkt"))
+    a, b = emb.alias("a"), emb.alias("b")
+    cand = a.join(b, (F.col("a.bkt") == F.col("b.bkt"))
+                  & (F.col("a.id") < F.col("b.id")))
+    sim = cosine(F.col("a.v"), F.col("b.v"))
+    return (cand.select(F.col("a.id").alias("id_a"),
+                        F.col("b.id").alias("id_b"), sim.alias("sim"))
+                .where(F.col("sim") >= threshold))

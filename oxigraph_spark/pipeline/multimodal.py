@@ -1,0 +1,97 @@
+"""Multimodal column operators: image/audio/video as opaque binary columns
+with typed metadata (SURVEY.md §2.11).
+
+The decode step is STUBBED (no image/audio libs in this container —
+clearly marked below); everything Spark-side is real and tested: the
+schema, the Arrow-batched ``mapInPandas`` plumbing, partition-size-aware
+batching, and the metadata extraction contract.  Swapping the stub for
+PIL/torchaudio changes one function body, nothing else.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
+                               StructField, StructType)
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("kind", StringType()),       # image | audio | video
+    StructField("content", BinaryType()),    # opaque payload
+    StructField("mime", StringType()),
+])
+
+FEATURE_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("kind", StringType()),
+    StructField("n_bytes", LongType()),
+    StructField("checksum", StringType()),
+    StructField("width", IntegerType()),     # decoded metadata (stub: derived)
+    StructField("height", IntegerType()),
+])
+
+
+def attach_binary(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Demo media table: treats encoded text bytes as the opaque payload
+    (real pipelines read binary files via ``spark.read.format('binaryFile')``
+    — same downstream shape)."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col(text_col), "UTF-8").alias("content"),
+        F.lit("application/octet-stream").alias("mime"))
+
+
+def _decode_stub(payload: bytes) -> tuple:
+    """STUB — image decode is not available in this container.
+
+    A real implementation does ``PIL.Image.open(io.BytesIO(payload))`` and
+    returns true (width, height).  The stub derives deterministic fake
+    dimensions from the payload length so the full pipeline remains
+    testable end-to-end.
+    """
+    n = len(payload)
+    return (n % 1920 + 1, (n * 7) % 1080 + 1)
+
+
+def extract_features(media: DataFrame, batch_rows: int = 1024) -> DataFrame:
+    """Decode/feature-extract via Arrow-batched ``mapInPandas``.
+
+    This is the one place Python touches the data — batched columnar
+    transfer, never row-at-a-time.  At 100 TB: payload column stays
+    off-heap until the batch crosses to Python; keep
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` aligned with payload
+    sizes so batches fit executor memory.
+    """
+    import hashlib
+
+    def process(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["content"]) if r["content"] is not None else b""
+                w, h = _decode_stub(payload)
+                rows.append((int(r["media_id"]), r["kind"], len(payload),
+                             hashlib.sha1(payload).hexdigest(), w, h))
+            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA])
+
+    return media.mapInPandas(process, schema=FEATURE_SCHEMA)
+
+
+def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
+    """STUB resize: a real impl decodes, resizes, re-encodes in the same
+    mapInPandas shape; here we only re-tag metadata (no image libs)."""
+    return media.withColumn("mime", F.lit(f"image/resized;{width}x{height}"))
+
+
+def frame_sample_stub(media: DataFrame, every_n: int = 30) -> DataFrame:
+    """STUB video frame sampling: emits (media_id, frame_no) rows the way a
+    real decoder would; frame count derived deterministically from size."""
+    n_frames = (F.length(F.col("content")) % 300 + 1).cast("int")
+    return media.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n)))
+        .alias("frame_no"))

@@ -1,0 +1,100 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline (one broadcast of the query
+vector, one pass, TakeOrdered — no shuffle of the corpus).  The scale path
+is LSH-bucketed ANN: sign-of-projection buckets bound each probe to a
+bucket instead of the full corpus; multi-probe widens recall.
+
+All vector math is JVM-side (`F.zip_with`/`F.aggregate`) — no UDFs.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(df: DataFrame, vec_col: str, id_col: str,
+                     query: Sequence[float], k: int = 10) -> DataFrame:
+    """Exact cosine top-k for one query vector.
+
+    The query rides along as a literal array (broadcast by Catalyst);
+    ORDER BY + LIMIT fuses to TakeOrderedAndProject, so nothing but the
+    top-k per partition ever reaches the driver.
+    """
+    qcol = F.array(*[F.lit(float(x)) for x in query])
+    out = df.select(F.col(id_col).alias("id"),
+                    cosine(F.col(vec_col).cast("array<double>"), qcol)
+                    .alias("sim"))
+    return out.orderBy(F.col("sim").desc(), F.col("id")).limit(k)
+
+
+def _bucket(vec: Column, planes: int) -> Column:
+    """Deterministic sign-of-projection LSH bucket id (no fitted model:
+    hyperplane weights derive from seeded hashes of the dimension index)."""
+    sgn = [
+        F.when(F.aggregate(
+            F.zip_with(vec, F.sequence(F.lit(0), F.size(vec) - 1),
+                       lambda v, i: v * ((F.xxhash64(i.cast("string"), F.lit(p))
+                                          % 1000).cast("double") / 500.0 - 1.0)),
+            F.lit(0.0), lambda a, x: a + x) > 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in range(planes)]
+    return F.concat(*sgn)
+
+
+def lsh_index(df: DataFrame, vec_col: str, id_col: str,
+              planes: int = 8) -> DataFrame:
+    """Materializable ANN index: (bucket, id, vec).  At 100 TB this is the
+    table you write partitioned by bucket — a probe prunes to one
+    partition (plus multi-probe neighbors)."""
+    v = F.col(vec_col).cast("array<double>")
+    return df.select(_bucket(v, planes).alias("bucket"),
+                     F.col(id_col).alias("id"), v.alias("vec"))
+
+
+def lsh_topk(index: DataFrame, query: Sequence[float], k: int = 10,
+             planes: int = 8, multiprobe: int = 1) -> DataFrame:
+    """ANN top-k: search the query's bucket plus all buckets within
+    ``multiprobe`` bit flips (recall/latency knob)."""
+    import itertools
+    qcol = F.array(*[F.lit(float(x)) for x in query])
+    # compute query bucket driver-side deterministically (same formula)
+    import math
+    qb = []
+    for p in range(planes):
+        s = 0.0
+        for i, x in enumerate(query):
+            # xxhash64 seed-matched on executor; driver-side replica uses
+            # the engine itself for exactness:
+            pass
+        qb.append(None)
+    # exact replication of xxhash64 driver-side is not practical — derive
+    # the bucket with a 1-row Spark job instead (cheap, still one probe).
+    spark = index.sparkSession
+    qrow = spark.range(1).select(_bucket(qcol, planes).alias("b")).first()
+    qbucket = qrow["b"]
+    buckets = {qbucket}
+    if multiprobe > 0:
+        for flips in itertools.combinations(range(planes), multiprobe):
+            b = list(qbucket)
+            for f in flips:
+                b[f] = "1" if b[f] == "0" else "0"
+            buckets.add("".join(b))
+    cand = index.where(F.col("bucket").isin(*sorted(buckets)))
+    out = cand.select("id", cosine(F.col("vec"), qcol).alias("sim"))
+    return out.orderBy(F.col("sim").desc(), F.col("id")).limit(k)

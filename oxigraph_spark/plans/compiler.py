@@ -45,8 +45,179 @@ class Compiled:
     certain: frozenset  # subset of vars that can never be NULL
 
 
+# -- static value-class inference (SURVEY.md §4.2.3, port of the idea in
+# lib/sparopt/src/type_inference.rs): most expressions have a statically
+# known value class, which lets kernels collapse their dynamic dispatch —
+# essential to keep Catalyst expression trees small.
+
+_BOOL_FNS = {"REGEX", "LANGMATCHES", "CONTAINS", "STRSTARTS", "STRENDS",
+             "SAMETERM", "ISIRI", "ISURI", "ISBLANK", "ISLITERAL",
+             "ISNUMERIC", "BOUND"}
+_PLAIN_STR_FNS = {"STR", "LANG", "ENCODE_FOR_URI", "MD5", "SHA1", "SHA256",
+                  "SHA384", "SHA512", "STRUUID", "TZ"}
+_NUM_FNS = {"STRLEN", "ABS", "CEIL", "FLOOR", "ROUND", "YEAR", "MONTH",
+            "DAY", "HOURS", "MINUTES", "SECONDS", "RAND"}
+_DT_FNS = {"NOW"}
+
+_INT_NFNS = {"STRLEN", "YEAR", "MONTH", "DAY", "HOURS", "MINUTES"}
+_PRESERVE_NFNS = {"ABS", "CEIL", "FLOOR", "ROUND"}
+
+
+def ntype_of(e) -> Optional[str]:
+    """Static numeric subtype ('integer' | 'decimal' | 'double' | None).
+    Only meaningful when stype_of(e) == VC_NUMERIC."""
+    if isinstance(e, A.ETerm) and isinstance(e.term, A.Literal):
+        dt = e.term.datatype or ""
+        if dt in T.INTEGER_DATATYPES:
+            return "integer"
+        if dt == T.XSD_DECIMAL:
+            return "decimal"
+        if dt in (T.XSD_FLOAT, T.XSD_DOUBLE):
+            return "double"
+        return None
+    if isinstance(e, A.EOp) and e.op in ("+", "-", "*", "/", "u-", "u+"):
+        if e.op in ("u-", "u+"):
+            return ntype_of(e.args[0])
+        na, nb = ntype_of(e.args[0]), ntype_of(e.args[1])
+        if na == "double" or nb == "double":
+            return "double"
+        if na in ("integer", "decimal") and nb in ("integer", "decimal"):
+            if e.op == "/" or "decimal" in (na, nb):
+                return "decimal"
+            return "integer"
+        return None
+    if isinstance(e, A.ECall):
+        n = e.name.upper() if not e.name.startswith("http") else e.name
+        if n in _INT_NFNS:
+            return "integer"
+        if n == "SECONDS":
+            return "decimal"
+        if n == "RAND":
+            return "double"
+        if n in _PRESERVE_NFNS and e.args:
+            return ntype_of(e.args[0])
+        if n == T.XSD_INTEGER:
+            return "integer"
+        if n == T.XSD_DECIMAL:
+            return "decimal"
+        if n in (T.XSD_DOUBLE, T.XSD_FLOAT):
+            return "double"
+    return None
+
+
+def stype_of(e) -> Optional[int]:
+    """Static value class of an expression result (None = unknown).
+    The contract: when the expression evaluates without error, its term is
+    of this class; on error the term is NULL (all payload fields NULL)."""
+    if isinstance(e, A.ETerm):
+        t = e.term
+        if isinstance(t, (A.NamedNode, A.BlankNode)):
+            return K.VC_NONLIT
+        if t.lang:
+            return K.VC_LANGSTRING
+        dt = t.datatype or T.XSD_STRING
+        if dt in T.NUMERIC_DATATYPES:
+            return K.VC_NUMERIC
+        if dt == T.XSD_BOOLEAN:
+            return K.VC_BOOLEAN
+        if dt in (T.XSD_DATETIME, T.XSD_DATE, T.XSD_TIME):
+            return K.VC_DATETIME
+        if dt == T.XSD_STRING:
+            return K.VC_STRING
+        return K.VC_OTHER
+    if isinstance(e, A.EOp):
+        if e.op in ("&&", "||", "!", "=", "!=", "<", "<=", ">", ">="):
+            return K.VC_BOOLEAN
+        if e.op in ("+", "-", "*", "/", "u-", "u+"):
+            return K.VC_NUMERIC
+        return None
+    if isinstance(e, (A.EIn, A.EExists)):
+        return K.VC_BOOLEAN
+    if isinstance(e, A.ECall):
+        n = e.name.upper() if not e.name.startswith("http") else e.name
+        if n in _BOOL_FNS:
+            return K.VC_BOOLEAN
+        if n in _PLAIN_STR_FNS:
+            return K.VC_STRING
+        if n in _NUM_FNS:
+            return K.VC_NUMERIC
+        if n in _DT_FNS:
+            return K.VC_DATETIME
+        if n.startswith(T.XSD):
+            if n in T.NUMERIC_DATATYPES:
+                return K.VC_NUMERIC
+            if n == T.XSD_BOOLEAN:
+                return K.VC_BOOLEAN
+            if n == T.XSD_STRING:
+                return K.VC_STRING
+            if n in (T.XSD_DATETIME, T.XSD_DATE):
+                return K.VC_DATETIME
+        if n == "IF":
+            a, b = stype_of(e.args[1]), stype_of(e.args[2])
+            return a if a == b else None
+        if n == "COALESCE":
+            sts = {stype_of(a) for a in e.args}
+            return sts.pop() if len(sts) == 1 else None
+        return None
+    return None  # EVar: unknown (per-variable inference is future work)
+
+
 def _true() -> Column:
     return F.lit(True)
+
+
+def _opaque(c: Column) -> Column:
+    """Wrap an expression so Catalyst may not inline it through Projects.
+
+    ``when(rand() >= 0, c)`` is semantically ``c`` (rand ∈ [0,1)), but the
+    nondeterministic guard stops every alias-substitution path —
+    PushPredicateThroughNonJoin.replaceAlias, PhysicalOperation /
+    ScanOperation collectProjectsAndFilters, CollapseProject — all of which
+    require deterministic aliases.  Substitution through chained SSA temp
+    columns is exponential in expression depth and hangs planning;
+    references to the wrapped column remain plain (deterministic)
+    attributes, so joins/sorts/aggregates over it are unaffected.
+    (``rand() >= 0`` gets constant-folded away by Spark 4;
+    ``monotonically_increasing_id() >= -1`` survives.)"""
+    return F.when(F.monotonically_increasing_id() >= -1, c)
+
+
+class _Precompiled:
+    """Wraps an already-compiled subpattern so filter machinery can reuse
+    _c_Filter uniformly."""
+
+    def __init__(self, compiled: "Compiled"):
+        self.compiled = compiled
+
+
+def _split_and(e: A.Expression) -> List[A.Expression]:
+    if isinstance(e, A.EOp) and e.op == "&&":
+        return _split_and(e.args[0]) + _split_and(e.args[1])
+    return [e]
+
+
+def _expr_vars(e) -> frozenset:
+    if isinstance(e, A.EVar):
+        return frozenset([e.name])
+    if isinstance(e, A.EOp):
+        out = frozenset()
+        for a in e.args:
+            out |= _expr_vars(a)
+        return out
+    if isinstance(e, A.ECall):
+        out = frozenset()
+        for a in e.args:
+            if isinstance(a, (A.EVar, A.ETerm, A.EOp, A.ECall, A.EIn, A.EExists)):
+                out |= _expr_vars(a)
+        return out
+    if isinstance(e, A.EIn):
+        out = _expr_vars(e.expr)
+        for o in e.options:
+            out |= _expr_vars(o)
+        return out
+    if isinstance(e, A.EExists):
+        return frozenset(A.pattern_vars(e.pattern))
+    return frozenset()
 
 
 class Compiler:
@@ -80,6 +251,8 @@ class Compiler:
     # ------------------------------------------------------------------
 
     def compile_pattern(self, node, graph_ctx=None) -> Compiled:
+        if isinstance(node, _Precompiled):
+            return node.compiled
         m = getattr(self, f"_c_{type(node).__name__}", None)
         if m is None:
             raise NotImplementedError(f"pattern node {type(node).__name__}")
@@ -138,16 +311,47 @@ class Compiler:
         from ..operators.paths import compile_path
         return compile_path(self, pp, graph_ctx)
 
-    def _c_BGP(self, bgp: A.BGP, graph_ctx) -> Compiled:
+    def _c_BGP(self, bgp: A.BGP, graph_ctx,
+               pending: Optional[List[A.Expression]] = None) -> Compiled:
+        """Compile a BGP; ``pending`` filter conjuncts (from an enclosing
+        FILTER, pushed here by _c_Filter — the algebra-level analog of the
+        reference's sparopt push-filters pass) are applied as early as
+        their variables are bound: single-pattern conjuncts directly on the
+        pattern scan (⇒ parquet data filters), the rest right after the
+        join that binds them (⇒ filter-before-next-join)."""
+        pending = list(pending or [])
         if not bgp.patterns:
             df = self.spark.range(1).select(F.lit(1).alias("__unit"))
-            return Compiled(df, frozenset(), frozenset())
+            out = Compiled(df, frozenset(), frozenset())
+            return self._apply_conjuncts(out, pending)
         ordered = self._order_patterns(list(bgp.patterns)) if self.optimize \
             else list(bgp.patterns)
-        acc = self.compile_pattern(ordered[0], graph_ctx)
+
+        def compile_one(tp) -> Compiled:
+            c = self.compile_pattern(tp, graph_ctx)
+            nonlocal pending
+            mine = [e for e in pending
+                    if _expr_vars(e) <= c.vars and not _find_exists(e)]
+            if mine:
+                pending = [e for e in pending if e not in mine]
+                c = self._apply_conjuncts(c, mine)
+            return c
+
+        acc = compile_one(ordered[0])
         for tp in ordered[1:]:
-            acc = self._join(acc, self.compile_pattern(tp, graph_ctx), "inner")
-        return acc
+            acc = self._join(acc, compile_one(tp), "inner")
+            ready = [e for e in pending
+                     if _expr_vars(e) <= acc.vars and not _find_exists(e)]
+            if ready:
+                pending = [e for e in pending if e not in ready]
+                acc = self._apply_conjuncts(acc, ready)
+        return self._apply_conjuncts(acc, pending)
+
+    def _apply_conjuncts(self, c: Compiled,
+                         conjuncts: List[A.Expression]) -> Compiled:
+        for e in conjuncts:
+            c = self._c_Filter(A.Filter(e, _Precompiled(c)), None)
+        return c
 
     def _order_patterns(self, pats: List) -> List:
         """Greedy join ordering by bound-term selectivity — a port of the
@@ -280,20 +484,30 @@ class Compiler:
     # -- unary operators -----------------------------------------------
 
     def _c_Filter(self, n: A.Filter, graph_ctx) -> Compiled:
+        if isinstance(n.inner, A.BGP):
+            conjs = _split_and(n.expr)
+            if len(conjs) > 1 or _expr_vars(n.expr) or True:
+                return self._c_BGP(n.inner, graph_ctx, pending=conjs)
         inner = self.compile_pattern(n.inner, graph_ctx)
         inner, env, markers = self._attach_exists(inner, n.expr, graph_ctx)
-        cond = K.ebv(self.compile_expr(n.expr, env))
-        df = inner.df.where(F.coalesce(cond, F.lit(False)))
-        if markers:
-            df = df.drop(*markers)
+        df, cond, temps = self.compile_expr_ssa(inner.df, n.expr, env)
+        flag = F.coalesce(K.ebv_typed(cond, stype_of(n.expr)), F.lit(False))
+        df = df.where(flag)
+        drop = markers + temps
+        if drop:
+            df = df.drop(*drop)
         return Compiled(df, inner.vars, inner.certain)
 
     def _c_Extend(self, n: A.Extend, graph_ctx) -> Compiled:
         inner = self.compile_pattern(n.inner, graph_ctx)
         inner, env, markers = self._attach_exists(inner, n.expr, graph_ctx)
-        df = inner.df.withColumn(n.var.name, self.compile_expr(n.expr, env))
-        if markers:
-            df = df.drop(*markers)
+        df, col, temps = self.compile_expr_ssa(inner.df, n.expr, env)
+        if not isinstance(n.expr, (A.EVar, A.ETerm)):
+            col = _opaque(col)
+        df = df.withColumn(n.var.name, col)
+        drop = markers + temps
+        if drop:
+            df = df.drop(*drop)
         return Compiled(df, inner.vars | {n.var.name}, inner.certain)
 
     def _c_Values(self, n: A.Values, graph_ctx) -> Compiled:
@@ -340,11 +554,18 @@ class Compiler:
     def _c_OrderBy(self, n: A.OrderBy, graph_ctx) -> Compiled:
         inner = self.compile_pattern(n.inner, graph_ctx)
         env = {v: inner.df[v] for v in inner.vars}
+        df = inner.df
         sort_cols = []
+        temps: List[str] = []
         for c in n.conds:
-            k = T.sort_key(self.compile_expr(c.expr, env))
+            df, col, ts = self.compile_expr_ssa(df, c.expr, env)
+            temps.extend(ts)
+            k = T.sort_key(col)
             sort_cols.append(k.asc() if c.asc else k.desc())
-        return replace(inner, df=inner.df.orderBy(*sort_cols))
+        df = df.orderBy(*sort_cols)
+        if temps:
+            df = df.drop(*temps)
+        return replace(inner, df=df)
 
     # -- grouping / aggregation ----------------------------------------
 
@@ -358,8 +579,9 @@ class Compiler:
         agg_inputs: Dict[str, str] = {}
         for var, agg in n.aggregates:
             if agg.expr is not None:
+                df, col, _temps = self.compile_expr_ssa(df, agg.expr, env)
                 cname = self._fresh("aggin")
-                df = df.withColumn(cname, self.compile_expr(agg.expr, env))
+                df = df.withColumn(cname, col)
                 agg_inputs[var.name] = cname
 
         group_cols = [v.name for v in n.by]
@@ -420,6 +642,114 @@ class Compiler:
     # expressions
     # ------------------------------------------------------------------
 
+    # SSA-linearized expression compilation: nested kernels reference their
+    # argument subtrees many times (vclass/ebv expand each operand ~10-20×),
+    # so naive tree composition explodes exponentially with nesting depth —
+    # deep FILTER expressions hang Catalyst analysis.  We materialize every
+    # non-leaf sub-expression as a temp column; duplication becomes additive.
+    # (CollapseProject keeps the linearization: since SPARK-36718 it only
+    # inlines aliases that are cheap or referenced once.)
+
+    def compile_expr_ssa(self, df: DataFrame, e: A.Expression,
+                         env: Dict[str, Column]) -> Tuple[DataFrame, Column, List[str]]:
+        """Returns (df', column, temp_col_names)."""
+        temps: List[str] = []
+
+        def rec(df: DataFrame, e: A.Expression) -> Tuple[DataFrame, Column]:
+            if isinstance(e, (A.EVar, A.ETerm, A.EExists)):
+                return df, self.compile_expr(e, env)
+
+            def arg_col(df: DataFrame, a: A.Expression) -> Tuple[DataFrame, Column]:
+                df, c = rec(df, a)
+                if isinstance(a, (A.EVar, A.ETerm, A.EExists)):
+                    return df, c
+                name = self._fresh("x")
+                temps.append(name)
+                return df.withColumn(name, _opaque(c)), F.col(name)
+
+            if isinstance(e, A.EOp):
+                cols = []
+                for a in e.args:
+                    df, c = arg_col(df, a)
+                    cols.append(c)
+                return df, self._apply_op(e.op, cols, e.args)
+            if isinstance(e, A.ECall):
+                return self._apply_call_ssa(df, e, env, arg_col)
+            if isinstance(e, A.EIn):
+                df, x = arg_col(df, e.expr)
+                opts = []
+                for o in e.options:
+                    df, c = arg_col(df, o)
+                    opts.append(c)
+                return df, self._apply_in(x, opts, e.negated)
+            raise TypeError(type(e))
+
+        df, col = rec(df, e)
+        return df, col, temps
+
+    def _apply_call_ssa(self, df, e: A.ECall, env, arg_col):
+        name = e.name.upper() if not e.name.startswith("http") else e.name
+        if name == "BOUND":
+            return df, self._compile_call(e, env)
+        if name in ("NOW", "RAND", "UUID", "STRUUID") or (
+                name == "BNODE" and not e.args):
+            return df, self._compile_call(e, env)
+        cols = []
+        for a in e.args:
+            df, c = arg_col(df, a)
+            cols.append(c)
+        if name == "IF":
+            c = K.ebv_typed(cols[0], stype_of(e.args[0]))
+            return df, F.when(c, cols[1]).when(~c, cols[2]).otherwise(B.err())
+        if name == "COALESCE":
+            return df, F.coalesce(*cols, B.err())
+        if name.startswith(T.XSD):
+            return df, B.fn_cast(name, cols[0])
+        fn = B.REGISTRY.get(name)
+        if fn is None:
+            raise NotImplementedError(f"function {e.name}")
+        return df, fn(*cols)
+
+    def _apply_op(self, op: str, args: List[Column],
+                  asts: Optional[Tuple] = None) -> Column:
+        sts = [stype_of(a) for a in asts] if asts is not None \
+            else [None] * len(args)
+        if op in ("&&", "||"):
+            a = K.ebv_typed(args[0], sts[0])
+            b = K.ebv_typed(args[1], sts[1])
+            return B.bool_term(a & b if op == "&&" else a | b)
+        if op == "!":
+            return B.bool_term(~K.ebv_typed(args[0], sts[0]))
+        if op in ("=", "!="):
+            c = K.eq_typed(args[0], args[1], sts[0], sts[1])
+            return B.bool_term(~c if op == "!=" else c)
+        if op in ("<", "<=", ">", ">="):
+            return B.bool_term(K.cmp_typed(args[0], args[1], op,
+                                           sts[0], sts[1]))
+        if op in ("+", "-", "*", "/"):
+            if asts is not None:
+                return K.arith_typed(op, args[0], args[1],
+                                     ntype_of(asts[0]), ntype_of(asts[1]))
+            return K.arith(op, args[0], args[1])
+        if op == "u-":
+            return K.neg(args[0])
+        if op == "u+":
+            return F.when(T.is_numeric(args[0]), args[0]).otherwise(B.err())
+        raise NotImplementedError(f"operator {op}")
+
+    def _apply_in(self, x: Column, opts: List[Column], negated: bool) -> Column:
+        eqs = [K.eq(x, o) for o in opts]
+        if not eqs:
+            res: Column = F.lit(False)
+        else:
+            any_true = reduce(lambda a, b: a | b,
+                              [c.eqNullSafe(F.lit(True)) for c in eqs])
+            any_err = reduce(lambda a, b: a | b, [c.isNull() for c in eqs])
+            res = F.when(any_true, F.lit(True)) \
+                   .when(any_err, F.lit(None).cast("boolean")) \
+                   .otherwise(F.lit(False))
+        return B.bool_term(~res if negated else res)
+
     def compile_expr(self, e: A.Expression, env: Dict[str, Column]) -> Column:
         if isinstance(e, A.EVar):
             return env.get(e.name, B.err())
@@ -440,24 +770,8 @@ class Compiler:
         raise TypeError(type(e))
 
     def _compile_op(self, e: A.EOp, env) -> Column:
-        args = [self.compile_expr(a, env) for a in e.args]
-        op = e.op
-        if op in ("&&", "||"):
-            a, b = K.ebv(args[0]), K.ebv(args[1])
-            return B.bool_term(a & b if op == "&&" else a | b)
-        if op == "!":
-            return B.bool_term(~K.ebv(args[0]))
-        if op in ("=", "!=", "<", "<=", ">", ">="):
-            fn = {"=": K.eq, "!=": K.neq, "<": K.lt, "<=": K.le,
-                  ">": K.gt, ">=": K.ge}[op]
-            return B.bool_term(fn(args[0], args[1]))
-        if op in ("+", "-", "*", "/"):
-            return K.arith(op, args[0], args[1])
-        if op == "u-":
-            return K.neg(args[0])
-        if op == "u+":
-            return F.when(T.is_numeric(args[0]), args[0]).otherwise(B.err())
-        raise NotImplementedError(f"operator {op}")
+        return self._apply_op(e.op, [self.compile_expr(a, env) for a in e.args],
+                              e.args)
 
     def _compile_call(self, e: A.ECall, env) -> Column:
         name = e.name.upper() if not e.name.startswith("http") else e.name
@@ -493,18 +807,9 @@ class Compiler:
         return fn(*[self.compile_expr(a, env) for a in e.args])
 
     def _compile_in(self, e: A.EIn, env) -> Column:
-        x = self.compile_expr(e.expr, env)
-        eqs = [K.eq(x, self.compile_expr(o, env)) for o in e.options]
-        if not eqs:
-            res: Column = F.lit(False)
-        else:
-            any_true = reduce(lambda a, b: a | b,
-                              [c.eqNullSafe(F.lit(True)) for c in eqs])
-            any_err = reduce(lambda a, b: a | b, [c.isNull() for c in eqs])
-            res = F.when(any_true, F.lit(True)) \
-                   .when(any_err, F.lit(None).cast("boolean")) \
-                   .otherwise(F.lit(False))
-        return B.bool_term(~res if e.negated else res)
+        return self._apply_in(self.compile_expr(e.expr, env),
+                              [self.compile_expr(o, env) for o in e.options],
+                              e.negated)
 
     # ------------------------------------------------------------------
     # CONSTRUCT / DESCRIBE
@@ -653,6 +958,9 @@ def _agg_exprs(name: str, agg: A.AggExpr, cname: Optional[str]) -> List[Column]:
     if k == "GROUP_CONCAT":
         s = F.when(c["kind"].isin(T.KIND_LITERAL, T.KIND_IRI), c["lex"])
         lst = F.collect_set(s) if agg.distinct else F.collect_list(s)
+        # element order is implementation-defined per spec §18.5.1.7; we
+        # sort for determinism (oracle-checkable, stable across runs)
+        lst = F.array_sort(lst)
         return [F.array_join(lst, agg.separator).alias(f"{name}__s"),
                 F.count(F.when(c.isNotNull() & ~_stringable(c), 1)).alias(f"{name}__err")]
     raise NotImplementedError(f"aggregate {agg.name}")

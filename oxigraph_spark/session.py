@@ -35,3 +35,18 @@ def configure(spark: SparkSession) -> None:
     (the driver owns the session in ``__spark_entry__``)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # Catalyst's PushDownPredicates inlines Project aliases into predicates
+    # (PushPredicateThroughNonJoin.replaceAlias); through the compiler's
+    # SSA temp-column chains that substitution is exponential and hangs the
+    # optimizer.  We exclude the rule and instead push filters at the
+    # ALGEBRA level (like the reference's sparopt push-filters pass), which
+    # places data predicates directly above the parquet scan where
+    # FileSourceStrategy's PhysicalOperation still collects them.
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.PushDownPredicates")
+    # constraint propagation (a) is quadratic on our wide filter
+    # expressions and (b) crashes in UnionBase.rewriteConstraints
+    # ("key not found: src#N") on the path-closure union plans; the
+    # compiler emits all needed predicates explicitly anyway.
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")

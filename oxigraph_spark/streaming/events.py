@@ -1,0 +1,118 @@
+"""Streaming extension over the ``events`` table.
+
+The reference has NO event-time streaming (SURVEY.md §2.10 — its
+"streaming" is incremental parser I/O); this module is an *extension*
+using Structured Streaming idioms.  Every windowed operator is defined as
+a pure DataFrame transform so the SAME code runs in batch mode (DuckDB
+oracle-checkable) and under ``readStream`` (watermarked, incremental):
+
+    batch:  tumbling_counts(load_table(spark, sf, "events"))
+    stream: tumbling_counts(stream_events(spark, sf), streaming=True)
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
+                               StructType, TimestampType)
+
+
+def stream_events(spark: SparkSession, sf_dir: str,
+                  max_files_per_trigger: int = 1) -> DataFrame:
+    """events.parquet replayed as a file-source stream."""
+    import os
+    from ..sources.tables import load_table
+    schema = load_table(spark, sf_dir, "events").schema
+    return (spark.readStream
+            .schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(os.path.join(sf_dir, "events.parquet")))
+
+
+def with_watermark(df: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    return df.withWatermark("ts", delay) if df.isStreaming else df
+
+
+def tumbling_counts(events: DataFrame, width: str = "5 minutes") -> DataFrame:
+    """Tumbling event-time window: count + sum(value) per (window, type)."""
+    ev = with_watermark(events)
+    out = (ev.groupBy(F.window("ts", width).alias("w"), F.col("event_type"))
+             .agg(F.count(F.lit(1)).alias("cnt"),
+                  F.round(F.sum("value"), 6).alias("sum_value")))
+    return out.select(F.col("w.start").alias("win_start"),
+                      "event_type", "cnt", "sum_value")
+
+
+def sliding_counts(events: DataFrame, width: str = "10 minutes",
+                   slide: str = "5 minutes") -> DataFrame:
+    ev = with_watermark(events)
+    out = (ev.groupBy(F.window("ts", width, slide).alias("w"))
+             .agg(F.count(F.lit(1)).alias("cnt")))
+    return out.select(F.col("w.start").alias("win_start"), "cnt")
+
+
+def session_windows(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Per-user session windows (gap-based).  Streaming uses the native
+    ``session_window``; batch mode computes identical sessions with a
+    gaps-and-islands window (lag + cumulative sum) so DuckDB can oracle it."""
+    if events.isStreaming:
+        ev = with_watermark(events)
+        return (ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+                  .agg(F.count(F.lit(1)).alias("n_events"))
+                  .select(F.col("w.start").alias("sess_start"), "user_id",
+                          "n_events"))
+    from pyspark.sql import Window
+    gap_s = _duration_seconds(gap)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev = F.lag("ts").over(w)
+    new_sess = (F.when(prev.isNull(), 1)
+                 .when(F.unix_timestamp("ts") - F.unix_timestamp(prev) > gap_s, 1)
+                 .otherwise(0))
+    sess_id = F.sum(new_sess).over(w)
+    return (events.withColumn("__sid", sess_id)
+            .groupBy("user_id", "__sid")
+            .agg(F.min("ts").alias("sess_start"),
+                 F.count(F.lit(1)).alias("n_events"))
+            .select("sess_start", "user_id", "n_events"))
+
+
+def _duration_seconds(s: str) -> int:
+    n, unit = s.split()
+    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+            "hour": 3600, "hours": 3600}[unit]
+    return int(n) * mult
+
+
+STATE_SCHEMA = StructType([StructField("user_id", LongType()),
+                           StructField("running_sum", DoubleType()),
+                           StructField("n", LongType())])
+
+
+def stateful_running_sum(events: DataFrame, timeout_minutes: int = 30) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): per-user
+    running sum with processing-timeout state eviction.  Batch fallback
+    computes the same final state with a groupBy (oracle-checkable)."""
+    if not events.isStreaming:
+        return (events.groupBy("user_id")
+                .agg(F.round(F.sum("value"), 6).alias("running_sum"),
+                     F.count(F.lit(1)).alias("n"))
+                .select("user_id", "running_sum", "n"))
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs: Iterator["pandas.DataFrame"], state: GroupState):
+        import pandas as pd
+        total, n = (state.get if state.exists else (0.0, 0))
+        for pdf in pdfs:
+            total += float(pdf["value"].sum())
+            n += len(pdf)
+        state.update((total, n))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame({"user_id": [key[0]], "running_sum": [round(total, 6)],
+                            "n": [n]})
+
+    return (events.groupBy("user_id")
+            .applyInPandasWithState(update, STATE_SCHEMA, STATE_SCHEMA,
+                                    "update", GroupStateTimeout.ProcessingTimeTimeout))
