@@ -337,6 +337,237 @@ def q_f_conditional(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# LLM-data-pipeline extension operators (SURVEY.md §2.11) — DataFrame-native
+# ---------------------------------------------------------------------------
+
+def _docs(spark, sf):
+    from oxigraph_spark.sources.tables import load_table
+    return load_table(spark, sf, "documents")
+
+
+def q_x_dedup_exact(spark, sf):
+    """Exact dedup over documents ∪ documents (self-union creates dupes —
+    sf texts are all distinct, FIXTURES.md §5)."""
+    from oxigraph_spark.pipeline.dedup import exact_dedup
+    d = _docs(spark, sf).select("doc_id", "text")
+    both = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1000000))
+    return exact_dedup(both, "text", "doc_id") \
+        .select(F.col("doc_id").alias("id"), "dup_count")
+
+
+def q_x_dedup_minhash(spark, sf):
+    """MinHash+LSH near-dup pairs (rows-only: seeded xxhash64 signatures
+    aren't replicable in ANSI SQL)."""
+    from oxigraph_spark.pipeline.dedup import minhash_lsh_pairs
+    d = _docs(spark, sf).select("doc_id", "text")
+    both = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1000000))
+    return minhash_lsh_pairs(both, "text", "doc_id", num_perm=16, bands=4,
+                             threshold=0.5)
+
+
+def q_x_dedup_ngram(spark, sf):
+    """Exact token-set Jaccard pairs (n=1 shingles) — SQL-expressible."""
+    from oxigraph_spark.pipeline.dedup import ngram_jaccard_pairs
+    d = _docs(spark, sf).select("doc_id", "text")
+    both = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1000000))
+    out = ngram_jaccard_pairs(both, "text", "doc_id", n=1, threshold=0.9)
+    return out.select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+
+
+def q_x_dedup_simhash(spark, sf):
+    """SimHash near-dup pairs (rows-only)."""
+    from oxigraph_spark.pipeline.dedup import simhash_pairs
+    d = _docs(spark, sf).select("doc_id", "text")
+    both = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1000000))
+    return simhash_pairs(both, "text", "doc_id", max_hamming=3)
+
+
+def _query_vec(sf):
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = tbl.to_pandas()
+    row = df[df.vec_id == 0].iloc[0]
+    return [float(x) for x in row.embedding]
+
+
+def q_x_simsearch_topk(spark, sf):
+    from oxigraph_spark.pipeline.simsearch import brute_force_topk
+    from oxigraph_spark.sources.tables import load_table
+    emb = load_table(spark, sf, "embeddings")
+    out = brute_force_topk(emb, "embedding", "vec_id", _query_vec(sf), k=10)
+    return out.select("id", F.round("sim", 6).alias("sim"))
+
+
+def q_x_simsearch_lsh(spark, sf):
+    """LSH-bucketed ANN (rows-only: hyperplanes from seeded hashes)."""
+    from oxigraph_spark.pipeline.simsearch import lsh_index, lsh_topk
+    from oxigraph_spark.sources.tables import load_table
+    emb = load_table(spark, sf, "embeddings")
+    idx = lsh_index(emb, "embedding", "vec_id", planes=8)
+    return lsh_topk(idx, _query_vec(sf), k=10, planes=8, multiprobe=1) \
+        .select("id", F.round("sim", 6).alias("sim"))
+
+
+def q_x_text_stats(spark, sf):
+    from oxigraph_spark.pipeline.textstats import (token_count, punct_ratio,
+                                                   mean_word_length, lang_id)
+    d = _docs(spark, sf)
+    t = F.col("text")
+    return d.select(
+        F.col("doc_id").alias("id"),
+        token_count(t).alias("n_tokens"),
+        F.length(t).alias("n_chars"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(mean_word_length(t), 6).alias("mean_word_len"),
+        lang_id(t).alias("lang_guess"))
+
+
+def q_x_fingerprint(spark, sf):
+    """Doc fingerprint + quality score (rows-only: xxhash64/composite)."""
+    from oxigraph_spark.pipeline.textstats import text_stats
+    return text_stats(_docs(spark, sf), "text", "doc_id") \
+        .select("id", "fp", "quality", "n_subwords")
+
+
+def q_x_multimodal(spark, sf):
+    from oxigraph_spark.pipeline.multimodal import attach_binary, extract_features
+    media = attach_binary(_docs(spark, sf), "text", "doc_id")
+    return extract_features(media).select(
+        F.col("media_id").alias("id"), "n_bytes", "checksum", "width", "height")
+
+
+def q_x_window_tumbling(spark, sf):
+    from oxigraph_spark.sources.tables import load_table
+    from oxigraph_spark.streaming.events import tumbling_counts
+    return tumbling_counts(load_table(spark, sf, "events"), "5 minutes")
+
+
+def q_x_window_session(spark, sf):
+    from oxigraph_spark.sources.tables import load_table
+    from oxigraph_spark.streaming.events import session_windows
+    return session_windows(load_table(spark, sf, "events"), "10 minutes")
+
+
+def q_x_stateful_sum(spark, sf):
+    from oxigraph_spark.sources.tables import load_table
+    from oxigraph_spark.streaming.events import stateful_running_sum
+    return stateful_running_sum(load_table(spark, sf, "events"))
+
+
+_NORM = ("trim(regexp_replace(regexp_replace(lower(text), "
+         "'[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g'))")
+
+_X_ORACLES = {
+    "X_dedup_exact": f"""
+        WITH docs AS (SELECT doc_id, text FROM documents
+                      UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        norm AS (SELECT doc_id, {_NORM} AS t FROM docs)
+        SELECT MIN(doc_id) AS id, COUNT(*) AS dup_count
+        FROM norm GROUP BY t""",
+    "X_dedup_ngram": f"""
+        WITH docs AS (SELECT doc_id, text FROM documents
+                      UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        norm AS (SELECT doc_id AS id, {_NORM} AS t FROM docs),
+        sh AS (SELECT DISTINCT id, w.sh FROM norm,
+               UNNEST(string_split(t, ' ')) AS w(sh)),
+        sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+        inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+                  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+                  GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               ROUND(i * 1.0 / (sa.sz + sb.sz - i), 6) AS sim
+        FROM inter JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.9""",
+    "X_simsearch_topk": """
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id AS id,
+               ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+                     / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                              CAST(embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(qv, qv))), 6) AS sim
+        FROM embeddings, q
+        ORDER BY list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+                 / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(qv, qv))) DESC, vec_id
+        LIMIT 10""",
+    "X_text_stats": f"""
+        WITH norm AS (SELECT doc_id, text, {_NORM} AS t FROM documents),
+        tok AS (SELECT doc_id, text, t,
+                       CASE WHEN length(t) = 0 THEN 0
+                            ELSE len(string_split(t, ' ')) END AS n_tokens
+                FROM norm)
+        SELECT doc_id AS id, n_tokens, LENGTH(text) AS n_chars,
+          ROUND(CASE WHEN LENGTH(text) > 0 THEN
+            LENGTH(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) * 1.0
+              / LENGTH(text) ELSE 0 END, 6) AS punct_ratio,
+          ROUND(CASE WHEN n_tokens > 0 THEN
+            (LENGTH(t) - (n_tokens - 1)) * 1.0 / n_tokens ELSE 0 END, 6)
+            AS mean_word_len,
+          CASE
+            WHEN len(list_filter(string_split(t, ' '),
+                 w -> w IN ('the','and','of','to','in','is','that','for'))) >=
+                 GREATEST(
+                   len(list_filter(string_split(t, ' '),
+                     w -> w IN ('der','die','und','das','ist','nicht','ein','zu'))),
+                   len(list_filter(string_split(t, ' '),
+                     w -> w IN ('le','la','les','et','de','un','est','pour'))),
+                   len(list_filter(string_split(t, ' '),
+                     w -> w IN ('el','la','los','de','que','y','en','por'))), 1)
+            THEN 'en'
+            WHEN len(list_filter(string_split(t, ' '),
+                 w -> w IN ('der','die','und','das','ist','nicht','ein','zu'))) >=
+                 GREATEST(
+                   len(list_filter(string_split(t, ' '),
+                     w -> w IN ('le','la','les','et','de','un','est','pour'))),
+                   len(list_filter(string_split(t, ' '),
+                     w -> w IN ('el','la','los','de','que','y','en','por'))), 1)
+            THEN 'de'
+            WHEN len(list_filter(string_split(t, ' '),
+                 w -> w IN ('le','la','les','et','de','un','est','pour'))) >=
+                 GREATEST(
+                   len(list_filter(string_split(t, ' '),
+                     w -> w IN ('el','la','los','de','que','y','en','por'))), 1)
+            THEN 'fr'
+            WHEN len(list_filter(string_split(t, ' '),
+                 w -> w IN ('el','la','los','de','que','y','en','por'))) >= 1
+            THEN 'es'
+            ELSE 'und' END AS lang_guess
+        FROM tok""",
+    "X_multimodal": """
+        SELECT doc_id AS id, strlen(text) AS n_bytes,
+               sha256(text) AS checksum,
+               strlen(text) % 1920 + 1 AS width,
+               (strlen(text) * 7) % 1080 + 1 AS height
+        FROM documents""",
+    "X_window_tumbling": """
+        SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start,
+               event_type, COUNT(*) AS cnt,
+               ROUND(SUM(value), 6) AS sum_value
+        FROM events GROUP BY 1, 2""",
+    "X_window_session": """
+        WITH marked AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sess AS (
+          SELECT user_id, ts,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+          FROM marked
+        )
+        SELECT MIN(ts) AS sess_start, user_id, COUNT(*) AS n_events
+        FROM sess GROUP BY user_id, sid""",
+    "X_stateful_sum": """
+        SELECT user_id, ROUND(SUM(value), 6) AS running_sum,
+               COUNT(*) AS n FROM events GROUP BY 1""",
+}
+
+
+# ---------------------------------------------------------------------------
 # oracle SQL (DuckDB) — same column names & types
 # ---------------------------------------------------------------------------
 
@@ -509,8 +740,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "F_temporal": q_f_temporal,
         "F_hash": q_f_hash,
         "F_conditional": q_f_conditional,
+        # LLM-data-pipeline extensions (§2.11)
+        "X_dedup_exact": q_x_dedup_exact,
+        "X_dedup_minhash": q_x_dedup_minhash,
+        "X_dedup_ngram": q_x_dedup_ngram,
+        "X_dedup_simhash": q_x_dedup_simhash,
+        "X_simsearch_topk": q_x_simsearch_topk,
+        "X_simsearch_lsh": q_x_simsearch_lsh,
+        "X_text_stats": q_x_text_stats,
+        "X_fingerprint": q_x_fingerprint,
+        "X_multimodal": q_x_multimodal,
+        "X_window_tumbling": q_x_window_tumbling,
+        "X_window_session": q_x_window_session,
+        "X_stateful_sum": q_x_stateful_sum,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+    out = dict(_ORACLES)
+    out.update(_X_ORACLES)
+    return out

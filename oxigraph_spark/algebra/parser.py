@@ -908,6 +908,112 @@ class Parser:
         return A.ECall("__agg", (AggMarker(A.AggExpr(name, expr, distinct, sep)),))
 
 
+    # -- SPARQL Update (§19 Update grammar; spargebra update.rs) ---------
+
+    def parse_update(self):
+        from ..operators import update as U
+        ops: List = []
+        while True:
+            self._prologue()
+            if self.peek().kind == "EOF":
+                break
+            ops.append(self._update_op(U))
+            if self.at_op(";"):
+                self.next()
+                continue
+            break
+        if self.peek().kind != "EOF":
+            raise ParseError(f"trailing input: {self.peek()}")
+        return ops
+
+    def _update_op(self, U):
+        if self.at_kw("INSERT"):
+            self.next()
+            if self.at_kw("DATA"):
+                self.next()
+                return U.InsertData(tuple(self._quad_data()))
+            tmpl = tuple(self._quad_data())
+            self.eat_kw("WHERE")
+            return U.DeleteInsert((), tmpl, self._group_graph_pattern())
+        if self.at_kw("DELETE"):
+            self.next()
+            if self.at_kw("DATA"):
+                self.next()
+                return U.DeleteData(tuple(self._quad_data()))
+            if self.at_kw("WHERE"):
+                self.next()
+                return U.DeleteInsert(tuple(self._quad_data()), (), None)
+            del_t = tuple(self._quad_data())
+            ins_t: tuple = ()
+            if self.at_kw("INSERT"):
+                self.next()
+                ins_t = tuple(self._quad_data())
+            self.eat_kw("WHERE")
+            return U.DeleteInsert(del_t, ins_t, self._group_graph_pattern())
+        if self.at_kw("WITH"):
+            raise ParseError("WITH graphs not supported yet")
+        if self.at_kw("CLEAR", "DROP"):
+            kind = self.eat_kw("CLEAR", "DROP")
+            if self.at_kw("SILENT"):
+                self.next()
+            cls = U.Clear if kind == "CLEAR" else U.Drop
+            if self.at_kw("DEFAULT", "NAMED", "ALL"):
+                return cls(self.eat_kw("DEFAULT", "NAMED", "ALL"))
+            self.eat_kw("GRAPH")
+            return cls("GRAPH", self._iri())
+        if self.at_kw("CREATE"):
+            self.next()
+            if self.at_kw("SILENT"):
+                self.next()
+            self.eat_kw("GRAPH")
+            return U.Create(self._iri())
+        if self.at_kw("COPY", "MOVE", "ADD"):
+            kind = self.eat_kw("COPY", "MOVE", "ADD")
+            if self.at_kw("SILENT"):
+                self.next()
+            src = self._graph_or_default()
+            self.eat_kw("TO")
+            return U.CopyMoveAdd(kind, src, self._graph_or_default())
+        raise ParseError(f"expected update operation, got {self.peek()}")
+
+    def _graph_or_default(self):
+        if self.at_kw("DEFAULT"):
+            self.next()
+            return None
+        if self.at_kw("GRAPH"):
+            self.next()
+        return self._iri()
+
+    def _quad_data(self):
+        """{ triples (GRAPH g { triples })* } → list of QuadTemplate."""
+        from ..operators import update as U
+        self.eat_op("{")
+        out: List = []
+
+        def add_triples(graph):
+            triples: List = []
+            self._triples_block(triples)
+            for t in triples:
+                if isinstance(t, A.PathPattern):
+                    raise ParseError("property paths not allowed in templates")
+                out.append(U.QuadTemplate(t.s, t.p, t.o, graph))
+
+        while not self.at_op("}"):
+            if self.at_kw("GRAPH"):
+                self.next()
+                g = A.NamedNode(self._iri())
+                self.eat_op("{")
+                if not self.at_op("}"):
+                    add_triples(g)
+                self.eat_op("}")
+            elif self.at_op("."):
+                self.next()
+            else:
+                add_triples(None)
+        self.eat_op("}")
+        return out
+
+
 class AggMarker:
     """Wrapper so an AggExpr can ride inside an ECall arg tuple."""
 
@@ -1019,3 +1125,7 @@ def _join_values(q: A.Query, values: A.Values) -> A.Query:
 
 def parse_query(text: str) -> A.Query:
     return Parser(text).parse_query()
+
+
+def parse_update(text: str):
+    return Parser(text).parse_update()

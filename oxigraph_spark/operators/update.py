@@ -1,0 +1,226 @@
+"""SPARQL 1.1 Update (SURVEY.md §2.8 U1–U9) as batch table rewrites.
+
+Reference: ``lib/spargebra/src/update.rs`` · ``GraphUpdateOperation`` parsed
+forms, executed transactionally in ``lib/oxigraph/src/sparql/update.rs``.
+Our execution model is Spark-native batch: each operation produces a NEW
+quads DataFrame from the old one (union / left_anti / filter) — RDF graphs
+are sets, so inserts dedup and deletes anti-join on term identity.
+
+No ACID: plain-parquet single-writer semantics (documented; Delta Lake
+would supply OCC if needed).  At 100 TB each op is one shuffle-free
+union or one anti-join on the narrow term_key.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+from typing import List, Optional, Tuple, Union
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..algebra import ast as A
+from ..model import terms as T
+
+
+# -- operation ASTs (mirror GraphUpdateOperation) ---------------------------
+
+@dataclass(frozen=True)
+class QuadTemplate:
+    s: A.TermOrVar
+    p: A.TermOrVar
+    o: A.TermOrVar
+    g: Optional[Union[A.NamedNode, A.Var]] = None  # None = default graph
+
+
+@dataclass(frozen=True)
+class InsertData:
+    quads: Tuple[QuadTemplate, ...]
+
+
+@dataclass(frozen=True)
+class DeleteData:
+    quads: Tuple[QuadTemplate, ...]
+
+
+@dataclass(frozen=True)
+class DeleteInsert:
+    delete: Tuple[QuadTemplate, ...]
+    insert: Tuple[QuadTemplate, ...]
+    pattern: Optional[A.GraphPattern]  # None → DELETE WHERE shorthand
+
+
+@dataclass(frozen=True)
+class Clear:
+    target: str                      # 'DEFAULT' | 'NAMED' | 'ALL' | 'GRAPH'
+    graph: Optional[str] = None
+
+
+@dataclass(frozen=True)
+class Drop(Clear):
+    pass
+
+
+@dataclass(frozen=True)
+class Create:
+    graph: str
+
+
+@dataclass(frozen=True)
+class CopyMoveAdd:
+    kind: str                        # 'COPY' | 'MOVE' | 'ADD'
+    src: Optional[str]               # None = DEFAULT
+    dst: Optional[str]
+
+
+UpdateOp = Union[InsertData, DeleteData, DeleteInsert, Clear, Drop, Create,
+                 CopyMoveAdd]
+
+
+# -- mutable store ----------------------------------------------------------
+
+class MutableQuadSource:
+    """In-memory quads DataFrame usable as a compiler source AND as the
+    target of update operations."""
+
+    def __init__(self, spark: SparkSession, df: DataFrame):
+        self.spark = spark
+        self.df = df
+
+    @classmethod
+    def from_source(cls, spark: SparkSession, source) -> "MutableQuadSource":
+        return cls(spark, source.quads())
+
+    def scan(self, p_lex: Optional[str] = None) -> DataFrame:
+        df = self.df
+        if p_lex is not None:
+            df = df.where((df["p"]["kind"] == T.KIND_IRI)
+                          & (df["p"]["lex"] == p_lex))
+        return df
+
+    def quads(self) -> DataFrame:
+        return self.df
+
+    # -- execution ---------------------------------------------------------
+
+    def apply(self, op: UpdateOp) -> None:
+        if isinstance(op, InsertData):
+            self.df = self.df.unionByName(
+                self._ground_quads(op.quads)).distinct()
+        elif isinstance(op, DeleteData):
+            self.df = self._anti(self.df, self._ground_quads(op.quads))
+        elif isinstance(op, DeleteInsert):
+            self._delete_insert(op)
+        elif isinstance(op, (Clear, Drop)):
+            self.df = self.df.where(~self._graph_pred(op))
+        elif isinstance(op, Create):
+            pass  # graphs exist implicitly in the quads model
+        elif isinstance(op, CopyMoveAdd):
+            self._copy_move_add(op)
+        else:
+            raise TypeError(type(op))
+        self.df = self.df.localCheckpoint(eager=False)
+
+    def apply_all(self, ops: List[UpdateOp]) -> None:
+        for op in ops:
+            self.apply(op)
+
+    def _graph_pred(self, op: Clear):
+        g = self.df["g"]
+        if op.target == "DEFAULT":
+            return g["kind"] == T.KIND_DEFAULT_GRAPH
+        if op.target == "NAMED":
+            return g["kind"] != T.KIND_DEFAULT_GRAPH
+        if op.target == "ALL":
+            return F.lit(True)
+        return (g["kind"] == T.KIND_IRI) & (g["lex"] == op.graph)
+
+    def _ground_quads(self, quads: Tuple[QuadTemplate, ...]) -> DataFrame:
+        from ..plans.compiler import _term_to_py
+        rows = []
+        for q in quads:
+            gterm = q.g if q.g is not None else None
+            rows.append((
+                _term_to_py(q.s), _term_to_py(q.p), _term_to_py(q.o),
+                _term_to_py(gterm) if gterm is not None
+                else (T.KIND_DEFAULT_GRAPH, "", None, None, None, None,
+                      None, None, None)))
+        from pyspark.sql.types import StructField, StructType
+        schema = StructType([StructField(c, T.TERM_SCHEMA)
+                             for c in ("s", "p", "o", "g")])
+        return self.spark.createDataFrame(rows, schema)
+
+    def _anti(self, df: DataFrame, remove: DataFrame) -> DataFrame:
+        r = remove.select(*[remove[c].alias(f"{c}__r") for c in ("s", "p", "o", "g")])
+        cond = reduce(lambda a, b: a & b, [
+            T.term_key(df[c]) == T.term_key(r[f"{c}__r"])
+            for c in ("s", "p", "o", "g")])
+        return df.join(F.broadcast(r.distinct()), cond, "leftanti")
+
+    def _instantiate(self, templates: Tuple[QuadTemplate, ...],
+                     sol: "DataFrame", sol_vars) -> DataFrame:
+        """Template × solutions → quads (CONSTRUCT-style; incomplete rows
+        dropped, invalid RDF positions dropped — spec §19.6)."""
+        from ..plans.compiler import _const_term_col
+        frames = []
+        for i, tq in enumerate(templates):
+            def col_of(term, default_g=False):
+                if term is None:
+                    return T.default_graph()
+                if isinstance(term, A.Var):
+                    return (sol[term.name] if term.name in sol_vars
+                            else F.lit(None).cast(T.TERM_SCHEMA))
+                if isinstance(term, A.BlankNode):
+                    return T.bnode(F.concat(F.lit(f"u{i}_{term.label}_"),
+                                            F.expr("uuid()")))
+                return _const_term_col(term)
+
+            row = sol.select(col_of(tq.s).alias("s"), col_of(tq.p).alias("p"),
+                             col_of(tq.o).alias("o"), col_of(tq.g).alias("g"))
+            row = row.where(F.col("s").isNotNull() & F.col("p").isNotNull()
+                            & F.col("o").isNotNull()
+                            & (F.col("s")["kind"] != T.KIND_LITERAL)
+                            & (F.col("p")["kind"] == T.KIND_IRI))
+            frames.append(row)
+        if not frames:
+            return self.spark.createDataFrame([], self.df.schema)
+        return reduce(lambda a, b: a.unionByName(b), frames).distinct()
+
+    def _delete_insert(self, op: DeleteInsert) -> None:
+        from ..plans.compiler import Compiler
+        pattern = op.pattern
+        if pattern is None:
+            # DELETE WHERE: the template IS the pattern
+            pattern = A.BGP(tuple(
+                A.TriplePattern(q.s, q.p, q.o) for q in op.delete))
+        compiler = Compiler(self.spark, self)
+        sol = compiler.compile_pattern(pattern)
+        # both template sets instantiate against the ORIGINAL store state
+        to_delete = self._instantiate(op.delete, sol.df, sol.vars) \
+            if op.delete else None
+        to_insert = self._instantiate(op.insert, sol.df, sol.vars) \
+            if op.insert else None
+        df = self.df
+        if to_delete is not None:
+            df = self._anti(df, to_delete)
+        if to_insert is not None:
+            df = df.unionByName(to_insert).distinct()
+        self.df = df
+
+    def _copy_move_add(self, op: CopyMoveAdd) -> None:
+        def pred(name: Optional[str]):
+            g = self.df["g"]
+            if name is None:
+                return g["kind"] == T.KIND_DEFAULT_GRAPH
+            return (g["kind"] == T.KIND_IRI) & (g["lex"] == name)
+
+        dst_g = (T.default_graph() if op.dst is None
+                 else T.iri(F.lit(op.dst)))
+        moved = self.df.where(pred(op.src)).select(
+            "s", "p", "o", dst_g.alias("g"))
+        df = self.df
+        if op.kind in ("COPY", "MOVE"):
+            df = df.where(~pred(op.dst))
+        if op.kind == "MOVE":
+            df = df.where(~pred(op.src))
+        self.df = df.unionByName(moved).distinct()

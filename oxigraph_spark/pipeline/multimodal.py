@@ -75,7 +75,7 @@ def extract_features(media: DataFrame, batch_rows: int = 1024) -> DataFrame:
                 payload = bytes(r["content"]) if r["content"] is not None else b""
                 w, h = _decode_stub(payload)
                 rows.append((int(r["media_id"]), r["kind"], len(payload),
-                             hashlib.sha1(payload).hexdigest(), w, h))
+                             hashlib.sha256(payload).hexdigest(), w, h))
             yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA])
 
     return media.mapInPandas(process, schema=FEATURE_SCHEMA)

@@ -73,10 +73,14 @@ def lang_id(text: Column) -> Column:
     """Marker-word language ID: argmax of per-language marker hit counts;
     'und' when nothing matches."""
     words = F.split(normalize_text(text), " ")
-    scores = [
-        (lang, F.size(F.filter(words, lambda w, m=markers: w.isin(*m))))
-        for lang, markers in LANG_MARKERS.items()
-    ]
+
+    def marker_count(markers):
+        # NB: the lambda must take exactly one arg — a second (even
+        # defaulted) parameter makes pyspark pass the element index
+        return F.size(F.filter(words, lambda w: w.isin(*markers)))
+
+    scores = [(lang, marker_count(markers))
+              for lang, markers in LANG_MARKERS.items()]
     best_score = F.greatest(*[s for _, s in scores])
     out = F.lit("und")
     # reverse order → earlier languages win ties deterministically

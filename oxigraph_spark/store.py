@@ -44,6 +44,16 @@ class Store:
     def ask(self, sparql: str) -> bool:
         return self.query(sparql).count() > 0
 
+    def update(self, sparql: str) -> "Store":
+        """Run SPARQL Update ops; returns a NEW Store over the rewritten
+        quads (batch semantics — ``Store::update`` analog, minus ACID;
+        see operators/update.py)."""
+        from .algebra.parser import parse_update
+        from .operators.update import MutableQuadSource
+        mut = MutableQuadSource.from_source(self.spark, self.source)
+        mut.apply_all(parse_update(sparql))
+        return Store(self.spark, mut, optimize=self.optimize)
+
 
 # -- result extraction (for interop / oracle comparison) --------------------
 

@@ -67,8 +67,12 @@ def session_windows(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
     gap_s = _duration_seconds(gap)
     w = Window.partitionBy("user_id").orderBy("ts")
     prev = F.lag("ts").over(w)
+    # microsecond precision — unix_timestamp() truncates to seconds and
+    # flips borderline gap decisions vs the sub-second oracle
+    gap_micros = gap_s * 1_000_000
     new_sess = (F.when(prev.isNull(), 1)
-                 .when(F.unix_timestamp("ts") - F.unix_timestamp(prev) > gap_s, 1)
+                 .when(F.unix_micros(F.col("ts")) - F.unix_micros(prev)
+                       > gap_micros, 1)
                  .otherwise(0))
     sess_id = F.sum(new_sess).over(w)
     return (events.withColumn("__sid", sess_id)
