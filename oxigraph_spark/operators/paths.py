@@ -137,10 +137,15 @@ def _nodes(compiler, graph_ctx) -> DataFrame:
 
 
 def _zero_len_for(compiler, graph_ctx, seeds: Optional[DataFrame]) -> DataFrame:
-    nodes = _nodes(compiler, graph_ctx)
+    df = compiler._graph_filter(compiler.source.scan(), graph_ctx)
+    both = df.select(df["s"].alias("node")).unionByName(
+        df.select(df["o"].alias("node")))
     if seeds is not None:
-        nodes = nodes.join(F.broadcast(seeds),
-                           _key(nodes["node"]) == _key(seeds["src"]), "leftsemi")
+        # membership test only: broadcast-semi BEFORE the distinct, so the
+        # full term domain is never deduplicated (a full-graph shuffle)
+        both = both.join(F.broadcast(seeds),
+                         _key(both["node"]) == _key(seeds["src"]), "leftsemi")
+    nodes = both.distinct()
     return nodes.select(nodes["node"].alias("src"), nodes["node"].alias("dst"))
 
 

@@ -73,9 +73,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     join — the classic LSH trade: recall controlled by (bands, rows/band).
     """
     rows = num_perm // bands
-    sig = (df.select(F.col(id_col).alias("id"),
-                     minhash_signature(shingles(F.col(text_col)), num_perm)
-                     .alias("sig")))
+    # materialize the shingle array ONCE — referencing shingles() inside
+    # every per-permutation array_min would recompute the whole
+    # normalize/split/slice pipeline num_perm times per row
+    sh = df.select(F.col(id_col).alias("id"),
+                   shingles(F.col(text_col)).alias("sh"))
+    sig = sh.select("id", minhash_signature(F.col("sh"), num_perm).alias("sig"))
     banded = sig.select(
         "id", "sig",
         F.explode(F.array(*[
@@ -101,21 +104,27 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                 .select("id_a", "id_b", "sim"))
 
 
-def simhash(text: Column, bits: int = 64) -> Column:
-    """64-bit SimHash: sign of per-bit weighted sums over token hashes."""
-    words = F.split(normalize_text(text), " ")
-    hashes = F.transform(words, lambda w: F.xxhash64(w))
-    acc = F.lit(0).cast("long")
-    out = acc
+def _simhash_from_hashes(hashes: Column, bits: int = 64) -> Column:
+    """SimHash from a materialized token-hash array column."""
+    def bit_merge(mask):
+        return lambda a, h: a + F.when(h.bitwiseAND(mask) != 0,
+                                       F.lit(1)).otherwise(F.lit(-1))
+
+    out = F.lit(0).cast("long")
     for i in range(bits):
-        bit_sum = F.aggregate(
-            hashes, F.lit(0),
-            lambda a, h: a + F.when(h.bitwiseAND(F.lit(1 << i) if i < 63
-                                                 else F.lit(-(2 ** 63))) != 0,
-                                    F.lit(1)).otherwise(F.lit(-1)))
-        out = out + F.when(bit_sum > 0, F.lit(1 << i) if i < 63
-                           else F.lit(-(2 ** 63))).otherwise(F.lit(0))
+        mask = F.lit(1 << i) if i < 63 else F.lit(-(2 ** 63))
+        bit_sum = F.aggregate(hashes, F.lit(0), bit_merge(mask))
+        out = out + F.when(bit_sum > 0, mask).otherwise(F.lit(0))
     return out
+
+
+def simhash(text: Column, bits: int = 64) -> Column:
+    """64-bit SimHash: sign of per-bit weighted sums over token hashes.
+    NB: prefer :func:`simhash_pairs`, which materializes the token hashes
+    once — inline use recomputes the tokenize pipeline per bit."""
+    words = F.split(normalize_text(text), " ")
+    return _simhash_from_hashes(F.transform(words, lambda w: F.xxhash64(w)),
+                                bits)
 
 
 def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
@@ -123,8 +132,10 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
     """Near-dup pairs by SimHash banding: fingerprints split into 4
     16-bit chunks; pairs agreeing on ≥1 chunk are candidates (guaranteed
     to include all pairs with hamming ≤ 3 chunks' worth of differences)."""
-    fp = df.select(F.col(id_col).alias("id"),
-                   simhash(F.col(text_col)).alias("fp"))
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    hashed = df.select(F.col(id_col).alias("id"),
+                       F.transform(words, lambda w: F.xxhash64(w)).alias("h"))
+    fp = hashed.select("id", _simhash_from_hashes(F.col("h")).alias("fp"))
     chunks = fp.select("id", "fp", F.explode(F.array(*[
         F.struct(F.lit(i).alias("chunk"),
                  F.shiftrightunsigned("fp", i * 16).bitwiseAND(F.lit(0xFFFF))

@@ -324,11 +324,14 @@ class Compiler:
             df = self.spark.range(1).select(F.lit(1).alias("__unit"))
             out = Compiled(df, frozenset(), frozenset())
             return self._apply_conjuncts(out, pending)
-        ordered = self._order_patterns(list(bgp.patterns)) if self.optimize \
-            else list(bgp.patterns)
 
-        def compile_one(tp) -> Compiled:
-            c = self.compile_pattern(tp, graph_ctx)
+        stars, loose = self._extract_star_groups(list(bgp.patterns), graph_ctx)
+        units: List = stars + (
+            self._order_patterns(loose) if self.optimize else loose)
+
+        def compile_one(u) -> Compiled:
+            c = u if isinstance(u, Compiled) else \
+                self.compile_pattern(u, graph_ctx)
             nonlocal pending
             mine = [e for e in pending
                     if _expr_vars(e) <= c.vars and not _find_exists(e)]
@@ -337,15 +340,51 @@ class Compiler:
                 c = self._apply_conjuncts(c, mine)
             return c
 
-        acc = compile_one(ordered[0])
-        for tp in ordered[1:]:
-            acc = self._join(acc, compile_one(tp), "inner")
+        acc = compile_one(units[0])
+        for u in units[1:]:
+            acc = self._join(acc, compile_one(u), "inner")
             ready = [e for e in pending
                      if _expr_vars(e) <= acc.vars and not _find_exists(e)]
             if ready:
                 pending = [e for e in pending if e not in ready]
                 acc = self._apply_conjuncts(acc, ready)
         return self._apply_conjuncts(acc, pending)
+
+    def _extract_star_groups(self, pats: List, graph_ctx):
+        """Property-table optimization: patterns sharing a subject variable
+        whose concrete predicates all map to ONE source table compile to a
+        single scan (source.star_scan) instead of an N-way self-join.
+        This is the star-join shape every relational-over-RDF workload has
+        (SELECT of many attributes of one entity) — at 100 TB it removes
+        N-1 shuffles per entity star."""
+        star_scan = getattr(self.source, "star_scan", None)
+        if not self.optimize or star_scan is None or graph_ctx is not None:
+            return [], pats
+        from collections import defaultdict
+        groups = defaultdict(list)
+        loose: List = []
+        for tp in pats:
+            if (isinstance(tp, A.TriplePattern) and isinstance(tp.s, A.Var)
+                    and isinstance(tp.p, A.NamedNode)
+                    and isinstance(tp.o, A.Var) and tp.o.name != tp.s.name):
+                groups[tp.s.name].append(tp)
+            else:
+                loose.append(tp)
+        compiled: List[Compiled] = []
+        for svar, tps in groups.items():
+            ovars = [tp.o.name for tp in tps]
+            if len(tps) < 2 or len(set(ovars)) != len(ovars):
+                loose.extend(tps)
+                continue
+            df = star_scan([tp.p.iri for tp in tps])
+            if df is None:
+                loose.extend(tps)
+                continue
+            sel = [df["s"].alias(svar)] + [
+                df[f"o{i}"].alias(v) for i, v in enumerate(ovars)]
+            names = frozenset([svar] + ovars)
+            compiled.append(Compiled(df.select(*sel), names, names))
+        return compiled, loose
 
     def _apply_conjuncts(self, c: Compiled,
                          conjuncts: List[A.Expression]) -> Compiled:

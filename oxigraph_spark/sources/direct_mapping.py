@@ -118,6 +118,7 @@ class DirectMappingSource:
 
     def _build(self) -> None:
         g = T.default_graph()
+        self._pred_info: Dict[str, Tuple[str, str, Optional[str]]] = {}
         for t, df in self._raw.items():
             pk, fks = TABLE_DEFS[t]
             subj = _subject(t, df, pk)
@@ -125,16 +126,19 @@ class DirectMappingSource:
                 obj = _object_literal(df, col)
                 if obj is not None:
                     p = pred_iri(t, col)
-                    self._frames[p] = df.select(
+                    # NULL column value ⇒ no triple for that row
+                    self._frames[p] = df.where(F.col(col).isNotNull()).select(
                         subj.alias("s"), T.iri(F.lit(p)).alias("p"),
                         obj.alias("o"), g.alias("g"))
+                    self._pred_info[p] = (t, col, None)
             for col, target in fks.items():
                 p = ref_pred_iri(t, target)
                 obj = T.iri(F.concat(F.lit(table_iri_base(target)),
                                      F.col(col).cast("string")))
-                self._frames[p] = df.select(
+                self._frames[p] = df.where(F.col(col).isNotNull()).select(
                     subj.alias("s"), T.iri(F.lit(p)).alias("p"),
                     obj.alias("o"), g.alias("g"))
+                self._pred_info[p] = (t, col, target)
 
     # -- QuadSource interface ----------------------------------------------
 
@@ -149,6 +153,41 @@ class DirectMappingSource:
         if out is None:
             raise ValueError("no tables mapped")
         return out
+
+    def star_scan(self, p_lexes) -> Optional[DataFrame]:
+        """Single-scan star group (property-table optimization, à la the
+        S2RDF/property-table literature): if every predicate maps to the
+        SAME source table, return one DataFrame with column ``s`` plus one
+        TERM column per predicate (named ``o0..oN`` in input order) — the
+        compiler collapses an N-way self-join into this one scan.
+        Rows where any requested column is NULL are dropped (no triple ⇒
+        no solution, inner-join semantics)."""
+        infos = []
+        for p in p_lexes:
+            info = self._pred_info.get(p)
+            if info is None:
+                return None
+            infos.append(info)
+        tables = {t for t, _c, _r in infos}
+        if len(tables) != 1:
+            return None
+        t = tables.pop()
+        df = self._raw[t]
+        pk, _fks = TABLE_DEFS[t]
+        cols = [_subject(t, df, pk).alias("s")]
+        notnull = []
+        for i, (_t, col, target) in enumerate(infos):
+            if target is not None:
+                obj = T.iri(F.concat(F.lit(table_iri_base(target)),
+                                     F.col(col).cast("string")))
+            else:
+                obj = _object_literal(df, col)
+            cols.append(obj.alias(f"o{i}"))
+            notnull.append(F.col(col).isNotNull())
+        out = df
+        for c in notnull:
+            out = out.where(c)
+        return out.select(*cols)
 
     def scan(self, p_lex: Optional[str] = None) -> DataFrame:
         """Pattern scan: bound predicate → single vertical partition

@@ -128,7 +128,7 @@ def test_path_star_unbound_zero_length_domain(store):
     # itself; answers = all terms (subjects ∪ objects)
     df = store.query(
         f"SELECT ?x WHERE {{ ?x <{EX}other>* ?x }}")
-    assert df.count() == 19  # all distinct terms in the graph
+    assert df.count() == 22  # all distinct terms in the graph
 
 
 def test_path_inverse_and_sequence(store):
