@@ -33,7 +33,12 @@ def _pair_key(df: DataFrame):
     return _key(df["src"]), _key(df["dst"])
 
 
-def compile_path(compiler, pp: A.PathPattern, graph_ctx):
+def compile_path(compiler, pp: A.PathPattern, graph_ctx,
+                 seeds: "Optional[DataFrame]" = None):
+    """``seeds`` (single TERM column ``src``): restrict closure evaluation
+    to these start nodes — the path analog of the reference's bound-prefix
+    index selection, supplied by the BGP compiler when the subject variable
+    is already bound by an earlier join operand."""
     from ..plans.compiler import Compiled, _const_term_col
 
     path, s, o = pp.path, pp.s, pp.o
@@ -44,6 +49,9 @@ def compile_path(compiler, pp: A.PathPattern, graph_ctx):
         if not isinstance(s, A.Var):
             rel = _seeded_closure(compiler, path.inner, graph_ctx,
                                   _const_df(compiler, s), include_zero)
+        elif seeds is not None:
+            rel = _seeded_closure(compiler, path.inner, graph_ctx,
+                                  seeds, include_zero)
         elif not isinstance(o, A.Var):
             inv = _relation(compiler, A.PInv(path.inner), graph_ctx)
             rel = _closure(compiler, inv, _const_df(compiler, o))

@@ -342,7 +342,19 @@ class Compiler:
 
         acc = compile_one(units[0])
         for u in units[1:]:
-            acc = self._join(acc, compile_one(u), "inner")
+            # closure paths whose subject is already bound: seed the BFS
+            # from the bound values instead of closing the whole relation
+            if (isinstance(u, A.PathPattern)
+                    and isinstance(u.path, (A.POneOrMore, A.PZeroOrMore))
+                    and isinstance(u.s, A.Var) and u.s.name in acc.vars
+                    and u.s.name in acc.certain):
+                from ..operators.paths import compile_path
+                seeds = acc.df.select(
+                    acc.df[u.s.name].alias("src")).distinct()
+                c = compile_path(self, u, graph_ctx, seeds=seeds)
+                acc = self._join(acc, c, "inner")
+            else:
+                acc = self._join(acc, compile_one(u), "inner")
             ready = [e for e in pending
                      if _expr_vars(e) <= acc.vars and not _find_exists(e)]
             if ready:
