@@ -576,6 +576,30 @@ class Compiler:
     def _c_Graph(self, n: A.Graph, graph_ctx) -> Compiled:
         return self.compile_pattern(n.inner, n.name)
 
+    # pluggable federation (J7): mirrors spareval's ServiceHandler
+    # (lib/spareval/src/service.rs) — a handler takes (spark, pattern)
+    # and returns a DataFrame with one TERM column per variable.
+    SERVICE_HANDLERS: Dict[str, "object"] = {}
+
+    @classmethod
+    def register_service_handler(cls, iri: str, handler) -> None:
+        cls.SERVICE_HANDLERS[iri] = handler
+
+    def _c_Service(self, n: A.Service, graph_ctx) -> Compiled:
+        if not isinstance(n.name, A.NamedNode):
+            raise NotImplementedError("variable SERVICE targets")
+        handler = self.SERVICE_HANDLERS.get(n.name.iri)
+        if handler is None:
+            if n.silent:  # SILENT: failure ⇒ single empty solution (§13.2)
+                df = self.spark.range(1).select(F.lit(1).alias("__unit"))
+                return Compiled(df, frozenset(), frozenset())
+            raise ValueError(
+                f"no service handler registered for <{n.name.iri}> "
+                "(Compiler.register_service_handler)")
+        df = handler(self.spark, n.inner)
+        names = frozenset(df.columns)
+        return Compiled(df, names, frozenset())
+
     def _c_Project(self, n: A.Project, graph_ctx) -> Compiled:
         inner = self.compile_pattern(n.inner, graph_ctx)
         cols = [(inner.df[v.name] if v.name in inner.vars else B.err())

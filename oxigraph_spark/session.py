@@ -35,6 +35,9 @@ def configure(spark: SparkSession) -> None:
     (the driver owns the session in ``__spark_entry__``)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # Spark 4 defaults to ANSI mode (errors throw); SPARQL's three-valued
+    # semantics need error-as-NULL for casts/overflow/division-by-zero
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     # Catalyst's PushDownPredicates inlines Project aliases into predicates
     # (PushPredicateThroughNonJoin.replaceAlias); through the compiler's
     # SSA temp-column chains that substitution is exponential and hangs the

@@ -1,0 +1,103 @@
+"""Unified RDF I/O dispatch (SURVEY.md §2.1 S7).
+
+Reference: ``lib/oxrdfio/src/{format,parser,serializer}.rs`` ·
+``RdfFormat``/``RdfParser``/``RdfSerializer`` facade.  Formats:
+
+- ``ntriples`` / ``nquads``: distributed line-based read/write (S2);
+- ``turtle``: READ-ONLY via a driver-side converter for small files
+  (Turtle's stateful prefixes aren't line-splittable; the distributed
+  path is N-Triples — convert once, then scale);
+- RDF/XML, JSON-LD, N3: not implemented (S4–S6 out of scope, flagged).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import List, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..model import terms as T
+
+FORMATS = ("ntriples", "nquads", "turtle")
+
+
+def load_rdf(spark: SparkSession, path: str, fmt: Optional[str] = None) -> DataFrame:
+    """Read an RDF file into a quads DataFrame (s, p, o, g)."""
+    fmt = fmt or guess_format(path)
+    if fmt == "ntriples":
+        from .ntriples import read_ntriples
+        return read_ntriples(spark, path, quads=False)
+    if fmt == "nquads":
+        from .ntriples import read_ntriples
+        return read_ntriples(spark, path, quads=True)
+    if fmt == "turtle":
+        return _read_turtle_small(spark, path)
+    raise NotImplementedError(
+        f"format {fmt!r}: only {FORMATS} supported (RDF/XML, JSON-LD, N3 "
+        "are out of scope — SURVEY.md §2.1 S4–S6)")
+
+
+def dump_rdf(df: DataFrame, path: str, fmt: str = "ntriples") -> None:
+    """Serialize quads to files (Store::dump_to_writer analog)."""
+    from .ntriples import write_ntriples
+    if fmt == "ntriples":
+        write_ntriples(df, path, quads=False)
+    elif fmt == "nquads":
+        write_ntriples(df, path, quads=True)
+    else:
+        raise NotImplementedError(f"serializer for {fmt!r}")
+
+
+def guess_format(path: str) -> str:
+    ext = os.path.splitext(path)[1].lower()
+    return {".nt": "ntriples", ".nq": "nquads", ".ttl": "turtle",
+            ".trig": "turtle"}.get(ext, "ntriples")
+
+
+# -- minimal driver-side Turtle reader (small files only) -------------------
+
+_TTL_PREFIX = re.compile(r"@prefix\s+([A-Za-z0-9_-]*):\s*<([^>]*)>\s*\.")
+
+
+def _read_turtle_small(spark: SparkSession, path: str,
+                       max_bytes: int = 64 << 20) -> DataFrame:
+    """Convert a SMALL Turtle file to triples driver-side, then
+    parallelize.  Supports prefixes, ``a``, ``;``/``,`` lists and plain
+    terms — not nested bnodes/collections (use N-Triples for those)."""
+    size = os.path.getsize(path)
+    if size > max_bytes:
+        raise ValueError(
+            f"turtle file {size >> 20} MiB > {max_bytes >> 20} MiB limit: "
+            "convert to N-Triples for the distributed path")
+    text = open(path, encoding="utf-8").read()
+    prefixes = dict(_TTL_PREFIX.findall(text))
+    body = _TTL_PREFIX.sub("", text)
+    from ..algebra.parser import Parser
+    # reuse the SPARQL triples grammar: a Turtle statement block is the
+    # same surface as a BGP with ground terms
+    p = Parser("{" + body + "}")
+    p.prefixes.update(prefixes)
+    pattern = p._group_graph_pattern()
+    from ..algebra import ast as A
+    triples: List[Tuple] = []
+    if isinstance(pattern, A.BGP):
+        from ..plans.compiler import _term_to_py
+
+        def ground(t):
+            # the SPARQL grammar surfaces Turtle bnodes as variables;
+            # in DATA they are blank node terms
+            return A.BlankNode(t.name) if isinstance(t, A.Var) else t
+
+        for tp in pattern.patterns:
+            if isinstance(tp, A.TriplePattern):
+                triples.append((_term_to_py(ground(tp.s)),
+                                _term_to_py(ground(tp.p)),
+                                _term_to_py(ground(tp.o)),
+                                (T.KIND_DEFAULT_GRAPH, "", None, None, None,
+                                 None, None, None, None)))
+    from pyspark.sql.types import StructField, StructType
+    schema = StructType([StructField(c, T.TERM_SCHEMA)
+                         for c in ("s", "p", "o", "g")])
+    return spark.createDataFrame(triples, schema)

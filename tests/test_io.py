@@ -1,0 +1,144 @@
+"""I/O layer tests: N-Triples roundtrip, quad store, results formats,
+RDF I/O facade, SERVICE handler."""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from oxigraph_spark.algebra import ast as A
+from oxigraph_spark.model import terms as T
+from oxigraph_spark.sources.ntriples import read_ntriples, write_ntriples
+from oxigraph_spark.sources.quad_store import ParquetQuadStore
+from oxigraph_spark.sources import results_io, rdf_io
+from oxigraph_spark.store import Store
+
+NT = """\
+<urn:ex:a> <urn:ex:p> <urn:ex:b> .
+<urn:ex:a> <urn:ex:name> "Alice" .
+<urn:ex:a> <urn:ex:note> "multi\\nline\\t\\"quoted\\"" .
+<urn:ex:a> <urn:ex:age> "42"^^<http://www.w3.org/2001/XMLSchema#integer> .
+<urn:ex:a> <urn:ex:label> "bonjour"@fr .
+_:b1 <urn:ex:p> <urn:ex:a> .
+# a comment line
+
+malformed junk line
+"""
+
+
+@pytest.fixture(scope="module")
+def nt_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("nt") / "data.nt"
+    p.write_text(NT)
+    return str(p)
+
+
+def test_ntriples_read(spark, nt_path):
+    df = read_ntriples(spark, nt_path)
+    rows = df.collect()
+    assert len(rows) == 6  # comment/blank/malformed dropped
+    by_pred = {r.p.lex: r for r in rows}
+    assert by_pred["urn:ex:name"].o.lex == "Alice"
+    assert by_pred["urn:ex:note"].o.lex == 'multi\nline\t"quoted"'
+    assert by_pred["urn:ex:age"].o.num == 42
+    assert by_pred["urn:ex:label"].o.lang == "fr"
+    assert by_pred["urn:ex:p"] is not None
+
+
+def test_ntriples_roundtrip(spark, nt_path, tmp_path):
+    df = read_ntriples(spark, nt_path)
+    out = str(tmp_path / "out_nt")
+    write_ntriples(df, out)
+    again = read_ntriples(spark, out + "/*.txt")
+    k1 = sorted(map(str, df.select(T.term_key(df["s"]).alias("a"),
+                                   T.term_key(df["p"]).alias("b"),
+                                   T.term_key(df["o"]).alias("c")).collect()))
+    k2 = sorted(map(str, again.select(T.term_key(again["s"]).alias("a"),
+                                      T.term_key(again["p"]).alias("b"),
+                                      T.term_key(again["o"]).alias("c")).collect()))
+    assert k1 == k2
+
+
+def test_quad_store_roundtrip_and_pruning(spark, nt_path, tmp_path):
+    df = read_ntriples(spark, nt_path)
+    path = str(tmp_path / "qstore")
+    ParquetQuadStore.write(df, path)
+    store = ParquetQuadStore(spark, path)
+    assert store.quads().count() == 6
+    one = store.scan("urn:ex:name")
+    assert one.count() == 1
+    # partition pruning visible in the plan
+    plan = one._jdf.queryExecution().executedPlan().treeString()
+    part_filters = plan.split("PartitionFilters: [", 1)[1]
+    assert part_filters.split("]")[0].find("p_part") >= 0
+
+
+def test_sparql_over_loaded_ntriples(spark, nt_path):
+    from oxigraph_spark.operators.update import MutableQuadSource
+    quads = read_ntriples(spark, nt_path)
+    store = Store(spark, MutableQuadSource(spark, quads))
+    df = store.query(
+        "SELECT ?n WHERE { <urn:ex:a> <urn:ex:name> ?n }")
+    assert [r.n.lex for r in df.collect()] == ["Alice"]
+
+
+def test_results_formats(spark, nt_path):
+    from oxigraph_spark.operators.update import MutableQuadSource
+    quads = read_ntriples(spark, nt_path)
+    store = Store(spark, MutableQuadSource(spark, quads))
+    df = store.query(
+        "SELECT ?n ?l WHERE { <urn:ex:a> <urn:ex:name> ?n . "
+        "OPTIONAL { <urn:ex:a> <urn:ex:label> ?l } }")
+    doc = results_io.to_json_document(df)
+    parsed = results_io.parse_json_results(doc)
+    assert parsed[0]["n"] == {"type": "literal", "value": "Alice"}
+    assert parsed[0]["l"] == {"type": "literal", "value": "bonjour",
+                              "xml:lang": "fr"}
+    xml = results_io.to_xml_document(df)
+    assert '<literal xml:lang="fr">bonjour</literal>' in xml
+    tsv = df.select(results_io.tsv_cell(df["n"]).alias("n")).collect()
+    assert tsv[0].n == '"Alice"'
+
+
+def test_turtle_small_reader(spark, tmp_path):
+    ttl = tmp_path / "d.ttl"
+    ttl.write_text("""
+@prefix ex: <urn:ex:> .
+ex:a a ex:Person ; ex:name "Alice" , "Alicia" .
+ex:b ex:knows ex:a .
+""")
+    df = rdf_io.load_rdf(spark, str(ttl), "turtle")
+    assert df.count() == 4
+    types = df.where(F.col("p.lex") == rdf_io.T.RDF + "type").count()
+    assert types == 1
+
+
+def test_service_handler(spark, nt_path):
+    from oxigraph_spark.operators.update import MutableQuadSource
+    from oxigraph_spark.plans.compiler import Compiler
+    quads = read_ntriples(spark, nt_path)
+    store = Store(spark, MutableQuadSource(spark, quads))
+
+    def handler(sp, pattern):
+        return sp.createDataFrame(
+            [((2, "remote", T.XSD_STRING, None, None, None, None, None,
+               None),)], "x struct<kind:tinyint,lex:string,datatype:string,"
+            "lang:string,num:decimal(38,18),dbl:double,ts:timestamp,"
+            "tz_min:smallint,bool:boolean>")
+
+    Compiler.register_service_handler("urn:svc:test", handler)
+    df = store.query("""
+        SELECT ?n ?x WHERE {
+          <urn:ex:a> <urn:ex:name> ?n .
+          SERVICE <urn:svc:test> { ?y <urn:p> ?x }
+        }""")
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0].x.lex == "remote"
+    # SILENT + unregistered endpoint → empty solution, query still works
+    df2 = store.query("""
+        SELECT ?n WHERE {
+          <urn:ex:a> <urn:ex:name> ?n .
+          SERVICE SILENT <urn:svc:missing> { ?y <urn:p> ?x }
+        }""")
+    assert df2.count() == 1

@@ -132,8 +132,9 @@ def test_path_star_unbound_zero_length_domain(store):
 
 
 def test_path_inverse_and_sequence(store):
+    # d3 ^next d2 (d2 next d3), d2 ^next d1 → walks the chain backwards
     df = store.query(
-        f"SELECT ?x WHERE {{ ?x (^<{EX}next>/^<{EX}next>) <{EX}d3> }}")
+        f"SELECT ?x WHERE {{ <{EX}d3> (^<{EX}next>/^<{EX}next>) ?x }}")
     assert names(df) == ["d1"]
 
 
@@ -141,8 +142,10 @@ def test_promotion_int_plus_double(store):
     df = store.query(f"""
         SELECT ?s ?r WHERE {{ ?s <{EX}val> ?v . BIND(?v + 1.5 AS ?r) }}""")
     rows = {r.s.lex.replace(EX, ""): r.r for r in df.collect()}
-    assert rows["v1"].datatype == T.XSD_DOUBLE and rows["v1"].dbl == 8.5
-    assert rows["v2"].dbl == 4.0
+    # "1.5" is xsd:decimal (§19: only exponent forms are double), so
+    # integer + decimal promotes to decimal; double operand wins for v2
+    assert rows["v1"].datatype == T.XSD_DECIMAL and float(rows["v1"].num) == 8.5
+    assert rows["v2"].datatype == T.XSD_DOUBLE and rows["v2"].dbl == 4.0
     assert rows["v3"] is None  # error → unbound
 
 
