@@ -336,6 +336,106 @@ def q_f_conditional(spark, sf):
     """, {"name": "str", "cls": "str"})
 
 
+def q_o5_reduced(spark, sf):
+    return _q(spark, sf, PFX + """
+        SELECT REDUCED ?prio WHERE { ?o o:o_orderpriority ?prio }
+    """, {"prio": "str"})
+
+
+def q_a5_sample(spark, sf):
+    # SAMPLE over singleton groups is deterministic (== the value)
+    return _q(spark, sf, PFX + """
+        SELECT ?r (SAMPLE(?name) AS ?picked) WHERE {
+          ?r r:r_name ?name .
+        } GROUP BY ?r
+    """, {"r": "str", "picked": "str"})
+
+
+def q_f_regex(spark, sf):
+    return _q(spark, sf, PFX + """
+        SELECT ?name WHERE {
+          ?c c:c_name ?name .
+          FILTER(REGEX(?name, "customer#0*1[0-9]$", "i"))
+        }
+    """, {"name": "str"})
+
+
+def q_f_in(spark, sf):
+    return _q(spark, sf, PFX + """
+        SELECT ?name ?seg WHERE {
+          ?c c:c_name ?name ; c:c_mktsegment ?seg .
+          FILTER(?seg IN ("BUILDING", "MACHINERY"))
+        }
+    """, {"name": "str", "seg": "str"})
+
+
+def q_f_strbefore_after(spark, sf):
+    return _q(spark, sf, PFX + """
+        SELECT ?name ?before ?after WHERE {
+          ?c c:c_name ?name .
+          BIND(STRBEFORE(?name, "#") AS ?before)
+          BIND(STRAFTER(?name, "#") AS ?after)
+        }
+    """, {"name": "str", "before": "str", "after": "str"})
+
+
+def q_q4_describe(spark, sf):
+    df = _store(spark, sf).query("DESCRIBE <urn:g:region/1>")
+    return df.select(F.col("s.lex").alias("subj"), F.col("p.lex").alias("pred"),
+                     F.col("o.lex").alias("obj"))
+
+
+def q_u_update(spark, sf):
+    """U1-U3: DELETE-INSERT-WHERE executed on a store copy, then count
+    segment triples — state after update is oracle-checkable."""
+    store = _store(spark, sf)
+    st2 = store.update(PFX + """
+        DELETE { ?c c:c_mktsegment ?s }
+        INSERT { ?c c:c_mktsegment "DEBTOR" }
+        WHERE  { ?c c:c_mktsegment ?s ; c:c_acctbal ?b . FILTER(?b < 0.0) }
+    """)
+    from oxigraph_spark.store import to_native
+    return to_native(st2.query(PFX + """
+        SELECT ?seg (COUNT(*) AS ?cnt) WHERE {
+          ?c c:c_mktsegment ?seg .
+        } GROUP BY ?seg
+    """), {"seg": "str", "cnt": "long"})
+
+
+_MORE_ORACLES = {
+    "O5_reduced": "SELECT DISTINCT o_orderpriority AS prio FROM orders",
+    "A5_sample": """
+        SELECT 'urn:g:region/' || r_regionkey AS r, r_name AS picked
+        FROM region""",
+    "F_regex": r"""
+        SELECT c_name AS name FROM customer
+        WHERE regexp_matches(c_name, 'customer#0*1[0-9]$', 'i')""",
+    "F_in": """
+        SELECT c_name AS name, c_mktsegment AS seg FROM customer
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')""",
+    "F_strbefore_after": """
+        SELECT c_name AS name,
+               CASE WHEN contains(c_name, '#')
+                    THEN substring(c_name, 1, strpos(c_name, '#') - 1)
+                    ELSE '' END AS before,
+               CASE WHEN contains(c_name, '#')
+                    THEN substring(c_name, strpos(c_name, '#') + 1)
+                    ELSE '' END AS after
+        FROM customer""",
+    "Q4_describe": """
+        SELECT 'urn:g:region/1' AS subj, p AS pred, o AS obj FROM (
+          SELECT 'urn:g:region#r_regionkey' AS p, CAST(r_regionkey AS VARCHAR) AS o
+          FROM region WHERE r_regionkey = 1
+          UNION ALL
+          SELECT 'urn:g:region#r_name', r_name FROM region WHERE r_regionkey = 1
+        )""",
+    "U_update": """
+        SELECT CASE WHEN c_acctbal < 0.0 THEN 'DEBTOR' ELSE c_mktsegment END
+                 AS seg, COUNT(*) AS cnt
+        FROM customer GROUP BY 1""",
+}
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline extension operators (SURVEY.md §2.11) — DataFrame-native
 # ---------------------------------------------------------------------------
@@ -740,6 +840,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "F_temporal": q_f_temporal,
         "F_hash": q_f_hash,
         "F_conditional": q_f_conditional,
+        "O5_reduced": q_o5_reduced,
+        "A5_sample": q_a5_sample,
+        "F_regex": q_f_regex,
+        "F_in": q_f_in,
+        "F_strbefore_after": q_f_strbefore_after,
+        "Q4_describe": q_q4_describe,
+        "U_update": q_u_update,
         # LLM-data-pipeline extensions (§2.11)
         "X_dedup_exact": q_x_dedup_exact,
         "X_dedup_minhash": q_x_dedup_minhash,
@@ -758,5 +865,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     out = dict(_ORACLES)
+    out.update(_MORE_ORACLES)
     out.update(_X_ORACLES)
     return out

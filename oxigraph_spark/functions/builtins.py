@@ -215,8 +215,8 @@ def _regex_pattern(pattern: Column, flags: Column = None) -> Column:
 
 def fn_regex(text: Column, pattern: Column, flags: Column = None) -> Column:
     ok = _is_stringish(text) & _is_plain_string(pattern)
-    return F.when(ok, bool_term(text["lex"].rlike(_regex_pattern(pattern, flags)))) \
-            .otherwise(err())
+    return F.when(ok, bool_term(F.regexp_like(
+        text["lex"], _regex_pattern(pattern, flags)))).otherwise(err())
 
 
 def fn_replace(text: Column, pattern: Column, repl: Column, flags: Column = None) -> Column:

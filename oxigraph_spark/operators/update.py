@@ -89,7 +89,10 @@ class MutableQuadSource:
 
     @classmethod
     def from_source(cls, spark: SparkSession, source) -> "MutableQuadSource":
-        return cls(spark, source.quads())
+        # materialize once: update execution pattern-scans the store many
+        # times (templates + WHERE + anti-joins); without this every scan
+        # re-reads the full per-predicate union from parquet
+        return cls(spark, source.quads().localCheckpoint())
 
     def scan(self, p_lex: Optional[str] = None) -> DataFrame:
         df = self.df
