@@ -490,6 +490,18 @@ def _query_vec(sf):
     return [float(x) for x in row.embedding]
 
 
+def q_x_embed_dedup(spark, sf):
+    """Embedding-cosine near-dup pairs via hyperplane LSH buckets
+    (rows-only: seeded-hash hyperplanes)."""
+    from oxigraph_spark.pipeline.dedup import embedding_cosine_pairs
+    from oxigraph_spark.sources.tables import load_table
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    both = emb.unionByName(emb.withColumn("vec_id", F.col("vec_id") + 1000000))
+    return embedding_cosine_pairs(both, "embedding", "vec_id",
+                                  threshold=0.999, planes=8) \
+        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+
+
 def q_x_simsearch_topk(spark, sf):
     from oxigraph_spark.pipeline.simsearch import brute_force_topk
     from oxigraph_spark.sources.tables import load_table
@@ -852,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "X_dedup_minhash": q_x_dedup_minhash,
         "X_dedup_ngram": q_x_dedup_ngram,
         "X_dedup_simhash": q_x_dedup_simhash,
+        "X_embed_dedup": q_x_embed_dedup,
         "X_simsearch_topk": q_x_simsearch_topk,
         "X_simsearch_lsh": q_x_simsearch_lsh,
         "X_text_stats": q_x_text_stats,
