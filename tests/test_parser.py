@@ -1,0 +1,138 @@
+"""Parser unit tests — pure Python, no SparkSession (fast)."""
+
+import pytest
+
+from oxigraph_spark.algebra import ast as A
+from oxigraph_spark.algebra.parser import ParseError, parse_query, parse_update
+
+
+def test_select_shapes():
+    q = parse_query("SELECT * WHERE { ?s ?p ?o }")
+    assert isinstance(q, A.SelectQuery)
+    assert isinstance(q.pattern, A.Project)
+
+
+def test_prefix_and_base():
+    q = parse_query("""
+        BASE <http://ex.org/>
+        PREFIX f: <http://ex.org/f#>
+        SELECT ?x WHERE { ?x f:p <rel> }""")
+    bgp = _find(q.pattern, A.BGP)
+    tp = bgp.patterns[0]
+    assert tp.p.iri == "http://ex.org/f#p"
+    assert tp.o.iri == "http://ex.org/rel"
+
+
+def test_numeric_literal_types():
+    q = parse_query("SELECT ?x WHERE { ?x ?p ?v . FILTER(?v > 3 || ?v > 3.5 || ?v > 3.5e2) }")
+    f = _find(q.pattern, A.Filter)
+    ops = []
+
+    def walk(e):
+        if isinstance(e, A.EOp):
+            for a in e.args:
+                walk(a)
+        if isinstance(e, A.ETerm) and isinstance(e.term, A.Literal):
+            ops.append(e.term.datatype.rsplit("#", 1)[1])
+    walk(f.expr)
+    assert ops == ["integer", "decimal", "double"]
+
+
+def test_negative_numbers_and_strings():
+    q = parse_query("""SELECT ?x WHERE {
+        ?x <urn:p> -5 ; <urn:q> 'a\\'s' ; <urn:r> \"\"\"long\nstring\"\"\"@en }""")
+    bgp = _find(q.pattern, A.BGP)
+    objs = [tp.o for tp in bgp.patterns]
+    assert objs[0].lex == "-5"
+    assert objs[1].lex == "a's"
+    assert objs[2].lang == "en" and "\n" in objs[2].lex
+
+
+def test_escapes_and_unicode():
+    q = parse_query(r'SELECT ?x WHERE { ?x <urn:p> "tab\there é" }')
+    bgp = _find(q.pattern, A.BGP)
+    assert bgp.patterns[0].o.lex == "tab\there é"
+
+
+def test_bnode_property_list_and_collections():
+    q = parse_query("SELECT ?x WHERE { ?x <urn:p> [ <urn:q> ( 1 2 ) ] }")
+    bgp = _find(q.pattern, A.BGP)
+    # [..] → 1 triple, plus collection desugars to 4 first/rest triples
+    assert len(bgp.patterns) == 6
+
+
+def test_path_precedence():
+    q = parse_query("ASK { ?x <urn:a>/<urn:b>|^<urn:c>+ ?y }")
+    pp = _find(q.pattern, A.PathPattern)
+    assert isinstance(pp.path, A.PAlt)
+    assert isinstance(pp.path.left, A.PSeq)
+    assert isinstance(pp.path.right, A.PInv)
+    assert isinstance(pp.path.right.inner, A.POneOrMore)
+
+
+def test_aggregate_hoisting():
+    q = parse_query("""
+        SELECT ?g (SUM(?v) + 1 AS ?s) WHERE { ?x <urn:g> ?g ; <urn:v> ?v }
+        GROUP BY ?g HAVING (COUNT(*) > 2) ORDER BY DESC(SUM(?v)) LIMIT 3""")
+    grp = _find(q.pattern, A.Group)
+    # SUM hoisted from projection + COUNT from HAVING + SUM from ORDER BY
+    assert len(grp.aggregates) == 3
+    assert isinstance(q.pattern, A.Slice)
+
+
+def test_implicit_group_for_bare_aggregate():
+    q = parse_query("SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o }")
+    grp = _find(q.pattern, A.Group)
+    assert grp.by == ()
+
+
+def test_values_undef():
+    q = parse_query("""SELECT ?a WHERE { VALUES (?a ?b) { (1 UNDEF) (UNDEF 2) } }""")
+    v = _find(q.pattern, A.Values)
+    assert v.rows[0][1] is None and v.rows[1][0] is None
+
+
+def test_nested_optional_filter_scope():
+    q = parse_query("""
+        SELECT ?x WHERE { ?x <urn:p> ?y OPTIONAL { ?y <urn:q> ?z FILTER(?z > ?y) } }""")
+    lj = _find(q.pattern, A.LeftJoin)
+    assert lj.expr is not None  # filter folded into the LeftJoin condition
+
+
+def test_update_forms():
+    ops = parse_update("""
+        PREFIX ex: <urn:ex:>
+        INSERT DATA { ex:a ex:p 1 . GRAPH ex:g { ex:b ex:q "x" } } ;
+        DELETE WHERE { ?s ex:gone ?o } ;
+        CLEAR NAMED ;
+        COPY DEFAULT TO ex:g2
+    """)
+    from oxigraph_spark.operators import update as U
+    assert isinstance(ops[0], U.InsertData) and len(ops[0].quads) == 2
+    assert ops[0].quads[1].g.iri == "urn:ex:g"
+    assert isinstance(ops[1], U.DeleteInsert) and ops[1].pattern is None
+    assert isinstance(ops[2], U.Clear) and ops[2].target == "NAMED"
+    assert isinstance(ops[3], U.CopyMoveAdd) and ops[3].src is None
+
+
+def test_errors_have_positions():
+    with pytest.raises(ParseError):
+        parse_query("SELECT ?x WHERE { ?x <urn:p ?y }")
+    with pytest.raises(ParseError):
+        parse_query("SELECT ?x WHERE { FILTER() }")
+
+
+def _find(node, cls):
+    """DFS for the first node of a class in the pattern tree."""
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, cls):
+            return n
+        for attr in ("inner", "left", "right", "pattern"):
+            child = getattr(n, attr, None)
+            if child is not None and not isinstance(child, (str, tuple)):
+                stack.append(child)
+        if isinstance(n, A.BGP):
+            stack.extend(n.patterns)
+    raise AssertionError(f"no {cls.__name__} found")
