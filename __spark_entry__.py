@@ -402,7 +402,56 @@ def q_u_update(spark, sf):
     """), {"seg": "str", "cnt": "long"})
 
 
+def q_pp5_zero_or_one(spark, sf):
+    return _q(spark, sf, PFX + """
+        SELECT ?x WHERE { <urn:g:nation/3> (n:ref_region)? ?x }
+    """, {"x": "str"})
+
+
+def q_pp8_negated(spark, sf):
+    return _q(spark, sf, PFX + """
+        SELECT ?o WHERE { <urn:g:nation/3> !(n:n_name|n:n_nationkey) ?o }
+    """, {"o": "str"})
+
+
+def q_e_events_sparql(spark, sf):
+    """SPARQL over the direct-mapped events table: temporal window filter
+    + aggregation — the stream table queried relationally."""
+    return _q(spark, sf, PFX + """
+        SELECT ?type (COUNT(*) AS ?cnt) WHERE {
+          ?e e:event_type ?type ; e:ts ?t .
+          FILTER(?t >= "2024-01-02T00:00:00"^^xsd:dateTime &&
+                 ?t < "2024-01-03T00:00:00"^^xsd:dateTime)
+        } GROUP BY ?type
+    """, {"type": "str", "cnt": "long"})
+
+
+def q_d_documents_sparql(spark, sf):
+    """SPARQL text analysis over direct-mapped documents."""
+    return _q(spark, sf, PFX + """
+        SELECT ?lang (COUNT(*) AS ?cnt) (MAX(?n) AS ?max_chars) WHERE {
+          ?d d:lang ?lang ; d:n_chars ?n ; d:text ?txt .
+          FILTER(CONTAINS(LCASE(?txt), "the"))
+        } GROUP BY ?lang
+    """, {"lang": "str", "cnt": "long", "max_chars": "long"})
+
+
 _MORE_ORACLES = {
+    "PP5_zero_or_one": """
+        SELECT 'urn:g:nation/3' AS x
+        UNION ALL
+        SELECT 'urn:g:region/' || n_regionkey FROM nation WHERE n_nationkey = 3""",
+    "PP8_negated": """
+        SELECT CAST(n_regionkey AS VARCHAR) AS o FROM nation WHERE n_nationkey = 3
+        UNION ALL
+        SELECT 'urn:g:region/' || n_regionkey FROM nation WHERE n_nationkey = 3""",
+    "E_events_sparql": """
+        SELECT event_type AS type, COUNT(*) AS cnt FROM events
+        WHERE ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-03'
+        GROUP BY 1""",
+    "D_documents_sparql": """
+        SELECT lang, COUNT(*) AS cnt, MAX(n_chars) AS max_chars
+        FROM documents WHERE contains(lower(text), 'the') GROUP BY 1""",
     "O5_reduced": "SELECT DISTINCT o_orderpriority AS prio FROM orders",
     "A5_sample": """
         SELECT 'urn:g:region/' || r_regionkey AS r, r_name AS picked
@@ -859,6 +908,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "F_strbefore_after": q_f_strbefore_after,
         "Q4_describe": q_q4_describe,
         "U_update": q_u_update,
+        "PP5_zero_or_one": q_pp5_zero_or_one,
+        "PP8_negated": q_pp8_negated,
+        "E_events_sparql": q_e_events_sparql,
+        "D_documents_sparql": q_d_documents_sparql,
         # LLM-data-pipeline extensions (§2.11)
         "X_dedup_exact": q_x_dedup_exact,
         "X_dedup_minhash": q_x_dedup_minhash,

@@ -201,8 +201,26 @@ def typed_lit(lex: ColumnOrName, datatype: str) -> Column:
         return term_struct(KIND_LITERAL, lexc, datatype=F.lit(datatype), bool_=b)
     if datatype in (XSD_DATETIME, XSD_DATE):
         return term_struct(KIND_LITERAL, lexc, datatype=F.lit(datatype),
-                           ts=F.to_timestamp(lexc.substr(F.lit(1), F.length(lexc))))
+                           ts=_parse_ts(lexc), tz_min=_parse_tz_min(lexc))
     return term_struct(KIND_LITERAL, lexc, datatype=F.lit(datatype))
+
+
+def _parse_tz_min(lex: Column) -> Column:
+    """Per-value optional timezone (reference: oxsdatatypes
+    ``TimezoneOffset``): minutes east of UTC, NULL when tz-less."""
+    z = F.regexp_extract(lex, r"(Z|[+-]\d{2}:\d{2})$", 1)
+    sign = F.when(z.startswith("-"), F.lit(-1)).otherwise(F.lit(1))
+    hh = F.substring(z, 2, 2).cast("int")
+    mm = F.substring(z, 5, 2).cast("int")
+    return (F.when(z == "Z", F.lit(0))
+             .when(z != "", sign * (hh * 60 + mm))
+             .otherwise(F.lit(None))).cast("smallint")
+
+
+def _parse_ts(lex: Column) -> Column:
+    """dateTime lexical form → UTC-normalized instant (offset applied;
+    tz-less forms read as UTC — session tz is pinned to UTC)."""
+    return F.to_timestamp(lex)
 
 
 def make_typed(lex: Column, datatype: Column) -> Column:
@@ -214,9 +232,10 @@ def make_typed(lex: Column, datatype: Column) -> Column:
     b = F.when(datatype == XSD_BOOLEAN,
                F.when(lex.isin("true", "1"), F.lit(True))
                 .when(lex.isin("false", "0"), F.lit(False)))
-    ts = F.when(datatype.isin(XSD_DATETIME, XSD_DATE), F.to_timestamp(lex))
+    ts = F.when(datatype.isin(XSD_DATETIME, XSD_DATE), _parse_ts(lex))
+    tz = F.when(datatype.isin(XSD_DATETIME, XSD_DATE), _parse_tz_min(lex))
     return term_struct(KIND_LITERAL, lex, datatype=datatype,
-                       num=num, dbl=dbl, ts=ts, bool_=b)
+                       num=num, dbl=dbl, ts=ts, tz_min=tz, bool_=b)
 
 
 # -- predicates over terms --------------------------------------------------

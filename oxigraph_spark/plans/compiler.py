@@ -43,6 +43,18 @@ class Compiled:
     df: DataFrame
     vars: frozenset
     certain: frozenset  # subset of vars that can never be NULL
+    # per-variable static value class (kernels.VC_*) where GUARANTEED for
+    # every non-error binding — sparopt type_inference port (§4.2.3);
+    # inferred from direct-mapping column types at pattern scans and
+    # propagated through joins/unions/extends
+    stypes: "dict" = None
+    ntypes: "dict" = None   # numeric subtype per var where guaranteed
+
+    def __post_init__(self):
+        if self.stypes is None:
+            object.__setattr__(self, "stypes", {})
+        if self.ntypes is None:
+            object.__setattr__(self, "ntypes", {})
 
 
 # -- static value-class inference (SURVEY.md §4.2.3, port of the idea in
@@ -63,9 +75,11 @@ _INT_NFNS = {"STRLEN", "YEAR", "MONTH", "DAY", "HOURS", "MINUTES"}
 _PRESERVE_NFNS = {"ABS", "CEIL", "FLOOR", "ROUND"}
 
 
-def ntype_of(e) -> Optional[str]:
+def ntype_of(e, env_nt: Optional[dict] = None) -> Optional[str]:
     """Static numeric subtype ('integer' | 'decimal' | 'double' | None).
     Only meaningful when stype_of(e) == VC_NUMERIC."""
+    if isinstance(e, A.EVar):
+        return (env_nt or {}).get(e.name)
     if isinstance(e, A.ETerm) and isinstance(e.term, A.Literal):
         dt = e.term.datatype or ""
         if dt in T.INTEGER_DATATYPES:
@@ -78,7 +92,7 @@ def ntype_of(e) -> Optional[str]:
     if isinstance(e, A.EOp) and e.op in ("+", "-", "*", "/", "u-", "u+"):
         if e.op in ("u-", "u+"):
             return ntype_of(e.args[0])
-        na, nb = ntype_of(e.args[0]), ntype_of(e.args[1])
+        na, nb = ntype_of(e.args[0], env_nt), ntype_of(e.args[1], env_nt)
         if na == "double" or nb == "double":
             return "double"
         if na in ("integer", "decimal") and nb in ("integer", "decimal"):
@@ -95,7 +109,7 @@ def ntype_of(e) -> Optional[str]:
         if n == "RAND":
             return "double"
         if n in _PRESERVE_NFNS and e.args:
-            return ntype_of(e.args[0])
+            return ntype_of(e.args[0], env_nt)
         if n == T.XSD_INTEGER:
             return "integer"
         if n == T.XSD_DECIMAL:
@@ -105,10 +119,13 @@ def ntype_of(e) -> Optional[str]:
     return None
 
 
-def stype_of(e) -> Optional[int]:
+def stype_of(e, env_st: Optional[dict] = None) -> Optional[int]:
     """Static value class of an expression result (None = unknown).
     The contract: when the expression evaluates without error, its term is
-    of this class; on error the term is NULL (all payload fields NULL)."""
+    of this class; on error the term is NULL (all payload fields NULL).
+    ``env_st`` supplies per-variable classes inferred from scan positions."""
+    if isinstance(e, A.EVar):
+        return (env_st or {}).get(e.name)
     if isinstance(e, A.ETerm):
         t = e.term
         if isinstance(t, (A.NamedNode, A.BlankNode)):
@@ -153,13 +170,13 @@ def stype_of(e) -> Optional[int]:
             if n in (T.XSD_DATETIME, T.XSD_DATE):
                 return K.VC_DATETIME
         if n == "IF":
-            a, b = stype_of(e.args[1]), stype_of(e.args[2])
+            a, b = stype_of(e.args[1], env_st), stype_of(e.args[2], env_st)
             return a if a == b else None
         if n == "COALESCE":
-            sts = {stype_of(a) for a in e.args}
+            sts = {stype_of(a, env_st) for a in e.args}
             return sts.pop() if len(sts) == 1 else None
         return None
-    return None  # EVar: unknown (per-variable inference is future work)
+    return None
 
 
 def _true() -> Column:
@@ -188,6 +205,44 @@ class _Precompiled:
 
     def __init__(self, compiled: "Compiled"):
         self.compiled = compiled
+
+
+def _merge_types(lv, lt, rv, rt) -> dict:
+    """Merge per-var type dicts across a join/union: a guarantee survives
+    only if every side that can bind the var gives the same class."""
+    out = {}
+    for v in lv | rv:
+        a = lt.get(v) if v in lv else None
+        b = rt.get(v) if v in rv else None
+        if v in lv and v in rv:
+            if a is not None and a == b:
+                out[v] = a
+        elif v in lv:
+            if a is not None:
+                out[v] = a
+        else:
+            if b is not None:
+                out[v] = b
+    return out
+
+
+def _leaf(e) -> bool:
+    return isinstance(e, (A.EVar, A.ETerm, A.EExists))
+
+
+def _inline_ok(e) -> bool:
+    """True when an expression may compose inline instead of becoming an
+    SSA temp column: leaves, and single-level ops over leaves (typed
+    kernels keep those to ~10²  nodes — one inlining level cannot compound,
+    deeper levels still get opaque temps)."""
+    if _leaf(e):
+        return True
+    if isinstance(e, A.EOp) and all(_leaf(a) for a in e.args):
+        return True
+    if isinstance(e, A.ECall) and e.args and all(_leaf(a) for a in e.args):
+        n = e.name.upper() if not e.name.startswith("http") else e.name
+        return n not in ("IF", "COALESCE")  # keep lazy forms materialized
+    return False
 
 
 def _split_and(e: A.Expression) -> List[A.Expression]:
@@ -229,6 +284,18 @@ class Compiler:
         self.now = datetime.now(timezone.utc)  # NOW() fixed per query (§2.7)
         self._counter = itertools.count()
         self._exists_markers: Dict[int, str] = {}
+        self._env_st: Dict[str, int] = {}
+        self._env_nt: Dict[str, str] = {}
+
+    def _set_type_env(self, c: "Compiled") -> None:
+        self._env_st = dict(c.stypes)
+        self._env_nt = dict(c.ntypes)
+
+    def _stype(self, e) -> Optional[int]:
+        return stype_of(e, self._env_st)
+
+    def _ntype(self, e) -> Optional[str]:
+        return ntype_of(e, self._env_nt)
 
     # ------------------------------------------------------------------
     # entry points
@@ -295,7 +362,23 @@ class Compiler:
         out = df.select(*[c.alias(v) for v, c in sel.items()]) if sel \
             else df.select(F.lit(1).alias("__unit"))
         names = frozenset(sel)
-        return Compiled(out, names, names)
+        st: Dict[str, int] = {}
+        nt: Dict[str, str] = {}
+        if isinstance(tp.s, A.Var) and tp.s.name in sel:
+            st[tp.s.name] = K.VC_NONLIT  # subjects are IRIs/bnodes
+        if isinstance(tp.p, A.Var) and tp.p.name in sel:
+            st[tp.p.name] = K.VC_NONLIT
+        if isinstance(graph_ctx, A.Var):
+            st[graph_ctx.name] = K.VC_NONLIT
+        if p_lex is not None and isinstance(tp.o, A.Var):
+            pt = getattr(self.source, "pred_types", None)
+            if pt is not None:
+                vc, nsub = pt(p_lex)
+                if vc is not None:
+                    st[tp.o.name] = vc
+                if nsub is not None:
+                    nt[tp.o.name] = nsub
+        return Compiled(out, names, names, st, nt)
 
     def _graph_filter(self, df: DataFrame, graph_ctx) -> DataFrame:
         if graph_ctx is None:
@@ -395,7 +478,17 @@ class Compiler:
             sel = [df["s"].alias(svar)] + [
                 df[f"o{i}"].alias(v) for i, v in enumerate(ovars)]
             names = frozenset([svar] + ovars)
-            compiled.append(Compiled(df.select(*sel), names, names))
+            st: Dict[str, int] = {svar: K.VC_NONLIT}
+            nt: Dict[str, str] = {}
+            pt = getattr(self.source, "pred_types", None)
+            if pt is not None:
+                for tp in tps:
+                    vc, nsub = pt(tp.p.iri)
+                    if vc is not None:
+                        st[tp.o.name] = vc
+                    if nsub is not None:
+                        nt[tp.o.name] = nsub
+            compiled.append(Compiled(df.select(*sel), names, names, st, nt))
         return compiled, loose
 
     def _apply_conjuncts(self, c: Compiled,
@@ -463,6 +556,10 @@ class Compiler:
         for v in r.vars - l.vars:
             env[v] = rdf[v]
         if extra_expr is not None:
+            # type env must reflect THIS join's operands (stale env from a
+            # previous expression site could claim wrong value classes)
+            self._env_st = _merge_types(l.vars, l.stypes, r.vars, r.stypes)
+            self._env_nt = _merge_types(l.vars, l.ntypes, r.vars, r.ntypes)
             cond_expr = K.ebv(self.compile_expr(extra_expr, env))
             conds.append(F.coalesce(cond_expr, F.lit(False)))
 
@@ -470,7 +567,7 @@ class Compiler:
         joined = l.df.join(rdf, cond, how)
 
         if how in ("leftsemi", "leftanti"):
-            return Compiled(joined, l.vars, l.certain)
+            return Compiled(joined, l.vars, l.certain, l.stypes, l.ntypes)
 
         out_cols = [env[v].alias(v) for v in sorted(l.vars | r.vars)]
         if not out_cols:
@@ -482,7 +579,9 @@ class Compiler:
             certain = l.certain
         else:
             certain = frozenset()
-        return Compiled(out, l.vars | r.vars, certain)
+        st = _merge_types(l.vars, l.stypes, r.vars, r.stypes)
+        nt = _merge_types(l.vars, l.ntypes, r.vars, r.ntypes)
+        return Compiled(out, l.vars | r.vars, certain, st, nt)
 
     def _c_Join(self, n: A.Join, graph_ctx) -> Compiled:
         return self._join(self.compile_pattern(n.left, graph_ctx),
@@ -517,7 +616,7 @@ class Compiler:
             & reduce(lambda a, b: a | b, overlap)
         out = l.df.join(rdf.select(*[ren[v] for v in shared]).distinct(),
                         cond, "leftanti")
-        return Compiled(out, l.vars, l.certain)
+        return Compiled(out, l.vars, l.certain, l.stypes, l.ntypes)
 
     def _c_Union_(self, n: A.Union_, graph_ctx) -> Compiled:
         l = self.compile_pattern(n.left, graph_ctx)
@@ -530,7 +629,9 @@ class Compiler:
             rdf = rdf.withColumn(v, B.err())
         out = ldf.unionByName(rdf.select(*ldf.columns))
         certain = (l.certain & r.certain)
-        return Compiled(out, lv | rv, certain)
+        st = _merge_types(lv, l.stypes, rv, r.stypes)
+        nt = _merge_types(lv, l.ntypes, rv, r.ntypes)
+        return Compiled(out, lv | rv, certain, st, nt)
 
     # -- unary operators -----------------------------------------------
 
@@ -541,17 +642,20 @@ class Compiler:
                 return self._c_BGP(n.inner, graph_ctx, pending=conjs)
         inner = self.compile_pattern(n.inner, graph_ctx)
         inner, env, markers = self._attach_exists(inner, n.expr, graph_ctx)
+        self._set_type_env(inner)
         df, cond, temps = self.compile_expr_ssa(inner.df, n.expr, env)
-        flag = F.coalesce(K.ebv_typed(cond, stype_of(n.expr)), F.lit(False))
+        flag = F.coalesce(K.ebv_typed(cond, self._stype(n.expr)), F.lit(False))
         df = df.where(flag)
         drop = markers + temps
         if drop:
             df = df.drop(*drop)
-        return Compiled(df, inner.vars, inner.certain)
+        return Compiled(df, inner.vars, inner.certain,
+                        inner.stypes, inner.ntypes)
 
     def _c_Extend(self, n: A.Extend, graph_ctx) -> Compiled:
         inner = self.compile_pattern(n.inner, graph_ctx)
         inner, env, markers = self._attach_exists(inner, n.expr, graph_ctx)
+        self._set_type_env(inner)
         df, col, temps = self.compile_expr_ssa(inner.df, n.expr, env)
         if not isinstance(n.expr, (A.EVar, A.ETerm)):
             col = _opaque(col)
@@ -559,7 +663,15 @@ class Compiler:
         drop = markers + temps
         if drop:
             df = df.drop(*drop)
-        return Compiled(df, inner.vars | {n.var.name}, inner.certain)
+        st = dict(inner.stypes)
+        nt = dict(inner.ntypes)
+        vt = self._stype(n.expr)
+        if vt is not None:
+            st[n.var.name] = vt
+        vn = self._ntype(n.expr)
+        if vn is not None:
+            nt[n.var.name] = vn
+        return Compiled(df, inner.vars | {n.var.name}, inner.certain, st, nt)
 
     def _c_Values(self, n: A.Values, graph_ctx) -> Compiled:
         from pyspark.sql.types import StructField, StructType
@@ -606,7 +718,9 @@ class Compiler:
                 .alias(v.name) for v in n.vars]
         names = frozenset(v.name for v in n.vars)
         return Compiled(inner.df.select(*cols), names,
-                        inner.certain & names)
+                        inner.certain & names,
+                        {k: v for k, v in inner.stypes.items() if k in names},
+                        {k: v for k, v in inner.ntypes.items() if k in names})
 
     def _c_Distinct(self, n: A.Distinct, graph_ctx) -> Compiled:
         inner = self.compile_pattern(n.inner, graph_ctx)
@@ -629,6 +743,7 @@ class Compiler:
     def _c_OrderBy(self, n: A.OrderBy, graph_ctx) -> Compiled:
         inner = self.compile_pattern(n.inner, graph_ctx)
         env = {v: inner.df[v] for v in inner.vars}
+        self._set_type_env(inner)
         df = inner.df
         sort_cols = []
         temps: List[str] = []
@@ -648,6 +763,7 @@ class Compiler:
         inner = self.compile_pattern(n.inner, graph_ctx)
         df = inner.df
         env = {v: df[v] for v in inner.vars}
+        self._set_type_env(inner)
 
         # pre-compute aggregate input expressions as columns
         pre_cols = list(df.columns)
@@ -671,7 +787,23 @@ class Compiler:
             out_cols.append(_agg_finalize(gdf, var.name, agg).alias(var.name))
         out = gdf.select(*out_cols)
         names = frozenset(group_cols) | frozenset(v.name for v, _ in n.aggregates)
-        return Compiled(out, names, frozenset(group_cols) & inner.certain)
+        st = {k: v for k, v in inner.stypes.items() if k in group_cols}
+        nt = {k: v for k, v in inner.ntypes.items() if k in group_cols}
+        for var, agg in n.aggregates:
+            k = agg.name.upper()
+            if k == "COUNT":
+                st[var.name] = K.VC_NUMERIC
+                nt[var.name] = "integer"
+            elif k in ("SUM", "AVG"):
+                st[var.name] = K.VC_NUMERIC
+            elif k == "GROUP_CONCAT":
+                st[var.name] = K.VC_STRING
+            elif k in ("MIN", "MAX", "SAMPLE") and isinstance(agg.expr, A.EVar):
+                if agg.expr.name in inner.stypes:
+                    st[var.name] = inner.stypes[agg.expr.name]
+                if agg.expr.name in inner.ntypes:
+                    nt[var.name] = inner.ntypes[agg.expr.name]
+        return Compiled(out, names, frozenset(group_cols) & inner.certain, st, nt)
 
     # -- EXISTS handling ------------------------------------------------
 
@@ -736,7 +868,7 @@ class Compiler:
 
             def arg_col(df: DataFrame, a: A.Expression) -> Tuple[DataFrame, Column]:
                 df, c = rec(df, a)
-                if isinstance(a, (A.EVar, A.ETerm, A.EExists)):
+                if _inline_ok(a):
                     return df, c
                 name = self._fresh("x")
                 temps.append(name)
@@ -774,7 +906,7 @@ class Compiler:
             df, c = arg_col(df, a)
             cols.append(c)
         if name == "IF":
-            c = K.ebv_typed(cols[0], stype_of(e.args[0]))
+            c = K.ebv_typed(cols[0], self._stype(e.args[0]))
             return df, F.when(c, cols[1]).when(~c, cols[2]).otherwise(B.err())
         if name == "COALESCE":
             return df, F.coalesce(*cols, B.err())
@@ -787,7 +919,7 @@ class Compiler:
 
     def _apply_op(self, op: str, args: List[Column],
                   asts: Optional[Tuple] = None) -> Column:
-        sts = [stype_of(a) for a in asts] if asts is not None \
+        sts = [self._stype(a) for a in asts] if asts is not None \
             else [None] * len(args)
         if op in ("&&", "||"):
             a = K.ebv_typed(args[0], sts[0])
@@ -804,7 +936,7 @@ class Compiler:
         if op in ("+", "-", "*", "/"):
             if asts is not None:
                 return K.arith_typed(op, args[0], args[1],
-                                     ntype_of(asts[0]), ntype_of(asts[1]))
+                                     self._ntype(asts[0]), self._ntype(asts[1]))
             return K.arith(op, args[0], args[1])
         if op == "u-":
             return K.neg(args[0])

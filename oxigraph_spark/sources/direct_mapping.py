@@ -154,6 +154,30 @@ class DirectMappingSource:
             raise ValueError("no tables mapped")
         return out
 
+    def pred_types(self, p_lex: str):
+        """(value_class, numeric_subtype) guaranteed for objects of this
+        predicate, derived from the source column type — feeds the
+        compiler's per-variable type inference (SURVEY.md §4.2.3)."""
+        from ..functions import kernels as K
+        info = self._pred_info.get(p_lex)
+        if info is None:
+            return (None, None)
+        t, col, target = info
+        if target is not None:
+            return (K.VC_NONLIT, None)
+        dt = dict(self._raw[t].dtypes)[col].lower()
+        if dt in ("bigint", "int", "smallint", "tinyint"):
+            return (K.VC_NUMERIC, "integer")
+        if dt in ("double", "float"):
+            return (K.VC_NUMERIC, "double")
+        if dt == "string":
+            return (K.VC_STRING, None)
+        if dt in ("timestamp", "timestamp_ntz"):
+            return (K.VC_DATETIME, None)
+        if dt == "boolean":
+            return (K.VC_BOOLEAN, None)
+        return (None, None)
+
     def star_scan(self, p_lexes) -> Optional[DataFrame]:
         """Single-scan star group (property-table optimization, à la the
         S2RDF/property-table literature): if every predicate maps to the

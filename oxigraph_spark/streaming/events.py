@@ -22,13 +22,23 @@ from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
 def stream_events(spark: SparkSession, sf_dir: str,
                   max_files_per_trigger: int = 1) -> DataFrame:
     """events.parquet replayed as a file-source stream."""
-    import os
     from ..sources.tables import load_table
-    schema = load_table(spark, sf_dir, "events").schema
-    return (spark.readStream
-            .schema(schema)
-            .option("maxFilesPerTrigger", max_files_per_trigger)
-            .parquet(os.path.join(sf_dir, "events.parquet")))
+    batch = load_table(spark, sf_dir, "events")
+    # the streaming file source requires a DIRECTORY; select the events
+    # file from the sf dir via glob filter, and reapply the nano→micro
+    # timestamp conversion (schema must match the raw file: ts is long)
+    raw_schema = spark.read.option("pathGlobFilter", "events.parquet") \
+        .parquet(sf_dir).schema
+    stream = (spark.readStream
+              .schema(raw_schema)
+              .option("pathGlobFilter", "events.parquet")
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(sf_dir))
+    for f in raw_schema.fields:
+        if f.name == "ts" and f.dataType.simpleString() == "bigint":
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+    return stream
 
 
 def with_watermark(df: DataFrame, delay: str = "10 minutes") -> DataFrame:
@@ -89,8 +99,10 @@ def _duration_seconds(s: str) -> int:
     return int(n) * mult
 
 
-STATE_SCHEMA = StructType([StructField("user_id", LongType()),
-                           StructField("running_sum", DoubleType()),
+OUT_SCHEMA = StructType([StructField("user_id", LongType()),
+                         StructField("running_sum", DoubleType()),
+                         StructField("n", LongType())])
+STATE_SCHEMA = StructType([StructField("total", DoubleType()),
                            StructField("n", LongType())])
 
 
@@ -118,5 +130,5 @@ def stateful_running_sum(events: DataFrame, timeout_minutes: int = 30) -> DataFr
                             "n": [n]})
 
     return (events.groupBy("user_id")
-            .applyInPandasWithState(update, STATE_SCHEMA, STATE_SCHEMA,
+            .applyInPandasWithState(update, OUT_SCHEMA, STATE_SCHEMA,
                                     "update", GroupStateTimeout.ProcessingTimeTimeout))

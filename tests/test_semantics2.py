@@ -1,0 +1,137 @@
+"""Micro-fixtures round 2 (FIXTURES.md §4): fx_strings (lang rules),
+fx_temporal (tz), fx_agg (error groups), fx_graphs (named graphs)."""
+
+import pytest
+
+from oxigraph_spark.algebra import ast as A
+from oxigraph_spark.model import terms as T
+from tests.test_semantics import quads_store, iri, lit, integer, dbl
+
+EX = "urn:ex:"
+
+
+@pytest.fixture(scope="module")
+def store(spark):
+    triples = [
+        # fx_strings
+        (iri("s1"), iri("label"), lit("hello", lang="en")),
+        (iri("s2"), iri("label"), lit("howdy", lang="en-US")),
+        (iri("s3"), iri("label"), lit("bonjour", lang="fr")),
+        (iri("s4"), iri("label"), lit("plain")),
+        (iri("s5"), iri("label"), lit("Ünïcödé")),
+        # fx_agg: g1 all numeric, g2 contains a non-numeric → SUM errors
+        (iri("a1"), iri("grp"), lit("g1")), (iri("a1"), iri("v"), integer(1)),
+        (iri("a2"), iri("grp"), lit("g1")), (iri("a2"), iri("v"), integer(2)),
+        (iri("a3"), iri("grp"), lit("g2")), (iri("a3"), iri("v"), integer(3)),
+        (iri("a4"), iri("grp"), lit("g2")), (iri("a4"), iri("v"), lit("oops")),
+    ]
+    return quads_store(spark, triples)
+
+
+def test_langmatches(store):
+    df = store.query(f"""
+        SELECT ?s WHERE {{ ?s <{EX}label> ?l .
+          FILTER(LANGMATCHES(LANG(?l), "en")) }}""")
+    got = sorted(r.s.lex[-2:] for r in df.collect())
+    assert got == ["s1", "s2"]  # en and en-US both match range "en"
+    df2 = store.query(f"""
+        SELECT ?s WHERE {{ ?s <{EX}label> ?l .
+          FILTER(LANGMATCHES(LANG(?l), "*")) }}""")
+    assert df2.count() == 3  # any language-tagged literal
+
+
+def test_argument_compatibility(store):
+    # CONTAINS("plain", "bonjour"@fr) → error (lang arg vs plain) → dropped
+    df = store.query(f"""
+        SELECT ?s WHERE {{ ?s <{EX}label> ?l .
+          FILTER(CONTAINS(?l, "o"@fr)) }}""")
+    got = sorted(r.s.lex[-2:] for r in df.collect())
+    assert got == ["s3"]  # only fr-tagged "bonjour" is compatible + contains o
+
+
+def test_strlang_strdt_lang_accessors(store):
+    df = store.query(f"""
+        SELECT ?tagged ?typed WHERE {{
+          BIND(STRLANG("hi", "EN") AS ?tagged)
+          BIND(STRDT("5", <http://www.w3.org/2001/XMLSchema#integer>) AS ?typed)
+        }}""")
+    r = df.collect()[0]
+    assert r.tagged.lang == "en"          # tag normalized to lowercase
+    assert r.typed.num == 5               # payload derived dynamically
+
+
+def test_unicode_case_and_substr(store):
+    df = store.query(f"""
+        SELECT ?u ?sub WHERE {{ <{EX}s5> <{EX}label> ?l .
+          BIND(UCASE(?l) AS ?u) BIND(SUBSTR(?l, 2, 3) AS ?sub) }}""")
+    r = df.collect()[0]
+    assert r.u.lex == "ÜNÏCÖDÉ"
+    assert r.sub.lex == "nïc"  # 1-based, codepoint semantics
+
+
+def test_sum_error_group_is_unbound(store):
+    df = store.query(f"""
+        SELECT ?g (SUM(?v) AS ?sum) (COUNT(?v) AS ?cnt) WHERE {{
+          ?x <{EX}grp> ?g ; <{EX}v> ?v .
+        }} GROUP BY ?g""")
+    rows = {r.g.lex: (r.sum, r.cnt.num) for r in df.collect()}
+    assert rows["g1"][0].num == 3 and rows["g1"][1] == 2
+    assert rows["g2"][0] is None          # "oops" → aggregation error
+    assert rows["g2"][1] == 2             # COUNT counts non-error evals
+
+
+def test_min_max_cross_type(store):
+    df = store.query(f"""
+        SELECT (MIN(?v) AS ?mn) (MAX(?v) AS ?mx) WHERE {{
+          ?x <{EX}v> ?v . }}""")
+    r = df.collect()[0]
+    assert r.mn.num == 1                  # numerics order before strings
+    assert r.mx.lex == "oops"             # string class sorts above numeric
+
+
+def test_named_graphs_via_update(spark):
+    st = quads_store(spark, [(iri("x"), iri("p"), integer(1))])
+    st2 = st.update(f"""
+        INSERT DATA {{ GRAPH <{EX}g1> {{ <{EX}x> <{EX}p> 2 }}
+                       GRAPH <{EX}g2> {{ <{EX}y> <{EX}p> 3 }} }}
+    """)
+    # default graph unchanged
+    assert st2.query(f"SELECT ?o WHERE {{ ?s <{EX}p> ?o }}").count() == 1
+    # named graph pattern
+    df = st2.query(f"SELECT ?o WHERE {{ GRAPH <{EX}g1> {{ ?s <{EX}p> ?o }} }}")
+    assert [r.o.num for r in df.collect()] == [2]
+    # variable graph binds graph names, excludes default
+    df2 = st2.query(f"SELECT ?g ?o WHERE {{ GRAPH ?g {{ ?s <{EX}p> ?o }} }}")
+    got = sorted((r.g.lex, int(r.o.num)) for r in df2.collect())
+    assert got == [(f"{EX}g1", 2), (f"{EX}g2", 3)]
+    # graph var join: same graph must hold both triples
+    st3 = st2.update(f"INSERT DATA {{ GRAPH <{EX}g1> {{ <{EX}x> <{EX}q> 9 }} }}")
+    df3 = st3.query(
+        f"SELECT ?g WHERE {{ GRAPH ?g {{ ?s <{EX}p> ?o . ?s <{EX}q> ?o2 }} }}")
+    assert [r.g.lex for r in df3.collect()] == [f"{EX}g1"]
+
+
+def test_temporal_timezones(spark):
+    triples = [
+        (iri("t1"), iri("at"), A.Literal("2024-03-01T12:00:00+05:30",
+                                         datatype=T.XSD_DATETIME)),
+        (iri("t2"), iri("at"), A.Literal("2024-03-01T06:30:00Z",
+                                         datatype=T.XSD_DATETIME)),
+        (iri("t3"), iri("at"), A.Literal("2024-03-01T06:30:00",
+                                         datatype=T.XSD_DATETIME)),
+    ]
+    st = quads_store(spark, triples)
+    # t1 and t2 denote the same instant → equal; TZ()/TIMEZONE() differ
+    df = st.query(f"""
+        SELECT ?s ?tz ?dur ?h WHERE {{ ?s <{EX}at> ?d .
+          BIND(TZ(?d) AS ?tz) BIND(TIMEZONE(?d) AS ?dur)
+          BIND(HOURS(?d) AS ?h) }}""")
+    rows = {r.s.lex[-2:]: r for r in df.collect()}
+    assert rows["t1"].tz.lex == "+05:30"
+    assert rows["t1"].dur.lex == "PT5H30M"
+    assert rows["t2"].tz.lex == "Z" and rows["t2"].dur.lex == "PT0M"
+    assert rows["t3"].tz.lex == "" and rows["t3"].dur is None  # tz-less → error
+    # instant comparison across offsets
+    eq = st.query(f"""
+        ASK {{ <{EX}t1> <{EX}at> ?a . <{EX}t2> <{EX}at> ?b . FILTER(?a = ?b) }}""")
+    assert eq.count() == 1
