@@ -194,7 +194,7 @@ def typed_lit(lex: ColumnOrName, datatype: str) -> Column:
                            num=lexc.cast(DECIMAL_T))
     if datatype in (XSD_FLOAT, XSD_DOUBLE):
         return term_struct(KIND_LITERAL, lexc, datatype=F.lit(datatype),
-                           dbl=lexc.cast("double"))
+                           dbl=_xsd_double(lexc))
     if datatype == XSD_BOOLEAN:
         b = F.when(lexc.isin("true", "1"), F.lit(True)).when(
             lexc.isin("false", "0"), F.lit(False))
@@ -223,12 +223,20 @@ def _parse_ts(lex: Column) -> Column:
     return F.to_timestamp(lex)
 
 
+def _xsd_double(lex: Column) -> Column:
+    """XSD double lexical space includes INF/-INF/NaN (Spark cast → NULL)."""
+    return (F.when(lex == "INF", F.lit(float("inf")))
+             .when(lex == "-INF", F.lit(float("-inf")))
+             .when(lex == "NaN", F.lit(float("nan")))
+             .otherwise(lex.cast("double")))
+
+
 def make_typed(lex: Column, datatype: Column) -> Column:
     """Literal with a *dynamic* datatype IRI column (STRDT); payload fields
     derived from the datatype at runtime."""
     num = F.when(datatype.isin(*INTEGER_DATATYPES) | (datatype == XSD_DECIMAL),
                  lex.cast(DECIMAL_T))
-    dbl = F.when(datatype.isin(XSD_FLOAT, XSD_DOUBLE), lex.cast("double"))
+    dbl = F.when(datatype.isin(XSD_FLOAT, XSD_DOUBLE), _xsd_double(lex))
     b = F.when(datatype == XSD_BOOLEAN,
                F.when(lex.isin("true", "1"), F.lit(True))
                 .when(lex.isin("false", "0"), F.lit(False)))

@@ -142,3 +142,15 @@ def test_service_handler(spark, nt_path):
           SERVICE SILENT <urn:svc:missing> { ?y <urn:p> ?x }
         }""")
     assert df2.count() == 1
+
+
+def test_dictionary_encode_roundtrip(spark, nt_path):
+    from oxigraph_spark.sources.dictionary import encode, decode
+    quads = read_ntriples(spark, nt_path)
+    terms, ids = encode(quads)
+    assert terms.count() == terms.select("id").distinct().count()
+    back = decode(ids, terms)
+    k = lambda df: sorted(map(str, df.select(
+        T.term_key(df["s"]).alias("a"), T.term_key(df["p"]).alias("b"),
+        T.term_key(df["o"]).alias("c")).collect()))
+    assert k(back) == k(quads)
