@@ -778,10 +778,20 @@ class Compiler:
         group_cols = [v.name for v in n.by]
         aggs: List[Column] = []
         post: Dict[str, Column] = {}
+        # group on the 4-field term identity, not the 9-field struct —
+        # halves the shuffle key width; the representative term is carried
+        # via first() (identical keys ⇒ identical derived payloads)
+        for v in group_cols:
+            aggs.append(F.first(df[v]).alias(v))
         for var, agg in n.aggregates:
             cname = agg_inputs.get(var.name)
             aggs.extend(_agg_exprs(var.name, agg, cname))
-        gdf = (df.groupBy(*group_cols) if group_cols else df.groupBy()).agg(*aggs)
+        if group_cols:
+            gdf = df.groupBy(
+                *[T.term_key(df[v]).alias(f"__k_{v}") for v in group_cols]
+            ).agg(*aggs)
+        else:
+            gdf = df.groupBy().agg(*aggs)
         out_cols = [gdf[v] for v in group_cols]
         for var, agg in n.aggregates:
             out_cols.append(_agg_finalize(gdf, var.name, agg).alias(var.name))
