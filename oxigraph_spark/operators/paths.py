@@ -161,10 +161,28 @@ def _zero_len_for(compiler, graph_ctx, seeds: Optional[DataFrame]) -> DataFrame:
 # transitive closure (semi-naive fixpoint)
 # ---------------------------------------------------------------------------
 
-MAX_ITERATIONS = 64  # guards cyclic data; 2^64-length paths are unreachable
+# Each round extends the frontier by TWO edge hops, so the reachable
+# diameter is 2*MAX_ITERATIONS + 1.  Deeper graphs raise instead of
+# silently truncating the closure.
+MAX_ITERATIONS = 64
+
+
+def _one_hop(frontier: DataFrame, edges: DataFrame) -> DataFrame:
+    f, e = frontier.alias("f"), edges.alias("e")
+    return f.join(e, _key(F.col("f.dst")) == _key(F.col("e.src"))) \
+            .select(F.col("f.src").alias("src"),
+                    F.col("e.dst").alias("dst")).distinct()
 
 
 def _closure(compiler, edges: DataFrame, start: Optional[DataFrame]) -> DataFrame:
+    """Semi-naive transitive closure.
+
+    Per round: two chained hop joins (halves fixpoint driver round-trips
+    vs one hop per round), one anti-join against the accumulated paths,
+    one ``localCheckpoint`` of the NEW delta only.  The accumulated path
+    set is a lazy union of checkpointed deltas — it is never re-shuffled
+    or re-materialized as it grows (at 100 TB re-checkpointing the full
+    closure each round would dominate the fixpoint cost)."""
     edges = edges.distinct().localCheckpoint(eager=False)
     if start is not None:
         sk = _key(start["src"])
@@ -172,13 +190,11 @@ def _closure(compiler, edges: DataFrame, start: Optional[DataFrame]) -> DataFram
                            _key(edges["src"]) == sk, "leftsemi")
     else:
         paths = edges
-    paths = paths.distinct().localCheckpoint()
-    frontier = paths
+    frontier = paths.distinct().localCheckpoint()
+    paths = frontier
     for _ in range(MAX_ITERATIONS):
-        f, e = frontier.alias("f"), edges.alias("e")
-        stepped = f.join(e, _key(F.col("f.dst")) == _key(F.col("e.src"))) \
-                   .select(F.col("f.src").alias("src"),
-                           F.col("e.dst").alias("dst")).distinct()
+        hop1 = _one_hop(frontier, edges)
+        stepped = hop1.unionByName(_one_hop(hop1, edges)).distinct()
         seen = paths.select(F.col("src").alias("psrc"),
                             F.col("dst").alias("pdst"))
         new = stepped.join(
@@ -187,10 +203,13 @@ def _closure(compiler, edges: DataFrame, start: Optional[DataFrame]) -> DataFram
             & (_key(stepped["dst"]) == _key(seen["pdst"])),
             "leftanti").localCheckpoint()
         if new.isEmpty():
-            break
-        paths = paths.unionByName(new).localCheckpoint()
+            return paths
+        paths = paths.unionByName(new)
         frontier = new
-    return paths
+    raise RuntimeError(
+        f"property-path closure did not converge within {2 * MAX_ITERATIONS} "
+        "edge hops; raise oxigraph_spark.operators.paths.MAX_ITERATIONS for "
+        "deeper graphs")
 
 
 def _seeded_closure(compiler, inner_path, graph_ctx, seeds: DataFrame,

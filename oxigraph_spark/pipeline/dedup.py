@@ -113,24 +113,36 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
            .select("id", F.xxhash64("s").alias("h"))
     sig = ex.groupBy("id").agg(
         *[F.min(_mix(F.col("h"), i)).alias(f"m{i}") for i in range(num_perm)])
-    sig = sig.select(
-        "id", F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig"))
-    banded = sig.select(
-        "id", "sig",
+    # the signature table is consumed twice (banding + agreement scoring);
+    # checkpoint materializes it once — at 100 TB this is the table you
+    # persist, with the banded index derived from it
+    sig = sig.localCheckpoint(eager=False)
+    buckets = sig.select(
+        "id",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
                      F.xxhash64(F.concat_ws(
-                         ",", *[F.element_at("sig", b * rows + r + 1).cast("string")
+                         ",", *[F.col(f"m{b * rows + r}").cast("string")
                                 for r in range(rows)])).alias("bh"))
             for b in range(bands)])).alias("bucket"))
-    banded = banded.select("id", "sig", "bucket.band", "bucket.bh")
-    a, b = banded.alias("a"), banded.alias("b")
+    # candidate generation shuffles ONLY ids: the bucket self-join and the
+    # pair-dedup never carry the 32-element signatures (on hot buckets the
+    # wide alternative shuffles sig × bucket² — the round-1 bottleneck);
+    # signatures re-join once per side afterwards to score agreement
+    buckets = buckets.select("id", "bucket.band", "bucket.bh")
+    a, b = buckets.alias("a"), buckets.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bh") == F.col("b.bh"))
                    & (F.col("a.id") < F.col("b.id")))
-             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                     F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
              .distinct())
+    sigs = sig.select(
+        "id", F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig"))
+    cand = (cand
+            .join(sigs.select(F.col("id").alias("id_a"),
+                              F.col("sig").alias("sig_a")), "id_a")
+            .join(sigs.select(F.col("id").alias("id_b"),
+                              F.col("sig").alias("sig_b")), "id_b"))
     agree = F.size(F.filter(
         F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
         lambda v: v))

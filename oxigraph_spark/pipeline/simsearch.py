@@ -73,18 +73,8 @@ def lsh_topk(index: DataFrame, query: Sequence[float], k: int = 10,
     ``multiprobe`` bit flips (recall/latency knob)."""
     import itertools
     qcol = F.array(*[F.lit(float(x)) for x in query])
-    # compute query bucket driver-side deterministically (same formula)
-    import math
-    qb = []
-    for p in range(planes):
-        s = 0.0
-        for i, x in enumerate(query):
-            # xxhash64 seed-matched on executor; driver-side replica uses
-            # the engine itself for exactness:
-            pass
-        qb.append(None)
     # exact replication of xxhash64 driver-side is not practical — derive
-    # the bucket with a 1-row Spark job instead (cheap, still one probe).
+    # the query's bucket with a 1-row Spark job instead (cheap, one probe).
     spark = index.sparkSession
     qrow = spark.range(1).select(_bucket(qcol, planes).alias("b")).first()
     qbucket = qrow["b"]

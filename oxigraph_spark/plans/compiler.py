@@ -637,9 +637,9 @@ class Compiler:
 
     def _c_Filter(self, n: A.Filter, graph_ctx) -> Compiled:
         if isinstance(n.inner, A.BGP):
-            conjs = _split_and(n.expr)
-            if len(conjs) > 1 or _expr_vars(n.expr) or True:
-                return self._c_BGP(n.inner, graph_ctx, pending=conjs)
+            # always route Filter-over-BGP through the BGP compiler so each
+            # conjunct lands on the earliest join operand that binds its vars
+            return self._c_BGP(n.inner, graph_ctx, pending=_split_and(n.expr))
         inner = self.compile_pattern(n.inner, graph_ctx)
         inner, env, markers = self._attach_exists(inner, n.expr, graph_ctx)
         self._set_type_env(inner)

@@ -25,19 +25,77 @@ _LINE = (r"^\s*(<[^>]*>|_:\S+)\s+(<[^>]*>)\s+"
          r"(?:\s+(<[^>]*>|_:\S+))?\s*\.\s*$")
 
 
+# Sentinels for the multi-pass JVM-side decoder.  U+0001/U+0002 are legal
+# (if wildly unusual) literal characters in N-Triples; a raw occurrence
+# immediately followed by hex digits could be mis-decoded — documented
+# trade-off for a UDF-free distributed parser.
+_SENT_BS = "\x00"   # protected literal backslash
+_MARK_U16 = "\x01"  # marker + 4 (or 8, surrogate pair) hex UTF-16 digits
+_MARK_U32 = "\x02"  # marker + 8 hex codepoint digits (\UXXXXXXXX)
+_HI = "[Dd][89ABab][0-9A-Fa-f]{2}"   # high-surrogate hex
+_LO = "[Dd][C-Fc-f][0-9A-Fa-f]{2}"   # low-surrogate hex
+
+
+def _rejoin(c: Column, marker: str, decode_seg) -> Column:
+    """Split on ``marker``; pass every segment after the first through
+    ``decode_seg`` (which decodes its hex prefix and re-appends the tail);
+    concat back.  All built-ins — stays in codegen."""
+    arr = F.split(c, marker)
+    head = F.element_at(arr, 1)
+    rest = F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0)))
+    return F.concat(head, F.concat_ws("", F.transform(rest, decode_seg)))
+
+
+def _decode_u16(seg: Column) -> Column:
+    # 4 hex digits normally; 8 when the marker captured a surrogate pair
+    # (UTF-16BE decodes the pair to one supplementary char)
+    is_pair = F.regexp_like(F.substring(seg, 1, 8),
+                            F.lit(f"^{_HI}{_LO}"))
+    n = F.when(is_pair, F.lit(8)).otherwise(F.lit(4))
+    ch = F.decode(F.unhex(F.substring(seg, F.lit(1), n)), "UTF-16BE")
+    return F.concat(ch, F.substring(seg, n + 1, F.lit(0x7FFFFFF)))
+
+
+def _decode_u32(seg: Column) -> Column:
+    # \UXXXXXXXX codepoint → UTF-16 unit(s): BMP directly, else the
+    # surrogate-pair arithmetic, then UTF-16BE byte decode
+    cp = F.conv(F.substring(seg, 1, 8), 16, 10).cast("long")
+    bmp = F.lpad(F.hex(cp), 4, "0")
+    v = cp - F.lit(0x10000)
+    hi = F.lit(0xD800) + F.floor(v / F.lit(1024))
+    lo = F.lit(0xDC00) + (v % F.lit(1024))
+    pair = F.concat(F.lpad(F.hex(hi), 4, "0"), F.lpad(F.hex(lo), 4, "0"))
+    ch = F.decode(F.unhex(F.when(cp < 0x10000, bmp).otherwise(pair)),
+                  "UTF-16BE")
+    return F.concat(ch, F.substring(seg, 9, 0x7FFFFFF))
+
+
 def _unescape(c: Column) -> Column:
+    """Decode N-Triples string escapes (``lib/oxttl/src/lexer.rs`` analog).
+
+    Order matters: ``\\\\`` is protected FIRST so a literal backslash
+    followed by ``t``/``n``/``u…`` is never mis-decoded (the round-1 bug),
+    then single-char escapes, then ``\\uXXXX`` (surrogate pairs coalesced)
+    and ``\\UXXXXXXXX`` via hex→UTF-16BE byte decode."""
+    c = F.regexp_replace(c, r"\\\\", _SENT_BS)
     for esc, rep in ((r"\\t", "\t"), (r"\\n", "\n"), (r"\\r", "\r"),
+                     (r"\\b", "\b"), (r"\\f", "\f"), (r"\\'", "'"),
                      (r"\\\"", '"')):
         c = F.regexp_replace(c, esc, rep)
-    return F.regexp_replace(c, r"\\\\", r"\\")
+    # surrogate pair written as two \u escapes → one 8-hex UTF-16 unit
+    c = F.regexp_replace(c, rf"\\u({_HI})\\u({_LO})", f"{_MARK_U16}$1$2")
+    c = F.regexp_replace(c, r"\\u([0-9A-Fa-f]{4})", f"{_MARK_U16}$1")
+    c = F.regexp_replace(c, r"\\U([0-9A-Fa-f]{8})", f"{_MARK_U32}$1")
+    c = _rejoin(c, _MARK_U16, _decode_u16)
+    c = _rejoin(c, _MARK_U32, _decode_u32)
+    return F.regexp_replace(c, _SENT_BS, r"\\")
 
 
 def _parse_term(raw: Column) -> Column:
     """Raw N-Triples token → TERM struct."""
     is_iri = raw.startswith("<")
     is_bnode = raw.startswith("_:")
-    lex_iri = F.expr("substring({0}, 2, length({0}) - 2)".format("raw")) \
-        if False else raw.substr(F.lit(2), F.length(raw) - 2)
+    lex_iri = raw.substr(F.lit(2), F.length(raw) - 2)
     # literal parts
     quoted = F.regexp_extract(raw, r'^"((?:[^"\\]|\\.)*)"', 1)
     lang = F.nullif(F.regexp_extract(raw, r'"@([A-Za-z0-9-]+)$', 1), F.lit(""))

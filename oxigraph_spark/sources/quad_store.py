@@ -28,14 +28,6 @@ from ..model import terms as T
 MAX_PARTITIONS = 512
 
 
-def _safe_dir(p_lex: str) -> str:
-    """Deterministic, filesystem-safe partition value for a predicate."""
-    slug = re.sub(r"[^A-Za-z0-9_]+", "_", p_lex)[-80:]
-    import hashlib
-    h = hashlib.sha1(p_lex.encode()).hexdigest()[:8]
-    return f"{slug}_{h}"
-
-
 class ParquetQuadStore:
     """Quads persisted as predicate-partitioned parquet."""
 
@@ -55,8 +47,6 @@ class ParquetQuadStore:
         row-group min/max stats on s.lex/o.lex for index-like pruning."""
         keyed = df.withColumn(
             "p_part",
-            F.udf(lambda s: _safe_dir(s) if s else "__null")(F.col("p.lex"))
-            if False else
             F.concat(
                 F.regexp_replace(F.expr("right(p.lex, 80)"),
                                  "[^A-Za-z0-9_]+", "_"),

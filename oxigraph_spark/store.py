@@ -42,7 +42,9 @@ class Store:
         return compiler.compile_query(ast)
 
     def ask(self, sparql: str) -> bool:
-        return self.query(sparql).count() > 0
+        # take(1) bounds work even on engines that don't push the limit
+        # (compile_query already emits limit(1) for ASK)
+        return len(self.query(sparql).take(1)) > 0
 
     def update(self, sparql: str) -> "Store":
         """Run SPARQL Update ops; returns a NEW Store over the rewritten

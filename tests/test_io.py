@@ -46,6 +46,36 @@ def test_ntriples_read(spark, nt_path):
     assert by_pred["urn:ex:p"] is not None
 
 
+def test_ntriples_unescape_edge_cases(spark, tmp_path):
+    """Escape decoding: adjacent backslashes (the escaped-backslash-then-t
+    corruption class), \\uXXXX incl. surrogate pairs, \\UXXXXXXXX."""
+    BS = chr(92)
+    values = [
+        (0, BS + BS + "t", BS + "t"),            # \\t → backslash + 't'
+        (1, BS + BS + BS + "t", BS + "\t"),      # \\\t → backslash + TAB
+        (2, BS + BS + BS + BS + "n", BS + BS + "n"),
+        (3, BS + "u00E9", chr(0xE9)),
+        (4, BS + "uD83D" + BS + "uDE00", chr(0x1F600)),   # surrogate pair
+        (5, BS + "U0001F914", chr(0x1F914)),
+        (6, BS + BS + "u0041", BS + "u0041"),    # escaped \, not an escape
+    ]
+    lines = "\n".join(
+        f'<urn:ex:s{i}> <urn:ex:v> "{raw}" .' for i, raw, _ in values)
+    p = tmp_path / "esc.nt"
+    p.write_text(lines)
+    df = read_ntriples(spark, str(p))
+    got = {r.s.lex: r.o.lex for r in df.collect()}
+    for i, _, want in values:
+        assert got[f"urn:ex:s{i}"] == want, (i, repr(got[f"urn:ex:s{i}"]),
+                                             repr(want))
+    # writer roundtrip through the same edge cases
+    out = str(tmp_path / "esc_out")
+    write_ntriples(df, out)
+    again = {r.s.lex: r.o.lex
+             for r in read_ntriples(spark, out + "/*.txt").collect()}
+    assert again == got
+
+
 def test_ntriples_roundtrip(spark, nt_path, tmp_path):
     df = read_ntriples(spark, nt_path)
     out = str(tmp_path / "out_nt")
