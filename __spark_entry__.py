@@ -339,6 +339,22 @@ def q_f_conditional(spark, sf):
     """, {"name": "str", "cls": "str", "seg": "str"})
 
 
+def q_f_rdfstar(spark, sf):
+    """RDF-star builtins over direct-mapped data: TRIPLE constructs a
+    quoted-triple term, SUBJECT/OBJECT/ISTRIPLE/PREDICATE take it apart
+    (SPARQL 1.2; oracle replicates the round trip relationally)."""
+    return _q(spark, sf, PFX + """
+        SELECT ?qs ?name ?istr WHERE {
+          ?r r:r_name ?name .
+          BIND(TRIPLE(?r, r:r_name, ?name) AS ?t)
+          BIND(STR(SUBJECT(?t)) AS ?qs)
+          BIND(ISTRIPLE(?t) AS ?istr)
+          FILTER(SAMETERM(OBJECT(?t), ?name)
+                 && SAMETERM(PREDICATE(?t), r:r_name))
+        }
+    """, {"qs": "str", "name": "str", "istr": "bool"})
+
+
 def q_o5_reduced(spark, sf):
     return _q(spark, sf, PFX + """
         SELECT REDUCED ?prio WHERE { ?o o:o_orderpriority ?prio }
@@ -437,6 +453,10 @@ _MORE_ORACLES = {
     "D_documents_sparql": """
         SELECT lang, COUNT(*) AS cnt, MAX(n_chars) AS max_chars
         FROM documents WHERE contains(lower(text), 'the') GROUP BY 1""",
+    "F_rdfstar": """
+        SELECT 'urn:g:region/' || r_regionkey AS qs, r_name AS name,
+               TRUE AS istr
+        FROM region""",
     "O5_reduced": "SELECT DISTINCT o_orderpriority AS prio FROM orders",
     "F_regex": r"""
         SELECT c_name AS name FROM customer
@@ -964,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "F_hash": q_f_hash,
         "F_conditional": q_f_conditional,
         "O5_reduced": q_o5_reduced,
+        "F_rdfstar": q_f_rdfstar,
         "F_regex": q_f_regex,
         "F_strbefore_after": q_f_strbefore_after,
         "Q4_describe": q_q4_describe,

@@ -40,8 +40,18 @@ class Var:
     name: str
 
 
-GroundTerm = Union[NamedNode, BlankNode, Literal]
-TermOrVar = Union[NamedNode, BlankNode, Literal, Var]
+@dataclass(frozen=True)
+class QuotedTriple:
+    """RDF-star quoted triple used as a term (ground components only by
+    the time it reaches the compiler; variable components are lowered by
+    the parser to a fresh var + SUBJECT/PREDICATE/OBJECT constraints)."""
+    s: "GroundTerm"
+    p: "GroundTerm"
+    o: "GroundTerm"
+
+
+GroundTerm = Union[NamedNode, BlankNode, Literal, QuotedTriple]
+TermOrVar = Union[NamedNode, BlankNode, Literal, QuotedTriple, Var]
 
 DEFAULT_GRAPH = NamedNode("urn:x-oxispark:default-graph")  # sentinel
 

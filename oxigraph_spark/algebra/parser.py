@@ -49,7 +49,7 @@ TOKEN_RE = re.compile(r"""
   | (?P<INTEGER>[0-9]+)
   | (?P<PNAME>(?:[A-Za-z_][A-Za-z0-9_.-]*)?:(?:[A-Za-z0-9_:%\-.]*[A-Za-z0-9_:%\-])?)
   | (?P<NAME>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}()\[\],;.^|/*+?!=<>-])
+  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|<<|>>|[{}()\[\],;.^|/*+?!=<>-])
 """, re.VERBOSE)
 
 
@@ -109,6 +109,8 @@ BUILTIN_NAMES = {
     "SHA256", "SHA384", "SHA512", "COALESCE", "IF", "STRLANG", "STRDT",
     "SAMETERM", "ISIRI", "ISURI", "ISBLANK", "ISLITERAL", "ISNUMERIC",
     "REGEX", "SUBSTR", "REPLACE",
+    # SPARQL 1.2 RDF-star
+    "TRIPLE", "SUBJECT", "PREDICATE", "OBJECT", "ISTRIPLE",
 }
 
 
@@ -121,6 +123,10 @@ class Parser:
         self._bnode_counter = itertools.count()
         self._anon_counter = itertools.count()
         self._agg_counter = itertools.count()
+        self._qt_counter = itertools.count()
+        # per-group lists of (fresh_var, s, p, o) quoted-triple-pattern
+        # lowerings, applied when the enclosing group pattern closes
+        self._qt_stack: List[List] = []
 
     # -- token helpers --------------------------------------------------
 
@@ -423,6 +429,7 @@ class Parser:
         acc: Optional[A.GraphPattern] = None
         triples: List = []
         filters: List[A.Expression] = []
+        self._qt_stack.append([])
 
         def flush_triples():
             nonlocal acc, triples
@@ -494,6 +501,7 @@ class Parser:
         flush_triples()
         if acc is None:
             acc = A.BGP()
+        acc = self._apply_qt_lowerings(acc, self._qt_stack.pop())
         for f in filters:
             acc = A.Filter(f, acc)
         return acc
@@ -594,8 +602,57 @@ class Parser:
                     continue
             return
 
+    def _quoted_triple(self, out: List):
+        """``<< s p o >>`` in a data position (SPARQL-star).  Ground →
+        constant QuotedTriple term; with variables → lowered to a fresh
+        var plus SUBJECT/PREDICATE/OBJECT constraints on the enclosing
+        group (see _apply_qt_lowerings)."""
+        self.eat_op("<<")
+        s = self._graph_node(out)
+        if self.peek().kind == "VAR":
+            p: object = A.Var(self.next().value[1:])
+        else:
+            p = A.NamedNode(self._iri())
+        o = self._graph_node(out)
+        self.eat_op(">>")
+        if isinstance(s, A.QuotedTriple):
+            raise ParseError("quoted triple nested in subject position is "
+                             "not supported (v1 restriction)")
+        if all(not isinstance(x, A.Var) for x in (s, p, o)):
+            return A.QuotedTriple(s, p, o)
+        qv = A.Var(f"__qt{next(self._qt_counter)}")
+        if not self._qt_stack:
+            raise ParseError("quoted triple pattern outside a group pattern")
+        self._qt_stack[-1].append((qv, s, p, o))
+        return qv
+
+    def _apply_qt_lowerings(self, acc: A.GraphPattern,
+                            lowerings: List) -> A.GraphPattern:
+        """Lower each quoted-triple pattern: the fresh var must bind a
+        quoted-triple term whose components match — variable components
+        bind via Extend (or sameTerm-filter when already in scope), ground
+        components constrain via sameTerm."""
+        for qv, s, p, o in lowerings:
+            ev = A.EVar(qv.name)
+            acc = A.Filter(A.ECall("ISTRIPLE", (ev,)), acc)
+            for comp, accessor in ((s, "SUBJECT"), (p, "PREDICATE"),
+                                   (o, "OBJECT")):
+                get = A.ECall(accessor, (ev,))
+                if isinstance(comp, A.Var):
+                    if comp.name in A.pattern_vars(acc):
+                        acc = A.Filter(
+                            A.ECall("SAMETERM", (get, A.EVar(comp.name))), acc)
+                    else:
+                        acc = A.Extend(acc, comp, get)
+                else:
+                    acc = A.Filter(
+                        A.ECall("SAMETERM", (get, A.ETerm(comp))), acc)
+        return acc
+
     def _graph_node(self, out: List):
         t = self.peek()
+        if self.at_op("<<"):
+            return self._quoted_triple(out)
         if t.kind == "VAR":
             self.next()
             return A.Var(t.value[1:])

@@ -436,3 +436,14 @@ def register_custom(iri: str, fn: Callable[..., Column]) -> None:
     """Register an extension function addressed by IRI (mirrors
     ``QueryOptions::with_custom_function`` — lib/oxigraph/src/sparql/mod.rs)."""
     REGISTRY[iri] = fn
+
+
+# RDF-star builtins live in their own module (which imports this one for
+# err/bool_term); registered here after REGISTRY exists to avoid a cycle.
+from . import rdfstar as _rdfstar  # noqa: E402
+
+REGISTRY.update({
+    "TRIPLE": _rdfstar.fn_triple, "SUBJECT": _rdfstar.fn_subject,
+    "PREDICATE": _rdfstar.fn_predicate, "OBJECT": _rdfstar.fn_object,
+    "ISTRIPLE": _rdfstar.fn_is_triple,
+})

@@ -64,7 +64,7 @@ class Compiled:
 
 _BOOL_FNS = {"REGEX", "LANGMATCHES", "CONTAINS", "STRSTARTS", "STRENDS",
              "SAMETERM", "ISIRI", "ISURI", "ISBLANK", "ISLITERAL",
-             "ISNUMERIC", "BOUND"}
+             "ISNUMERIC", "BOUND", "ISTRIPLE"}
 _PLAIN_STR_FNS = {"STR", "LANG", "ENCODE_FOR_URI", "MD5", "SHA1", "SHA256",
                   "SHA384", "SHA512", "STRUUID", "TZ"}
 _NUM_FNS = {"STRLEN", "ABS", "CEIL", "FLOOR", "ROUND", "YEAR", "MONTH",
@@ -128,7 +128,7 @@ def stype_of(e, env_st: Optional[dict] = None) -> Optional[int]:
         return (env_st or {}).get(e.name)
     if isinstance(e, A.ETerm):
         t = e.term
-        if isinstance(t, (A.NamedNode, A.BlankNode)):
+        if isinstance(t, (A.NamedNode, A.BlankNode, A.QuotedTriple)):
             return K.VC_NONLIT
         if t.lang:
             return K.VC_LANGSTRING
@@ -348,7 +348,7 @@ class Compiler:
                 if pos != "p" or p_lex is None:
                     conds.append((col["kind"] == T.KIND_IRI)
                                  & (col["lex"] == term.iri))
-            elif isinstance(term, A.Literal):
+            elif isinstance(term, (A.Literal, A.QuotedTriple)):
                 conds.append(T.same_term(col, _const_term_col(term)))
             else:
                 raise NotImplementedError(
@@ -1091,6 +1091,37 @@ class Compiler:
 # ---------------------------------------------------------------------------
 
 
+def _py_escape(s: str) -> str:
+    """Python replica of sources.ntriples._escape (same order)."""
+    return (s.replace("\\", "\\\\").replace('"', '\\"')
+             .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t"))
+
+
+def _py_token(t: A.GroundTerm) -> str:
+    """Ground term → canonical N-Triples token; MUST serialize identically
+    to the JVM ``sources.ntriples.format_term`` so constant quoted triples
+    and TRIPLE()-built / data-read ones share term identity."""
+    if isinstance(t, A.NamedNode):
+        return f"<{t.iri}>"
+    if isinstance(t, A.BlankNode):
+        return f"_:{t.label}"
+    if isinstance(t, A.Literal):
+        if t.lang:
+            suffix = f"@{t.lang}"
+        elif t.datatype and t.datatype != T.XSD_STRING:
+            suffix = f"^^<{t.datatype}>"
+        else:
+            suffix = ""
+        return f'"{_py_escape(t.lex)}"{suffix}'
+    if isinstance(t, A.QuotedTriple):
+        return f"<<{_py_quoted_lex(t)}>>"
+    raise TypeError(type(t))
+
+
+def _py_quoted_lex(t: A.QuotedTriple) -> str:
+    return f"{_py_token(t.s)} {_py_token(t.p)} {_py_token(t.o)}"
+
+
 def _const_term_col(t: A.GroundTerm) -> Column:
     if isinstance(t, A.NamedNode):
         return T.iri(F.lit(t.iri))
@@ -1101,6 +1132,8 @@ def _const_term_col(t: A.GroundTerm) -> Column:
             return T.lang_lit(F.lit(t.lex), F.lit(t.lang))
         dt = t.datatype or T.XSD_STRING
         return T.typed_lit(F.lit(t.lex), dt)
+    if isinstance(t, A.QuotedTriple):
+        return T.term_struct(T.KIND_TRIPLE, F.lit(_py_quoted_lex(t)))
     raise TypeError(type(t))
 
 
@@ -1115,6 +1148,8 @@ def _term_to_py(t: Optional[A.GroundTerm]):
         kind, lex = T.KIND_IRI, t.iri
     elif isinstance(t, A.BlankNode):
         kind, lex = T.KIND_BNODE, t.label
+    elif isinstance(t, A.QuotedTriple):
+        kind, lex = T.KIND_TRIPLE, _py_quoted_lex(t)
     elif isinstance(t, A.Literal):
         kind, lex = T.KIND_LITERAL, t.lex
         lang = t.lang

@@ -18,11 +18,22 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from ..model import terms as T
 
-# subject: IRI or bnode; predicate: IRI; object: IRI/bnode/literal;
-# optional graph label (N-Quads); trailing dot.
-_LINE = (r"^\s*(<[^>]*>|_:\S+)\s+(<[^>]*>)\s+"
-         r"(<[^>]*>|_:\S+|\"(?:[^\"\\]|\\.)*\"(?:@[A-Za-z0-9-]+|\^\^<[^>]*>)?)"
-         r"(?:\s+(<[^>]*>|_:\S+))?\s*\.\s*$")
+# token grammar fragments (shared by the line regex and the RDF-star
+# component extractors)
+_T_IRI = r"<[^>]*>"
+_T_BN = r"_:\S+"
+_T_LIT = r"\"(?:[^\"\\]|\\.)*\"(?:@[A-Za-z0-9-]+|\^\^<[^>]*>)?"
+# RDF-star quoted triple token (one nesting level — regex cannot count;
+# deeper nesting is handled only through the TRIPLE() constructor path)
+_T_QT = (rf"<<\s*(?:{_T_IRI}|{_T_BN})\s+{_T_IRI}\s+"
+         rf"(?:{_T_IRI}|{_T_BN}|{_T_LIT})\s*>>")
+
+# subject: IRI/bnode/quoted triple; predicate: IRI; object adds literals;
+# optional graph label (N-Quads); trailing dot.  NB: the quoted-triple
+# alternative must precede the IRI one (an IRI regex would eat "<<x>").
+_LINE = (rf"^\s*({_T_QT}|{_T_IRI}|{_T_BN})\s+({_T_IRI})\s+"
+         rf"({_T_QT}|{_T_IRI}|{_T_BN}|{_T_LIT})"
+         rf"(?:\s+({_T_IRI}|{_T_BN}))?\s*\.\s*$")
 
 
 # Sentinels for the multi-pass JVM-side decoder.  U+0001/U+0002 are legal
@@ -91,9 +102,21 @@ def _unescape(c: Column) -> Column:
     return F.regexp_replace(c, _SENT_BS, r"\\")
 
 
-def _parse_term(raw: Column) -> Column:
-    """Raw N-Triples token → TERM struct."""
-    is_iri = raw.startswith("<")
+def _parse_term(raw: Column, canonicalize_qt: bool = False) -> Column:
+    """Raw N-Triples token → TERM struct.
+
+    A quoted-triple token (``<<…>>``) becomes a ``KIND_TRIPLE`` term whose
+    ``lex`` is the space-separated component serialization.
+    ``canonicalize_qt=True`` (the reader path) normalizes component
+    SPACING so the lex matches what the TRIPLE() constructor produces and
+    quoted-triple identity works through ordinary term keys.  Escape-form
+    canonicalization inside nested literal tokens is deliberately NOT done
+    here (a full component re-parse+re-serialize multiplies the unescape
+    expression tree ~4x and bloats codegen); identity across differently-
+    escaped but equal nested literals holds for data written by this
+    engine's writer or any canonical serializer."""
+    is_qt = raw.startswith("<<")
+    is_iri = raw.startswith("<") & ~is_qt
     is_bnode = raw.startswith("_:")
     lex_iri = raw.substr(F.lit(2), F.length(raw) - 2)
     # literal parts
@@ -111,9 +134,24 @@ def _parse_term(raw: Column) -> Column:
                  T.term_struct(T.KIND_LITERAL, lex,
                                datatype=F.lit(T.RDF_LANGSTRING), lang=lang)) \
            .otherwise(lit)
-    return (F.when(is_iri, T.iri(lex_iri))
+    if canonicalize_qt:
+        inner = F.trim(raw.substr(F.lit(3), F.length(raw) - 4))
+        qs = F.regexp_extract(inner, rf"^({_T_IRI}|{_T_BN})", 1)
+        qp = F.regexp_extract(inner, rf"^(?:{_T_IRI}|{_T_BN})\s+({_T_IRI})", 1)
+        qo = F.regexp_extract(
+            inner, rf"^(?:{_T_IRI}|{_T_BN})\s+{_T_IRI}\s+(.*?)\s*$", 1)
+        qt_lex = F.concat_ws(" ", qs, qp, qo)
+    else:
+        qt_lex = F.trim(raw.substr(F.lit(3), F.length(raw) - 4))
+    return (F.when(is_qt, T.term_struct(T.KIND_TRIPLE, qt_lex))
+             .when(is_iri, T.iri(lex_iri))
              .when(is_bnode, T.bnode(raw.substr(F.lit(3), F.length(raw))))
              .otherwise(lit))
+
+
+def parse_token(raw: Column) -> Column:
+    """Public N-Triples token parser (used by the RDF-star accessors)."""
+    return _parse_term(raw)
 
 
 def read_ntriples(spark: SparkSession, path: str,
@@ -132,9 +170,9 @@ def read_ntriples(spark: SparkSession, path: str,
     g = F.when(F.col("rg") == "", T.default_graph()) \
          .otherwise(_parse_term(F.col("rg")))
     return parts.select(
-        _parse_term(F.col("rs")).alias("s"),
+        _parse_term(F.col("rs"), canonicalize_qt=True).alias("s"),
         _parse_term(F.col("rp")).alias("p"),
-        _parse_term(F.col("ro")).alias("o"),
+        _parse_term(F.col("ro"), canonicalize_qt=True).alias("o"),
         (g if quads else T.default_graph()).alias("g"))
 
 
@@ -160,6 +198,8 @@ def format_term(t: Column) -> Column:
         .when(t["kind"] == T.KIND_BNODE, F.concat(F.lit("_:"), t["lex"]))
         .when(t["kind"] == T.KIND_LITERAL,
               F.concat(F.lit("\""), _escape(t["lex"]), F.lit("\""), lit_suffix))
+        .when(t["kind"] == T.KIND_TRIPLE,
+              F.concat(F.lit("<<"), t["lex"], F.lit(">>")))
         .otherwise(F.lit(None)))
 
 

@@ -1,0 +1,104 @@
+"""RDF-star: quoted-triple parse/serialize, SPARQL-star patterns, and the
+TRIPLE/SUBJECT/PREDICATE/OBJECT/ISTRIPLE builtins (SURVEY.md §2.7;
+reference: lib/oxrdf/src/triple.rs · Term::Triple)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from oxigraph_spark.model import terms as T
+from oxigraph_spark.operators.update import MutableQuadSource
+from oxigraph_spark.sources.ntriples import read_ntriples, write_ntriples
+from oxigraph_spark.store import Store
+
+XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+XSD_DBL = "http://www.w3.org/2001/XMLSchema#double"
+
+NT = f"""
+<< <urn:a> <urn:p> "42"^^<{XSD_INT}> >> <urn:certainty> "0.9"^^<{XSD_DBL}> .
+<< <urn:b> <urn:p> "7"^^<{XSD_INT}> >> <urn:certainty> "0.4"^^<{XSD_DBL}> .
+<urn:a> <urn:p> "42"^^<{XSD_INT}> .
+"""
+
+
+@pytest.fixture(scope="module")
+def star_store(spark, tmp_path_factory):
+    p = tmp_path_factory.mktemp("star") / "star.nt"
+    p.write_text(NT)
+    quads = read_ntriples(spark, str(p))
+    return Store(spark, MutableQuadSource(spark, quads)), quads
+
+
+def test_quoted_triple_read_kind(star_store):
+    _, quads = star_store
+    kinds = sorted(r.s.kind for r in quads.collect())
+    assert kinds == [0, 3, 3]
+
+
+def test_quoted_pattern_with_vars(star_store):
+    store, _ = star_store
+    rows = store.query("""
+        SELECT ?s ?val ?c WHERE {
+          << ?s <urn:p> ?val >> <urn:certainty> ?c .
+          FILTER(?c > 0.5)
+        }""").collect()
+    assert len(rows) == 1
+    assert rows[0].s.lex == "urn:a" and rows[0].val.num == 42
+
+
+def test_ground_quoted_constant(star_store):
+    store, _ = star_store
+    rows = store.query(
+        'SELECT ?c WHERE { << <urn:b> <urn:p> 7 >> <urn:certainty> ?c . }'
+    ).collect()
+    assert len(rows) == 1 and abs(rows[0].c.dbl - 0.4) < 1e-9
+
+
+def test_triple_builtins(star_store):
+    store, _ = star_store
+    rows = store.query("""
+        SELECT ?s ?subj ?istr ?notr WHERE {
+          ?s <urn:p> ?o .
+          BIND(TRIPLE(?s, <urn:p>, ?o) AS ?t)
+          BIND(SUBJECT(?t) AS ?subj)
+          BIND(ISTRIPLE(?t) AS ?istr)
+          BIND(ISTRIPLE(?s) AS ?notr)
+          FILTER(SAMETERM(OBJECT(?t), ?o)
+                 && SAMETERM(PREDICATE(?t), <urn:p>))
+        }""").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.subj.lex == "urn:a" and r.istr.bool is True and r.notr.bool is False
+
+
+def test_constructed_equals_parsed(star_store):
+    """TRIPLE() output and reader-parsed quoted terms share identity."""
+    store, _ = star_store
+    rows = store.query("""
+        SELECT ?c WHERE {
+          ?s <urn:p> ?o .
+          << ?s2 <urn:p> ?o2 >> <urn:certainty> ?c .
+          FILTER(SAMETERM(TRIPLE(?s, <urn:p>, ?o),
+                          TRIPLE(?s2, <urn:p>, ?o2)))
+        }""").collect()
+    assert len(rows) == 1 and abs(rows[0].c.dbl - 0.9) < 1e-9
+
+
+def test_star_roundtrip(spark, star_store, tmp_path):
+    _, quads = star_store
+    out = str(tmp_path / "star_out")
+    write_ntriples(quads, out)
+    again = read_ntriples(spark, out + "/*.txt")
+    key = lambda df: sorted(str(r) for r in df.select(
+        T.term_key(df["s"]).alias("a"), T.term_key(df["p"]).alias("b"),
+        T.term_key(df["o"]).alias("c")).collect())
+    assert key(quads) == key(again)
+
+
+def test_nested_subject_rejected(star_store):
+    from oxigraph_spark.algebra.parser import ParseError
+    store, _ = star_store
+    with pytest.raises(ParseError):
+        store.query("""
+            SELECT ?c WHERE {
+              << << <urn:a> <urn:p> 1 >> <urn:q> 2 >> <urn:certainty> ?c .
+            }""")
