@@ -167,8 +167,10 @@ def _zero_len_for(compiler, graph_ctx, seeds: Optional[DataFrame]) -> DataFrame:
 MAX_ITERATIONS = 64
 
 
-def _one_hop(frontier: DataFrame, edges: DataFrame) -> DataFrame:
-    f, e = frontier.alias("f"), edges.alias("e")
+def _one_hop(frontier: DataFrame, edges: DataFrame,
+             broadcast_frontier: bool = False) -> DataFrame:
+    f = F.broadcast(frontier) if broadcast_frontier else frontier
+    f, e = f.alias("f"), edges.alias("e")
     return f.join(e, _key(F.col("f.dst")) == _key(F.col("e.src"))) \
             .select(F.col("f.src").alias("src"),
                     F.col("e.dst").alias("dst")).distinct()
@@ -192,9 +194,15 @@ def _closure(compiler, edges: DataFrame, start: Optional[DataFrame]) -> DataFram
         paths = edges
     frontier = paths.distinct().localCheckpoint()
     paths = frontier
+    # seeded closures keep a bounded frontier (reachable set of the seed
+    # nodes): broadcasting it turns each round's join into a map-side
+    # broadcast join — the big edge relation is never shuffled.  Unseeded
+    # closures keep the shuffle join (the frontier IS the full relation).
+    bc = start is not None
     for _ in range(MAX_ITERATIONS):
-        hop1 = _one_hop(frontier, edges)
-        stepped = hop1.unionByName(_one_hop(hop1, edges)).distinct()
+        hop1 = _one_hop(frontier, edges, broadcast_frontier=bc)
+        stepped = hop1.unionByName(
+            _one_hop(hop1, edges, broadcast_frontier=bc)).distinct()
         seen = paths.select(F.col("src").alias("psrc"),
                             F.col("dst").alias("pdst"))
         new = stepped.join(

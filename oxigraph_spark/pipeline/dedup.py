@@ -22,6 +22,18 @@ from typing import List, Optional
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition UP to the session's parallelism when the input has too
+    few partitions (e.g. one small parquet file): shingling/hashing are
+    CPU-bound per row, and a 2-partition input would use 2 of 32 cores.
+    A no-op at scale — inputs that already have enough partitions pass
+    through unshuffled."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def normalize_text(c: Column) -> Column:
     """Lowercase, collapse whitespace, strip punctuation — the canonical
     form used by all dedup operators."""
@@ -54,6 +66,29 @@ def shingles(c: Column, n: int = 3, distinct: bool = True) -> Column:
         arr = F.array_distinct(arr)
     return F.when(F.size(words) >= n, arr) \
             .otherwise(F.array(F.array_join(words, " ")))
+
+
+def shingle_hashes(c: Column, n: int = 3) -> Column:
+    """Word n-gram shingle HASHES without materializing shingle strings:
+    hash each word once, then combine consecutive word hashes
+    arithmetically (zip_with over shifted copies).  Skips the per-shingle
+    array_join + string xxhash64 of :func:`shingles` — the signature
+    pipeline only ever needs hashes, never the shingle text.  Long
+    overflow wraps (non-ANSI), which is the arithmetic we want; the
+    splitmix64 permutation mixes decorrelate the combiner downstream."""
+    words = F.split(normalize_text(c), " ")
+    hw = F.transform(words, lambda w: F.xxhash64(w))
+    size = F.size(hw)
+    arr = hw
+    for k in range(1, n):
+        shifted = F.slice(hw, k + 1, F.greatest(size - k, F.lit(0)))
+        # zip_with pads the shorter array with NULLs; the tail NULLs are
+        # trimmed by the slice below
+        arr = F.zip_with(arr, shifted,
+                         lambda a, b: a * F.lit(-7046029254386353131) + b)
+    arr = F.slice(arr, 1, F.greatest(size - (n - 1), F.lit(1)))
+    return F.when(size >= n, arr) \
+            .otherwise(F.array(F.xxhash64(F.array_join(words, " "))))
 
 
 def _mix(h: Column, i: int) -> Column:
@@ -107,10 +142,9 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     # functions (transform/array_min) evaluate interpreted per element,
     # while exploded min-aggs run in whole-stage codegen with map-side
     # partial aggregation — ~8x faster and the shape that scales
-    sh = df.select(F.col(id_col).alias("id"),
-                   shingles(F.col(text_col), distinct=False).alias("sh"))
-    ex = sh.select("id", F.explode("sh").alias("s")) \
-           .select("id", F.xxhash64("s").alias("h"))
+    sh = spread(df).select(F.col(id_col).alias("id"),
+                           shingle_hashes(F.col(text_col)).alias("sh"))
+    ex = sh.select("id", F.explode("sh").alias("h"))
     sig = ex.groupBy("id").agg(
         *[F.min(_mix(F.col("h"), i)).alias(f"m{i}") for i in range(num_perm)])
     # the signature table is consumed twice (banding + agreement scoring);
@@ -181,8 +215,8 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
     16-bit chunks; pairs agreeing on ≥1 chunk are candidates (guaranteed
     to include all pairs with hamming ≤ 3 chunks' worth of differences)."""
     words = F.split(normalize_text(F.col(text_col)), " ")
-    hashed = df.select(F.col(id_col).alias("id"),
-                       F.transform(words, lambda w: F.xxhash64(w)).alias("h"))
+    hashed = spread(df).select(F.col(id_col).alias("id"),
+                               F.transform(words, lambda w: F.xxhash64(w)).alias("h"))
     fp = hashed.select("id", _simhash_from_hashes(F.col("h")).alias("fp"))
     chunks = fp.select("id", "fp", F.explode(F.array(*[
         F.struct(F.lit(i).alias("chunk"),
@@ -209,8 +243,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     No cross product: explode shingles, count co-occurrences per pair via a
     groupBy on the shingle (inverted index), then jaccard from set sizes.
     """
-    sh = (df.select(F.col(id_col).alias("id"),
-                    F.explode(shingles(F.col(text_col), n)).alias("sh")))
+    sh = (spread(df).select(F.col(id_col).alias("id"),
+                            F.explode(shingles(F.col(text_col), n)).alias("sh")))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (a.join(b, (F.col("a.sh") == F.col("b.sh"))

@@ -408,7 +408,8 @@ class Compiler:
             out = Compiled(df, frozenset(), frozenset())
             return self._apply_conjuncts(out, pending)
 
-        stars, loose = self._extract_star_groups(list(bgp.patterns), graph_ctx)
+        stars, loose = self._extract_star_groups(list(bgp.patterns), graph_ctx,
+                                                 pending)
         units: List = stars + (
             self._order_patterns(loose) if self.optimize else loose)
 
@@ -445,7 +446,8 @@ class Compiler:
                 acc = self._apply_conjuncts(acc, ready)
         return self._apply_conjuncts(acc, pending)
 
-    def _extract_star_groups(self, pats: List, graph_ctx):
+    def _extract_star_groups(self, pats: List, graph_ctx,
+                             pending: Optional[List] = None):
         """Property-table optimization: patterns sharing a subject variable
         whose concrete predicates all map to ONE source table compile to a
         single scan (source.star_scan) instead of an N-way self-join.
@@ -471,7 +473,24 @@ class Compiler:
             if len(tps) < 2 or len(set(ovars)) != len(ovars):
                 loose.extend(tps)
                 continue
-            df = star_scan([tp.p.iri for tp in tps])
+            # translate single-variable FILTER conjuncts into native
+            # column predicates and hand them to the scan — they reach
+            # parquet as PushedFilters (row-group pruning at 100 TB); the
+            # term-level filter still applies above, so these only prune
+            nf: Dict[int, list] = {}
+            pt0 = getattr(self.source, "pred_types", None)
+            for e in (pending or []):
+                vs = _expr_vars(e)
+                if len(vs) != 1:
+                    continue
+                (v0,) = tuple(vs)
+                for i, tp in enumerate(tps):
+                    if tp.o.name == v0 and pt0 is not None:
+                        vc, _ = pt0(tp.p.iri)
+                        tr = _native_preds(e, v0, vc)
+                        if tr:
+                            nf.setdefault(i, []).extend(tr)
+            df = star_scan([tp.p.iri for tp in tps], native_filters=nf or None)
             if df is None:
                 loose.extend(tps)
                 continue
@@ -750,7 +769,7 @@ class Compiler:
         for c in n.conds:
             df, col, ts = self.compile_expr_ssa(df, c.expr, env)
             temps.extend(ts)
-            k = T.sort_key(col)
+            k = _sort_key_typed(col, self._stype(c.expr))
             sort_cols.append(k.asc() if c.asc else k.desc())
         df = df.orderBy(*sort_cols)
         if temps:
@@ -777,24 +796,51 @@ class Compiler:
 
         group_cols = [v.name for v in n.by]
         aggs: List[Column] = []
-        post: Dict[str, Column] = {}
-        # group on the 4-field term identity, not the 9-field struct —
-        # halves the shuffle key width; the representative term is carried
-        # via first() (identical keys ⇒ identical derived payloads)
-        for v in group_cols:
-            aggs.append(F.first(df[v]).alias(v))
+        # static type info lets the aggregate kernels collapse their
+        # dynamic dispatch (smaller codegen, mutable agg buffers)
+        agg_types: Dict[str, tuple] = {}
+        for var, agg in n.aggregates:
+            if agg.expr is not None:
+                agg_types[var.name] = (self._stype(agg.expr),
+                                       self._ntype(agg.expr))
+            else:
+                agg_types[var.name] = (None, None)
         for var, agg in n.aggregates:
             cname = agg_inputs.get(var.name)
-            aggs.extend(_agg_exprs(var.name, agg, cname))
+            st_, nt_ = agg_types[var.name]
+            aggs.extend(_agg_exprs(var.name, agg, cname, st_, nt_))
+        # group on the FLATTENED 4-field term identity (kind, lex,
+        # datatype, lang as separate native columns, not a struct): keeps
+        # the shuffle key narrow AND — together with mutable aggregate
+        # buffers — makes the plan eligible for HashAggregate instead of
+        # Sort+SortAggregate (struct keys/buffers force the sort path).
+        # The representative term is REBUILT from the key fields after the
+        # aggregation (identical identity ⇒ identical derived payloads),
+        # so no first(struct) buffer is ever carried.
         if group_cols:
-            gdf = df.groupBy(
-                *[T.term_key(df[v]).alias(f"__k_{v}") for v in group_cols]
-            ).agg(*aggs)
+            key_cols = []
+            for v in group_cols:
+                for fld in ("kind", "lex", "datatype", "lang"):
+                    key_cols.append(df[v][fld].alias(f"__k_{v}_{fld}"))
+            gdf = df.groupBy(*key_cols).agg(*aggs)
         else:
             gdf = df.groupBy().agg(*aggs)
-        out_cols = [gdf[v] for v in group_cols]
+        out_cols = []
+        for v in group_cols:
+            kind, lex = gdf[f"__k_{v}_kind"], gdf[f"__k_{v}_lex"]
+            dt, lang = gdf[f"__k_{v}_datatype"], gdf[f"__k_{v}_lang"]
+            lit = F.when(lang.isNotNull(),
+                         T.term_struct(T.KIND_LITERAL, lex, datatype=dt,
+                                       lang=lang)) \
+                   .otherwise(T.make_typed(lex, dt))
+            rep = (F.when(kind.isNull(), F.lit(None).cast(T.TERM_SCHEMA))
+                    .when(kind == T.KIND_LITERAL, lit)
+                    .otherwise(T.term_struct(kind, lex)))
+            out_cols.append(rep.alias(v))
         for var, agg in n.aggregates:
-            out_cols.append(_agg_finalize(gdf, var.name, agg).alias(var.name))
+            st_, nt_ = agg_types[var.name]
+            out_cols.append(
+                _agg_finalize(gdf, var.name, agg, st_, nt_).alias(var.name))
         out = gdf.select(*out_cols)
         names = frozenset(group_cols) | frozenset(v.name for v, _ in n.aggregates)
         st = {k: v for k, v in inner.stypes.items() if k in group_cols}
@@ -853,7 +899,8 @@ class Compiler:
             markers.append(marker)
         for v in inner.vars:
             env[v] = df[v]
-        return Compiled(df, inner.vars, inner.certain), env, markers
+        return Compiled(df, inner.vars, inner.certain,
+                        inner.stypes, inner.ntypes), env, markers
 
     # ------------------------------------------------------------------
     # expressions
@@ -1171,9 +1218,17 @@ def _term_to_py(t: Optional[A.GroundTerm]):
     return (kind, lex, datatype, lang, num, dbl, ts, tz, b)
 
 
-def _agg_exprs(name: str, agg: A.AggExpr, cname: Optional[str]) -> List[Column]:
+def _agg_exprs(name: str, agg: A.AggExpr, cname: Optional[str],
+               stype: Optional[int] = None,
+               ntype: Optional[str] = None) -> List[Column]:
     """Partial aggregate columns for one SPARQL aggregate (map-side combine
-    happens for free — every one of these is a built-in Spark aggregate)."""
+    happens for free — every one of these is a built-in Spark aggregate).
+
+    When the input's value class / numeric subtype is statically known
+    (sparopt-style inference) the kernels specialize: a known-numeric SUM
+    is one sum over the native payload field plus an error counter instead
+    of the six-column dynamic-promotion shape — the buffers stay mutable
+    primitives, which keeps the whole aggregate on the HashAggregate path."""
     k = agg.name.upper()
     if k == "COUNT":
         if cname is None:
@@ -1183,7 +1238,15 @@ def _agg_exprs(name: str, agg: A.AggExpr, cname: Optional[str]) -> List[Column]:
             return [F.count_distinct(c).alias(f"{name}__cnt")]
         return [F.count(c).alias(f"{name}__cnt")]
     c = F.col(cname)
+    numeric = stype == K.VC_NUMERIC and ntype is not None
     if k in ("SUM", "AVG"):
+        if numeric:
+            # known numeric class: errors are exactly the NULL terms
+            val = c["dbl"] if ntype == "double" else c["num"]
+            s = F.sum_distinct(val) if agg.distinct else F.sum(val)
+            cnt = F.count_distinct(val) if agg.distinct else F.count(c)
+            return [s.alias(f"{name}__sv"), cnt.alias(f"{name}__n"),
+                    F.count(F.when(c.isNull(), 1)).alias(f"{name}__err")]
         d = K.as_double(c)
         num = c["num"]
         if agg.distinct:
@@ -1201,6 +1264,12 @@ def _agg_exprs(name: str, agg: A.AggExpr, cname: Optional[str]) -> List[Column]:
             F.max(c["dbl"].isNotNull()).alias(f"{name}__hasdbl"),
             F.min(c["datatype"].isin(*T.INTEGER_DATATYPES)).alias(f"{name}__allint"),
         ]
+    if k in ("MIN", "MAX") and numeric:
+        # native min/max over the payload + error counter; the term is
+        # rebuilt from the value in _agg_finalize (canonical lexical form)
+        val = c["dbl"] if ntype == "double" else c["num"]
+        v = (F.min(val) if k == "MIN" else F.max(val)).alias(f"{name}__nv")
+        return [v, F.count(F.when(c.isNull(), 1)).alias(f"{name}__err")]
     if k == "MIN":
         return [F.min_by(c, T.sort_key(c)).alias(f"{name}__v")]
     if k == "MAX":
@@ -1222,10 +1291,136 @@ def _stringable(c: Column) -> Column:
     return c["kind"].isin(T.KIND_LITERAL, T.KIND_IRI)
 
 
-def _agg_finalize(gdf: DataFrame, name: str, agg: A.AggExpr) -> Column:
+_NATIVE_CMP = {"<": "lt", "<=": "le", ">": "gt", ">=": "ge",
+               "=": "eq", "!=": "ne"}
+_NATIVE_CMP_FLIP = {"<": "gt", "<=": "ge", ">": "lt", ">=": "le",
+                    "=": "eq", "!=": "ne"}
+_NATIVE_STR_FNS = {"STRSTARTS": "startswith", "STRENDS": "endswith",
+                   "CONTAINS": "contains"}
+
+
+def _native_lit_value(lit: A.Literal, vc: Optional[int]):
+    """SPARQL literal → Python value for a native column predicate, or
+    None when the literal's class doesn't match the column's class (the
+    term-level filter then decides — we just can't prune)."""
+    dt = lit.datatype or T.XSD_STRING
+    try:
+        if vc == K.VC_NUMERIC and dt in T.NUMERIC_DATATYPES:
+            return float(lit.lex) if "." in lit.lex or "e" in lit.lex.lower() \
+                or dt in (T.XSD_DOUBLE, T.XSD_FLOAT, T.XSD_DECIMAL) \
+                else int(lit.lex)
+        if vc == K.VC_STRING and dt == T.XSD_STRING and not lit.lang:
+            return lit.lex
+        if vc == K.VC_DATETIME and dt in (T.XSD_DATETIME, T.XSD_DATE):
+            v = datetime.fromisoformat(lit.lex.replace("Z", "+00:00"))
+            if v.tzinfo is not None:
+                v = v.astimezone(timezone.utc).replace(tzinfo=None)
+            return v
+        if vc == K.VC_BOOLEAN and dt == T.XSD_BOOLEAN:
+            return lit.lex in ("true", "1")
+    except ValueError:
+        return None
+    return None
+
+
+def _native_preds(e: A.Expression, var: str, vc: Optional[int]):
+    """FILTER conjunct over one scan variable → [(op, value)] native
+    predicates IMPLIED by it (for parquet pushdown), or None.  Must be
+    conservative: a translated predicate may only drop rows the term
+    filter would drop anyway."""
+    if vc is None:
+        return None
+    if isinstance(e, A.EOp) and e.op in _NATIVE_CMP and len(e.args) == 2:
+        a, b = e.args
+        if isinstance(a, A.EVar) and a.name == var \
+                and isinstance(b, A.ETerm) and isinstance(b.term, A.Literal):
+            v = _native_lit_value(b.term, vc)
+            return None if v is None else [(_NATIVE_CMP[e.op], v)]
+        if isinstance(b, A.EVar) and b.name == var \
+                and isinstance(a, A.ETerm) and isinstance(a.term, A.Literal):
+            v = _native_lit_value(a.term, vc)
+            return None if v is None else [(_NATIVE_CMP_FLIP[e.op], v)]
+        return None
+    if isinstance(e, A.ECall) and e.name.upper() in _NATIVE_STR_FNS \
+            and vc == K.VC_STRING and len(e.args) == 2:
+        a, b = e.args
+        if isinstance(a, A.EVar) and a.name == var \
+                and isinstance(b, A.ETerm) and isinstance(b.term, A.Literal) \
+                and not b.term.lang \
+                and (b.term.datatype or T.XSD_STRING) == T.XSD_STRING:
+            return [(_NATIVE_STR_FNS[e.name.upper()], b.term.lex)]
+        return None
+    if isinstance(e, A.EIn) and not e.negated \
+            and isinstance(e.expr, A.EVar) and e.expr.name == var:
+        vals = []
+        for o in e.options:
+            if not (isinstance(o, A.ETerm) and isinstance(o.term, A.Literal)):
+                return None
+            v = _native_lit_value(o.term, vc)
+            if v is None:
+                return None
+            vals.append(v)
+        return [("isin", vals)] if vals else None
+    return None
+
+
+def _sort_key_typed(col: Column, stype: Optional[int]) -> Column:
+    """ORDER BY key specialized by static value class: a known-class
+    column sorts on its native payload field instead of the full 8-field
+    total-order struct — the range-partitioning/sort expressions shrink
+    ~10x.  NULL placement matches the general key (NULL term = class 0
+    sorts first ascending / last descending, same as SQL NULL ordering)."""
+    if stype == K.VC_STRING:
+        return col["lex"]
+    if stype == K.VC_NUMERIC:
+        return F.coalesce(col["dbl"], col["num"].cast("double"))
+    if stype == K.VC_DATETIME:
+        return col["ts"]
+    if stype == K.VC_NONLIT:
+        # unbound (0) < bnode (1) < IRI (2), then lexical
+        cls = (F.when(col.isNull() | col["kind"].isNull(), F.lit(0))
+                .when(col["kind"] == T.KIND_BNODE, F.lit(1))
+                .otherwise(F.lit(2)))
+        return F.struct(cls.alias("cls"), col["lex"].alias("lex"))
+    return T.sort_key(col)
+
+
+def _num_term(v: Column, ntype: str) -> Column:
+    """Numeric value → canonical literal term for the known subtype."""
+    if ntype == "double":
+        return T.double_lit(v)
+    if ntype == "integer":
+        n = v.cast(T.DECIMAL_T)
+        return T.term_struct(T.KIND_LITERAL, n.cast("long").cast("string"),
+                             datatype=F.lit(T.XSD_INTEGER), num=n)
+    n = v.cast(T.DECIMAL_T)
+    return T.term_struct(T.KIND_LITERAL, K._decimal_lex(n),
+                         datatype=F.lit(T.XSD_DECIMAL), num=n)
+
+
+def _agg_finalize(gdf: DataFrame, name: str, agg: A.AggExpr,
+                  stype: Optional[int] = None,
+                  ntype: Optional[str] = None) -> Column:
     k = agg.name.upper()
+    numeric = stype == K.VC_NUMERIC and ntype is not None
     if k == "COUNT":
         return T.int_lit(F.coalesce(gdf[f"{name}__cnt"], F.lit(0)))
+    if k in ("SUM", "AVG") and numeric:
+        s, n, err = gdf[f"{name}__sv"], gdf[f"{name}__n"], gdf[f"{name}__err"]
+        out_nt = ntype
+        if k == "AVG":
+            s = s / n
+            if ntype != "double":
+                out_nt = "decimal"  # avg of integers is decimal (§17.4.4)
+        return (F.when(err > 0, B.err())
+                 .when(n == 0, T.int_lit(F.lit(0)))
+                 .otherwise(_num_term(s, out_nt)))
+    if k in ("MIN", "MAX") and numeric:
+        v, err = gdf[f"{name}__nv"], gdf[f"{name}__err"]
+        return (F.when(err > 0, B.err())
+                 .when(v.isNull(), B.err())
+                 .otherwise(_num_term(v, ntype))) if k == "MIN" else \
+               (F.when(v.isNull(), B.err()).otherwise(_num_term(v, ntype)))
     if k in ("SUM", "AVG"):
         sn, sd = gdf[f"{name}__sn"], gdf[f"{name}__sd"]
         n = gdf[f"{name}__n"]

@@ -95,6 +95,35 @@ def _object_literal(df: DataFrame, col: str) -> Optional[Column]:
     return None  # arrays/maps (e.g. embeddings.embedding) are not mapped
 
 
+def _native_cond(c: Column, dtype: str, op: str, val) -> Column:
+    """One pushable predicate on a raw source column.  The literal is cast
+    to the COLUMN's exact type (a foldable cast on the constant side) so
+    the column reference stays bare and translates to a data source
+    filter — a cast on the column side would block parquet pushdown."""
+    if op == "isin":
+        return c.isin(*[F.lit(v).cast(dtype) for v in val])
+    lit = F.lit(val).cast(dtype)
+    if op == "lt":
+        return c < lit
+    if op == "le":
+        return c <= lit
+    if op == "gt":
+        return c > lit
+    if op == "ge":
+        return c >= lit
+    if op == "eq":
+        return c == lit
+    if op == "ne":
+        return c != lit
+    if op == "startswith":
+        return c.startswith(val)
+    if op == "endswith":
+        return c.endswith(val)
+    if op == "contains":
+        return c.contains(val)
+    raise ValueError(f"native op {op}")
+
+
 class DirectMappingSource:
     """Quad source backed by the driver's relational parquet tables.
 
@@ -178,14 +207,22 @@ class DirectMappingSource:
             return (K.VC_BOOLEAN, None)
         return (None, None)
 
-    def star_scan(self, p_lexes) -> Optional[DataFrame]:
+    def star_scan(self, p_lexes, native_filters=None) -> Optional[DataFrame]:
         """Single-scan star group (property-table optimization, à la the
         S2RDF/property-table literature): if every predicate maps to the
         SAME source table, return one DataFrame with column ``s`` plus one
         TERM column per predicate (named ``o0..oN`` in input order) — the
         compiler collapses an N-way self-join into this one scan.
         Rows where any requested column is NULL are dropped (no triple ⇒
-        no solution, inner-join semantics)."""
+        no solution, inner-join semantics).
+
+        ``native_filters`` maps predicate index → [(op, value)] predicates
+        implied by the query's FILTERs, applied on the RAW source column
+        BEFORE term structs are built.  Because they reference plain
+        columns they reach the parquet scan as PushedFilters (row-group/
+        page pruning — the thing that matters at 100 TB); the compiler
+        keeps the full term-level filter above, so these are pure pruning
+        hints and never change semantics."""
         infos = []
         for p in p_lexes:
             info = self._pred_info.get(p)
@@ -211,6 +248,14 @@ class DirectMappingSource:
         out = df
         for c in notnull:
             out = out.where(c)
+        dtypes = dict(df.dtypes)
+        for i, conds in (native_filters or {}).items():
+            _t, col, target = infos[i]
+            if target is not None:
+                continue
+            dt = dtypes[col]
+            for op, val in conds:
+                out = out.where(_native_cond(F.col(col), dt, op, val))
         return out.select(*cols)
 
     def scan(self, p_lex: Optional[str] = None) -> DataFrame:
