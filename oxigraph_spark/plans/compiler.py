@@ -332,7 +332,15 @@ class Compiler:
 
     def _c_TriplePattern(self, tp: A.TriplePattern, graph_ctx) -> Compiled:
         p_lex = tp.p.iri if isinstance(tp.p, A.NamedNode) else None
-        df = self.source.scan(p_lex)
+        nf = getattr(self, "_scan_native_filters", None)
+        self._scan_native_filters = None  # consume: hints apply to ONE scan
+        if nf:
+            try:
+                df = self.source.scan(p_lex, native_filters=nf)
+            except TypeError:  # source without native-pushdown support
+                df = self.source.scan(p_lex)
+        else:
+            df = self.source.scan(p_lex)
         df = self._graph_filter(df, graph_ctx)
 
         conds: List[Column] = []
@@ -414,9 +422,27 @@ class Compiler:
             self._order_patterns(loose) if self.optimize else loose)
 
         def compile_one(u) -> Compiled:
+            nonlocal pending
+            # single-pattern scans get the same native-predicate pushdown
+            # as star scans: conjuncts over just this pattern's object var
+            # translate to raw-column predicates (parquet PushedFilters);
+            # the term-level filter still applies below, unchanged
+            if (isinstance(u, A.TriplePattern) and isinstance(u.p, A.NamedNode)
+                    and isinstance(u.o, A.Var) and graph_ctx is None):
+                pt0 = getattr(self.source, "pred_types", None)
+                if pt0 is not None:
+                    vc, _ = pt0(u.p.iri)
+                    hints = []
+                    for e in pending:
+                        if _expr_vars(e) == {u.o.name}:
+                            tr = _native_preds(e, u.o.name, vc)
+                            if tr:
+                                hints.extend(tr)
+                    if hints:
+                        self._scan_native_filters = hints
             c = u if isinstance(u, Compiled) else \
                 self.compile_pattern(u, graph_ctx)
-            nonlocal pending
+            self._scan_native_filters = None
             mine = [e for e in pending
                     if _expr_vars(e) <= c.vars and not _find_exists(e)]
             if mine:

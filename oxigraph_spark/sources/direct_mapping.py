@@ -258,12 +258,33 @@ class DirectMappingSource:
                 out = out.where(_native_cond(F.col(col), dt, op, val))
         return out.select(*cols)
 
-    def scan(self, p_lex: Optional[str] = None) -> DataFrame:
+    def scan(self, p_lex: Optional[str] = None,
+             native_filters=None) -> DataFrame:
         """Pattern scan: bound predicate → single vertical partition
         (column-pruned parquet read); unbound → union of all partitions.
-        Returns an empty frame for a predicate that cannot match."""
+        Returns an empty frame for a predicate that cannot match.
+
+        ``native_filters`` ([(op, value)], see ``star_scan``) applies
+        implied predicates on the RAW object column before the term
+        structs are built, so they reach parquet as PushedFilters."""
         if p_lex is not None:
             if p_lex in self._frames:
+                if native_filters:
+                    info = self._pred_info.get(p_lex)
+                    if info is not None and info[2] is None:
+                        t, col, _ = info
+                        df = self._raw[t]
+                        dt = dict(df.dtypes)[col]
+                        df = df.where(F.col(col).isNotNull())
+                        for op, val in native_filters:
+                            df = df.where(_native_cond(F.col(col), dt, op, val))
+                        pk, _fks = TABLE_DEFS[t]
+                        g = T.default_graph()
+                        return df.select(
+                            _subject(t, df, pk).alias("s"),
+                            T.iri(F.lit(p_lex)).alias("p"),
+                            _object_literal(df, col).alias("o"),
+                            g.alias("g"))
                 return self._frames[p_lex]
             return self.spark.createDataFrame(
                 [], next(iter(self._frames.values())).schema)
