@@ -309,10 +309,14 @@ def q_f_numeric(spark, sf):
 
 
 def q_f_temporal(spark, sf):
+    """Temporal accessors + xsd:duration arithmetic (orderdate shifted by
+    one calendar month before bucketing — exercises the duration kernels
+    against DuckDB's INTERVAL arithmetic)."""
     return _q(spark, sf, PFX + """
         SELECT ?y ?m (COUNT(*) AS ?cnt) WHERE {
           ?o o:o_orderdate ?d .
-          BIND(YEAR(?d) AS ?y) BIND(MONTH(?d) AS ?m)
+          BIND(?d + "P1M"^^xsd:yearMonthDuration AS ?d2)
+          BIND(YEAR(?d2) AS ?y) BIND(MONTH(?d2) AS ?m)
         } GROUP BY ?y ?m
     """, {"y": "long", "m": "long", "cnt": "long"})
 
@@ -936,7 +940,8 @@ _ORACLES: dict[str, str] = {
                ABS(c_acctbal) AS ab, c_acctbal * 2.0 + 1.0 AS mix
         FROM customer""",
     "F_temporal": """
-        SELECT YEAR(o_orderdate) AS y, MONTH(o_orderdate) AS m, COUNT(*) AS cnt
+        SELECT YEAR(o_orderdate + INTERVAL 1 MONTH) AS y,
+               MONTH(o_orderdate + INTERVAL 1 MONTH) AS m, COUNT(*) AS cnt
         FROM orders GROUP BY 1, 2""",
     "F_hash": """
         SELECT r_name AS name, MD5(r_name) AS h, SHA256(r_name) AS h2

@@ -38,6 +38,7 @@ def main() -> None:
     qs["O4_distinct"](spark, SF_DIR).count()
 
     times: dict[str, float] = {}
+    compile_times: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = qs.get(name)
@@ -45,11 +46,14 @@ def main() -> None:
             continue
         t0 = time.time()
         df = fn(spark, SF_DIR)
+        t1 = time.time()
         n = df.count()
         dt = round(time.time() - t0, 3)
         times[name] = dt
+        compile_times[name] = round(t1 - t0, 3)
         total += dt
-        print(f"# {name}: {n} rows in {dt}s", file=sys.stderr)
+        print(f"# {name}: {n} rows in {dt}s "
+              f"(plan {compile_times[name]}s)", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
@@ -57,6 +61,7 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": times,
+        "plan_sec": compile_times,  # driver-side compile/plan portion
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 

@@ -317,7 +317,9 @@ def fn_timezone(t: Column) -> Column:
         F.when(h > 0, F.concat(h.cast("string"), F.lit("H"))).otherwise(F.lit("")),
         F.when((mn > 0) | (h == 0), F.concat(mn.cast("string"), F.lit("M"))).otherwise(F.lit("")))
     out = T.term_struct(T.KIND_LITERAL, lex,
-                        datatype=F.lit(T.XSD + "dayTimeDuration"))
+                        datatype=F.lit(T.XSD_DT_DURATION),
+                        num=F.lit(0).cast(T.DECIMAL_T),
+                        dbl=(m * 60).cast("double"))
     return F.when(_dt_ok(t) & m.isNotNull(), out).otherwise(err())
 
 
@@ -402,6 +404,11 @@ def fn_cast(datatype: str, t: Column) -> Column:
         return _cast_boolean(t)
     if datatype in (T.XSD_DATETIME, T.XSD_DATE):
         return _cast_datetime(t)
+    if datatype in T.DURATION_DATATYPES:
+        src_dur = (t["kind"] == T.KIND_LITERAL) \
+            & t["datatype"].isin(*T.DURATION_DATATYPES)
+        ok = _is_plain_string(t) | src_dur
+        return F.when(ok, T.typed_lit(t["lex"], datatype)).otherwise(err())
     raise ValueError(f"unsupported cast datatype: {datatype}")
 
 

@@ -105,6 +105,9 @@ def eq(a: Column, b: Column) -> Column:
         .when((ca == VC_STRING) & (cb == VC_STRING), a["lex"] == b["lex"])
         .when((ca == VC_LANGSTRING) & (cb == VC_LANGSTRING)
               & a["lang"].eqNullSafe(b["lang"]), a["lex"] == b["lex"])
+        # duration value equality: (months, seconds) pairs (P1Y = P12M)
+        .when(_is_dur(a) & _is_dur(b),
+              (a["num"] == b["num"]) & (a["dbl"] == b["dbl"]))
         # both literals, value spaces incomparable: true iff same term,
         # else type error (spec: RDF term equality errors for such literals)
         .when((ca >= 0) & (cb >= 0),
@@ -132,6 +135,12 @@ def _ordered(a: Column, b: Column, op: str) -> Column:
               cmp(a["bool"].cast("int"), b["bool"].cast("int")))
         .when((ca == VC_DATETIME) & (cb == VC_DATETIME), cmp(a["ts"], b["ts"]))
         .when((ca == VC_STRING) & (cb == VC_STRING), cmp(a["lex"], b["lex"]))
+        # durations order within one family (equal months → by seconds,
+        # equal seconds → by months); cross-family compare is an error
+        .when(_is_dur(a) & _is_dur(b) & (a["num"] == b["num"]),
+              cmp(a["dbl"], b["dbl"]))
+        .when(_is_dur(a) & _is_dur(b) & (a["dbl"] == b["dbl"]),
+              cmp(a["num"], b["num"]))
         .otherwise(F.lit(None).cast("boolean"))
     )
 
@@ -305,6 +314,87 @@ def arith_typed(op: str, a: Column, b: Column, nta, ntb) -> Column:
     return arith(op, a, b)
 
 
+# ---------------------------------------------------------------------------
+# durations (reference: lib/oxsdatatypes/src/duration.rs — a duration is a
+# (months, seconds) pair; num carries months, dbl carries seconds)
+# ---------------------------------------------------------------------------
+
+def _is_dur(t: Column) -> Column:
+    return ((t["kind"] == T.KIND_LITERAL)
+            & t["datatype"].isin(*T.DURATION_DATATYPES)
+            & t["num"].isNotNull() & t["dbl"].isNotNull())
+
+
+def _is_dt_val(t: Column) -> Column:
+    return ((t["kind"] == T.KIND_LITERAL)
+            & t["datatype"].isin(T.XSD_DATETIME, T.XSD_DATE)
+            & t["ts"].isNotNull())
+
+
+def duration_term(months: Column, seconds: Column) -> Column:
+    """(months, seconds) → canonical duration literal.  The datatype
+    narrows like the reference does: no seconds → yearMonthDuration, no
+    months → dayTimeDuration, else xsd:duration."""
+    m = months.cast("long")
+    s = seconds.cast(T.DECIMAL_T)
+    neg = (m < 0) | (s < 0)
+    am, as_ = F.abs(m), F.abs(s)
+    y, mo = F.floor(am / 12).cast("long"), am % 12
+    d = F.floor(as_ / 86400).cast("long")
+    h = F.floor(as_ % 86400 / 3600).cast("long")
+    mi = F.floor(as_ % 3600 / 60).cast("long")
+    sec = (as_ % 60).cast(T.DECIMAL_T)
+    part = lambda v, suf: F.when(v > 0, F.concat(v.cast("string"),
+                                                 F.lit(suf))).otherwise(F.lit(""))
+    # NB expression-size discipline: every composite below is referenced
+    # exactly ONCE — emptiness tests use shallow re-derivations (sums),
+    # never `when(x != "", x)`, which doubles the tree per nesting level
+    # and blew whole-stage codegen past the 64 KB method limit
+    has_time = (as_ % 86400) > 0
+    has_any = (am > 0) | (as_ > 0)
+    tpart = F.concat(part(h, "H"), part(mi, "M"),
+                     F.when(sec > 0, F.concat(_decimal_lex(sec), F.lit("S")))
+                      .otherwise(F.lit("")))
+    body = F.concat(part(y, "Y"), part(mo, "M"), part(d, "D"),
+                    F.when(has_time, F.concat(F.lit("T"), tpart))
+                     .otherwise(F.lit("")))
+    dt = (F.when((s == 0) & (m != 0), F.lit(T.XSD_YM_DURATION))
+           .when(m == 0, F.lit(T.XSD_DT_DURATION))
+           .otherwise(F.lit(T.XSD_DURATION)))
+    lex = F.concat(F.when(neg, F.lit("-")).otherwise(F.lit("")), F.lit("P"),
+                   F.when(has_any, body).otherwise(F.lit("T0S")))
+    return T.term_struct(T.KIND_LITERAL, lex, datatype=dt,
+                         num=m.cast(T.DECIMAL_T), dbl=s.cast("double"))
+
+
+def _dt_shift(t: Column, dur: Column, sign: int) -> Column:
+    """dateTime ± duration → dateTime (year-month part via calendar
+    interval, day-time part via exact seconds)."""
+    months = (F.lit(sign) * dur["num"]).cast("int")
+    secs = (F.lit(sign) * dur["dbl"]).cast("decimal(24,6)")
+    ts2 = (t["ts"] + F.make_ym_interval(F.lit(0), months)
+           + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), secs))
+    return T.datetime_lit(ts2, tz_min=t["tz_min"])
+
+
+def _dt_diff(a: Column, b: Column) -> Column:
+    """dateTime - dateTime → dayTimeDuration (op:subtract-dateTimes)."""
+    secs = ((F.unix_micros(a["ts"]) - F.unix_micros(b["ts"]))
+            .cast(T.DECIMAL_T) / 1000000)
+    return duration_term(F.lit(0), secs)
+
+
+def _dur_arith(op: str, a: Column, b: Column) -> Column:
+    sign = 1 if op == "+" else -1
+    m = a["num"] + F.lit(sign) * b["num"]
+    s = a["dbl"] + F.lit(sign) * b["dbl"]
+    # components of one duration must share a sign (XSD restriction);
+    # mixed-sign results are errors
+    ok = (m == 0) | (s == 0.0) | (F.signum(m.cast("double")) == F.signum(s))
+    return F.when(ok, duration_term(m, s)) \
+            .otherwise(F.lit(None).cast(T.TERM_SCHEMA))
+
+
 def arith(op: str, a: Column, b: Column) -> Column:
     """``op`` in ``+ - * /``; returns a TERM struct (NULL on error)."""
     ca, cb = vclass(a), vclass(b)
@@ -354,8 +444,18 @@ def arith(op: str, a: Column, b: Column) -> Column:
     result = F.when(use_double, dbl_term).otherwise(exact_term)
     # error (NULL) when: non-numeric operand, or exact-path overflow/div0
     payload_ok = F.when(use_double, dres.isNotNull()).otherwise(nres.isNotNull())
-    return F.when(valid & payload_ok, result).otherwise(
-        F.lit(None).cast(T.TERM_SCHEMA))
+    out = F.when(valid & payload_ok, result)
+    # temporal arithmetic (XPath operator mapping; reference duration.rs):
+    # dateTime ± duration, duration ± duration, dateTime - dateTime
+    if op in ("+", "-"):
+        sign = 1 if op == "+" else -1
+        out = out.when(_is_dt_val(a) & _is_dur(b), _dt_shift(a, b, sign))
+        out = out.when(_is_dur(a) & _is_dur(b), _dur_arith(op, a, b))
+        if op == "+":
+            out = out.when(_is_dur(a) & _is_dt_val(b), _dt_shift(b, a, 1))
+        else:
+            out = out.when(_is_dt_val(a) & _is_dt_val(b), _dt_diff(a, b))
+    return out.otherwise(F.lit(None).cast(T.TERM_SCHEMA))
 
 
 def neg(a: Column) -> Column:

@@ -56,6 +56,9 @@ XSD_DATETIME = XSD + "dateTime"
 XSD_DATE = XSD + "date"
 XSD_TIME = XSD + "time"
 XSD_DURATION = XSD + "duration"
+XSD_YM_DURATION = XSD + "yearMonthDuration"
+XSD_DT_DURATION = XSD + "dayTimeDuration"
+DURATION_DATATYPES = (XSD_DURATION, XSD_YM_DURATION, XSD_DT_DURATION)
 RDF_LANGSTRING = RDF + "langString"
 
 NUMERIC_DATATYPES = (XSD_INTEGER, XSD_DECIMAL, XSD_FLOAT, XSD_DOUBLE,
@@ -202,6 +205,10 @@ def typed_lit(lex: ColumnOrName, datatype: str) -> Column:
     if datatype in (XSD_DATETIME, XSD_DATE):
         return term_struct(KIND_LITERAL, lexc, datatype=F.lit(datatype),
                            ts=_parse_ts(lexc), tz_min=_parse_tz_min(lexc))
+    if datatype in DURATION_DATATYPES:
+        return term_struct(KIND_LITERAL, lexc, datatype=F.lit(datatype),
+                           num=_dur_months(lexc).cast(DECIMAL_T),
+                           dbl=_dur_seconds(lexc))
     return term_struct(KIND_LITERAL, lexc, datatype=F.lit(datatype))
 
 
@@ -223,6 +230,38 @@ def _parse_ts(lex: Column) -> Column:
     return F.to_timestamp(lex)
 
 
+# xsd:duration lexical form (anchored; groups: Y Mo D H Mi S).  The
+# reference stores durations as (months, seconds-decimal) pairs
+# (``lib/oxsdatatypes/src/duration.rs`` · ``Duration``); we mirror that
+# with ``num`` = total months and ``dbl`` = total seconds.
+_DUR_RE = (r"^-?P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)D)?"
+           r"(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?$")
+
+
+def _dur_group(lex: Column, i: int) -> Column:
+    g = F.regexp_extract(lex, _DUR_RE, i)
+    return F.when(g == "", F.lit(0.0)).otherwise(g.cast("double"))
+
+
+def _dur_valid(lex: Column) -> Column:
+    # must match the grammar AND carry at least one component
+    return F.regexp_like(lex, F.lit(_DUR_RE)) \
+        & F.regexp_like(lex, F.lit(r"\d"))
+
+
+def _dur_months(lex: Column) -> Column:
+    sign = F.when(lex.startswith("-"), F.lit(-1.0)).otherwise(F.lit(1.0))
+    m = sign * (_dur_group(lex, 1) * 12 + _dur_group(lex, 2))
+    return F.when(_dur_valid(lex), m).otherwise(F.lit(None))
+
+
+def _dur_seconds(lex: Column) -> Column:
+    sign = F.when(lex.startswith("-"), F.lit(-1.0)).otherwise(F.lit(1.0))
+    s = sign * (_dur_group(lex, 3) * 86400 + _dur_group(lex, 4) * 3600
+                + _dur_group(lex, 5) * 60 + _dur_group(lex, 6))
+    return F.when(_dur_valid(lex), s).otherwise(F.lit(None))
+
+
 def _xsd_double(lex: Column) -> Column:
     """XSD double lexical space includes INF/-INF/NaN (Spark cast → NULL)."""
     return (F.when(lex == "INF", F.lit(float("inf")))
@@ -235,8 +274,11 @@ def make_typed(lex: Column, datatype: Column) -> Column:
     """Literal with a *dynamic* datatype IRI column (STRDT); payload fields
     derived from the datatype at runtime."""
     num = F.when(datatype.isin(*INTEGER_DATATYPES) | (datatype == XSD_DECIMAL),
-                 lex.cast(DECIMAL_T))
-    dbl = F.when(datatype.isin(XSD_FLOAT, XSD_DOUBLE), _xsd_double(lex))
+                 lex.cast(DECIMAL_T)) \
+           .when(datatype.isin(*DURATION_DATATYPES),
+                 _dur_months(lex).cast(DECIMAL_T))
+    dbl = F.when(datatype.isin(XSD_FLOAT, XSD_DOUBLE), _xsd_double(lex)) \
+           .when(datatype.isin(*DURATION_DATATYPES), _dur_seconds(lex))
     b = F.when(datatype == XSD_BOOLEAN,
                F.when(lex.isin("true", "1"), F.lit(True))
                 .when(lex.isin("false", "0"), F.lit(False)))
@@ -291,6 +333,10 @@ def sort_key(t: Column) -> Column:
         F.when(t.isNull() | k.isNull(), F.lit(0))
         .when(k == KIND_BNODE, F.lit(1))
         .when(k == KIND_IRI, F.lit(2))
+        # durations carry (months, seconds) in num/dbl but are NOT
+        # numerically ordered with numbers — class with unknown literals
+        .when((k == KIND_LITERAL) & t["datatype"].isin(*DURATION_DATATYPES),
+              F.lit(7))
         .when((k == KIND_LITERAL) & t["num"].isNotNull(), F.lit(3))
         .when((k == KIND_LITERAL) & t["dbl"].isNotNull(), F.lit(3))
         .when((k == KIND_LITERAL) & t["bool"].isNotNull(), F.lit(4))

@@ -56,6 +56,57 @@ def guess_format(path: str) -> str:
             ".trig": "turtle"}.get(ext, "ntriples")
 
 
+# -- distributed Turtle → N-Triples conversion ------------------------------
+
+def turtle_to_ntriples(spark: SparkSession, in_path: str,
+                       out_path: str) -> None:
+    """Distributed Turtle→N-Triples conversion — the preprocessing step
+    for the scale path (S3): Turtle's stateful prefixes make one FILE the
+    unit of parallelism (it cannot be line-split), so a corpus of .ttl
+    files converts with one task per file via ``wholetext`` read +
+    ``mapInPandas``.  The resulting N-Triples directory then reads
+    line-parallel at any scale with :func:`load_rdf`.
+
+    Executor-side parsing reuses the same grammar as the driver-side
+    small reader; malformed files raise (fail-fast like the reference's
+    strict parser)."""
+    files = spark.read.text(in_path, wholetext=True)
+
+    def convert(batches):
+        import pandas as pd
+        for pdf in batches:
+            lines: List[str] = []
+            for text in pdf["value"]:
+                lines.extend(turtle_text_to_nt_lines(text))
+            yield pd.DataFrame({"value": lines})
+
+    files.mapInPandas(convert, "value string") \
+         .write.mode("overwrite").text(out_path)
+
+
+def turtle_text_to_nt_lines(text: str) -> List[str]:
+    """One Turtle document → canonical N-Triples lines (pure Python —
+    runs on executors inside :func:`turtle_to_ntriples`)."""
+    from ..algebra import ast as A
+    from ..algebra.parser import Parser
+    from ..plans.compiler import _py_token
+    prefixes = dict(_TTL_PREFIX.findall(text))
+    body = _TTL_PREFIX.sub("", text)
+    p = Parser("{" + body + "}")
+    p.prefixes.update(prefixes)
+    pattern = p._group_graph_pattern()
+    out: List[str] = []
+    if isinstance(pattern, A.BGP):
+        def ground(t):
+            return A.BlankNode(t.name) if isinstance(t, A.Var) else t
+        for tp in pattern.patterns:
+            if isinstance(tp, A.TriplePattern):
+                out.append(f"{_py_token(ground(tp.s))} "
+                           f"{_py_token(ground(tp.p))} "
+                           f"{_py_token(ground(tp.o))} .")
+    return out
+
+
 # -- minimal driver-side Turtle reader (small files only) -------------------
 
 _TTL_PREFIX = re.compile(r"@prefix\s+([A-Za-z0-9_-]*):\s*<([^>]*)>\s*\.")

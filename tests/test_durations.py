@@ -1,0 +1,68 @@
+"""xsd:duration / yearMonthDuration / dayTimeDuration: literals,
+value equality, ordering, dateTime arithmetic (SURVEY.md §1.2;
+reference: lib/oxsdatatypes/src/duration.rs)."""
+
+import pytest
+
+from oxigraph_spark.operators.update import MutableQuadSource
+from oxigraph_spark.sources.ntriples import read_ntriples
+from oxigraph_spark.store import Store
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+NT = f"""
+<urn:e1> <urn:start> "2024-01-10T12:00:00"^^<{XSD}dateTime> .
+<urn:e1> <urn:dur> "P1DT2H30M"^^<{XSD}dayTimeDuration> .
+<urn:e2> <urn:start> "2024-03-01T00:00:00"^^<{XSD}dateTime> .
+<urn:e2> <urn:dur> "P2M"^^<{XSD}yearMonthDuration> .
+"""
+
+
+@pytest.fixture(scope="module")
+def dur_store(spark, tmp_path_factory):
+    p = tmp_path_factory.mktemp("dur") / "dur.nt"
+    p.write_text(NT)
+    return Store(spark, MutableQuadSource(spark, read_ntriples(spark, str(p))))
+
+
+def test_datetime_plus_minus_duration(dur_store):
+    rows = {r.e.lex: r for r in dur_store.query("""
+        SELECT ?e ?end ?back ?diff WHERE {
+          ?e <urn:start> ?s ; <urn:dur> ?d .
+          BIND(?s + ?d AS ?end)
+          BIND(?end - ?d AS ?back)
+          BIND(?end - ?s AS ?diff)
+        }""").collect()}
+    r1, r2 = rows["urn:e1"], rows["urn:e2"]
+    assert r1.end.lex == "2024-01-11T14:30:00"
+    assert r1.back.lex == "2024-01-10T12:00:00"
+    assert r1.diff.lex == "P1DT2H30M"
+    assert r1.diff.datatype == XSD + "dayTimeDuration"
+    assert r2.end.lex == "2024-05-01T00:00:00"   # calendar month add
+    assert r2.diff.lex == "P61D"                  # dateTime diff is dayTime
+
+
+def test_duration_eq_cmp_and_sum(dur_store):
+    r = dur_store.query(f"""
+        SELECT ?eq ?cmp ?sum ?bad WHERE {{
+          BIND("P1Y"^^<{XSD}duration> = "P12M"^^<{XSD}duration> AS ?eq)
+          BIND("P1Y"^^<{XSD}yearMonthDuration>
+               < "P13M"^^<{XSD}yearMonthDuration> AS ?cmp)
+          BIND("P1DT12H"^^<{XSD}dayTimeDuration>
+               + "PT12H"^^<{XSD}dayTimeDuration> AS ?sum)
+          BIND("P1Y"^^<{XSD}yearMonthDuration>
+               < "P1D"^^<{XSD}dayTimeDuration> AS ?bad)
+        }}""").collect()[0]
+    assert r.eq.bool is True and r.cmp.bool is True
+    assert r.sum.lex == "P2D"
+    assert r.bad is None  # cross-family comparison is a type error
+
+
+def test_duration_payloads_and_cast(dur_store):
+    r = dur_store.query(f"""
+        SELECT ?c ?neg WHERE {{
+          BIND(<{XSD}dayTimeDuration>("PT90M") AS ?c)
+          BIND("-P1DT1H"^^<{XSD}dayTimeDuration> AS ?neg)
+        }}""").collect()[0]
+    assert r.c.lex == "PT90M" and float(r.c.dbl) == 5400.0
+    assert float(r.neg.dbl) == -(86400 + 3600)

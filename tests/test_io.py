@@ -144,6 +144,31 @@ ex:b ex:knows ex:a .
     assert types == 1
 
 
+def test_turtle_to_ntriples_distributed(spark, tmp_path):
+    """Directory of Turtle files → N-Triples via mapInPandas (one task
+    per file), then line-parallel N-Triples read matches."""
+    d = tmp_path / "ttls"
+    d.mkdir()
+    (d / "a.ttl").write_text("""
+@prefix ex: <urn:ex:> .
+ex:a a ex:Person ; ex:name "Ali\\"ce" .
+""")
+    (d / "b.ttl").write_text("""
+@prefix ex: <urn:ex:> .
+ex:b ex:knows ex:a ; ex:age 42 .
+""")
+    out = str(tmp_path / "nt_out")
+    rdf_io.turtle_to_ntriples(spark, str(d), out)
+    quads = rdf_io.load_rdf(spark, out + "/*.txt", "ntriples")
+    rows = quads.collect()
+    assert len(rows) == 4
+    by_pred = {}
+    for r in rows:
+        by_pred.setdefault(r.p.lex, []).append(r)
+    assert by_pred["urn:ex:name"][0].o.lex == 'Ali"ce'
+    assert by_pred["urn:ex:age"][0].o.num == 42
+
+
 def test_service_handler(spark, nt_path):
     from oxigraph_spark.operators.update import MutableQuadSource
     from oxigraph_spark.plans.compiler import Compiler
