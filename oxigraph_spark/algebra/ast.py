@@ -301,26 +301,40 @@ GraphPattern = Union[BGP, Join, LeftJoin, Minus, Union_, Filter, Extend,
 # ---------------------------------------------------------------------------
 
 
+# FROM / FROM NAMED dataset spec (spargebra · QueryDataset): when either
+# tuple is non-empty the query's active dataset is EXACTLY what's listed
+# (default graph = merge of `from_graphs`; GRAPH patterns range over
+# `from_named` only)
+
+
 @dataclass(frozen=True)
 class SelectQuery:
     pattern: GraphPattern
+    from_graphs: Tuple[str, ...] = ()
+    from_named: Tuple[str, ...] = ()
 
 
 @dataclass(frozen=True)
 class AskQuery:
     pattern: GraphPattern
+    from_graphs: Tuple[str, ...] = ()
+    from_named: Tuple[str, ...] = ()
 
 
 @dataclass(frozen=True)
 class ConstructQuery:
     template: Tuple[TriplePattern, ...]
     pattern: GraphPattern
+    from_graphs: Tuple[str, ...] = ()
+    from_named: Tuple[str, ...] = ()
 
 
 @dataclass(frozen=True)
 class DescribeQuery:
     terms: Tuple[TermOrVar, ...]
     pattern: Optional[GraphPattern]
+    from_graphs: Tuple[str, ...] = ()
+    from_named: Tuple[str, ...] = ()
 
 
 Query = Union[SelectQuery, AskQuery, ConstructQuery, DescribeQuery]

@@ -127,6 +127,9 @@ class Parser:
         # per-group lists of (fresh_var, s, p, o) quoted-triple-pattern
         # lowerings, applied when the enclosing group pattern closes
         self._qt_stack: List[List] = []
+        # FROM / FROM NAMED iris (top-level query dataset)
+        self._from_graphs: List[str] = []
+        self._from_named: List[str] = []
 
     # -- token helpers --------------------------------------------------
 
@@ -207,7 +210,8 @@ class Parser:
 
     def _select_query(self) -> A.SelectQuery:
         pattern = self._select_inner()
-        return A.SelectQuery(pattern)
+        return A.SelectQuery(pattern, tuple(self._from_graphs),
+                             tuple(self._from_named))
 
     def _select_inner(self) -> A.GraphPattern:
         """SELECT clause + WHERE + modifiers → algebra pattern (shared by
@@ -239,33 +243,36 @@ class Parser:
             if not proj:
                 raise ParseError("empty SELECT clause")
 
-        # dataset clauses (FROM / FROM NAMED) — parsed, default-graph only
-        while self.at_kw("FROM"):
-            self.next()
-            if self.at_kw("NAMED"):
-                self.next()
-            self._iri()
-
+        self._dataset_clauses()
         if self.at_kw("WHERE"):
             self.next()
         pattern = self._group_graph_pattern()
         return self._solution_modifiers(pattern, proj, star, distinct, reduced)
 
-    def _ask_query(self) -> A.AskQuery:
-        self.eat_kw("ASK")
+    def _dataset_clauses(self) -> None:
+        """FROM / FROM NAMED → recorded on the parser; query constructors
+        attach them to the query node (spargebra · QueryDataset)."""
         while self.at_kw("FROM"):
             self.next()
             if self.at_kw("NAMED"):
                 self.next()
-            self._iri()
+                self._from_named.append(self._iri())
+            else:
+                self._from_graphs.append(self._iri())
+
+    def _ask_query(self) -> A.AskQuery:
+        self.eat_kw("ASK")
+        self._dataset_clauses()
         if self.at_kw("WHERE"):
             self.next()
-        return A.AskQuery(self._group_graph_pattern())
+        return A.AskQuery(self._group_graph_pattern(),
+                          tuple(self._from_graphs), tuple(self._from_named))
 
     def _construct_query(self) -> A.ConstructQuery:
         self.eat_kw("CONSTRUCT")
         if self.at_op("{"):
             template = self._construct_template()
+            self._dataset_clauses()
             if self.at_kw("WHERE"):
                 self.next()
             pattern = self._group_graph_pattern()
@@ -278,7 +285,9 @@ class Parser:
                         if isinstance(tp, A.TriplePattern)]
             pattern = template_pattern
         pattern = self._slice_modifiers(pattern)
-        return A.ConstructQuery(tuple(template), pattern)
+        return A.ConstructQuery(tuple(template), pattern,
+                                tuple(self._from_graphs),
+                                tuple(self._from_named))
 
     def _construct_template(self) -> List[A.TriplePattern]:
         self.eat_op("{")
@@ -305,12 +314,15 @@ class Parser:
                     terms.append(A.NamedNode(self._iri()))
                 else:
                     break
+        self._dataset_clauses()
         pattern = None
         if self.at_kw("WHERE") or self.at_op("{"):
             if self.at_kw("WHERE"):
                 self.next()
             pattern = self._group_graph_pattern()
-        return A.DescribeQuery(tuple(terms), pattern)
+        return A.DescribeQuery(tuple(terms), pattern,
+                               tuple(self._from_graphs),
+                               tuple(self._from_named))
 
     # -- solution modifiers (ToAlgebra §18.2.4-5) ------------------------
 
@@ -1171,12 +1183,8 @@ def _assemble_select(pattern, proj, star, distinct, reduced, group_by,
 
 def _join_values(q: A.Query, values: A.Values) -> A.Query:
     import dataclasses
-    if isinstance(q, A.SelectQuery):
-        return A.SelectQuery(A.Join(q.pattern, values))
-    if isinstance(q, A.AskQuery):
-        return A.AskQuery(A.Join(q.pattern, values))
-    if isinstance(q, A.ConstructQuery):
-        return A.ConstructQuery(q.template, A.Join(q.pattern, values))
+    if isinstance(q, (A.SelectQuery, A.AskQuery, A.ConstructQuery)):
+        return dataclasses.replace(q, pattern=A.Join(q.pattern, values))
     return q
 
 

@@ -302,6 +302,10 @@ class Compiler:
     # ------------------------------------------------------------------
 
     def compile_query(self, q: A.Query) -> DataFrame:
+        # FROM / FROM NAMED: when present, the active dataset is exactly
+        # what's listed (spec §13.2) — _graph_filter consults these
+        self._from_graphs = tuple(getattr(q, "from_graphs", ()) or ())
+        self._from_named = tuple(getattr(q, "from_named", ()) or ())
         if isinstance(q, A.SelectQuery):
             return self.compile_pattern(q.pattern).df
         if isinstance(q, A.AskQuery):
@@ -389,13 +393,33 @@ class Compiler:
         return Compiled(out, names, names, st, nt)
 
     def _graph_filter(self, df: DataFrame, graph_ctx) -> DataFrame:
+        from_g = getattr(self, "_from_graphs", ())
+        from_n = getattr(self, "_from_named", ())
+        dataset = bool(from_g or from_n)
         if graph_ctx is None:
+            if dataset:
+                # FROM list present: the default graph is the MERGE of the
+                # listed graphs (the store's real default graph excluded);
+                # FROM NAMED only ⇒ empty default graph
+                if not from_g:
+                    return df.where(F.lit(False))
+                return df.where((df["g"]["kind"] == T.KIND_IRI)
+                                & df["g"]["lex"].isin(*from_g))
             return df.where(df["g"]["kind"] == T.KIND_DEFAULT_GRAPH)
         if isinstance(graph_ctx, A.NamedNode):
-            return df.where((df["g"]["kind"] == T.KIND_IRI)
-                            & (df["g"]["lex"] == graph_ctx.iri))
+            cond = (df["g"]["kind"] == T.KIND_IRI) \
+                & (df["g"]["lex"] == graph_ctx.iri)
+            if dataset and graph_ctx.iri not in from_n:
+                return df.where(F.lit(False))
+            return df.where(cond)
         if isinstance(graph_ctx, A.Var):
-            return df.where(df["g"]["kind"] != T.KIND_DEFAULT_GRAPH)
+            cond = df["g"]["kind"] != T.KIND_DEFAULT_GRAPH
+            if dataset:
+                if not from_n:
+                    return df.where(F.lit(False))
+                cond = cond & (df["g"]["kind"] == T.KIND_IRI) \
+                    & df["g"]["lex"].isin(*from_n)
+            return df.where(cond)
         raise TypeError(type(graph_ctx))
 
     def _c_PathPattern(self, pp: A.PathPattern, graph_ctx) -> Compiled:

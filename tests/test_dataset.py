@@ -1,0 +1,61 @@
+"""FROM / FROM NAMED dataset construction (spec §13.2; spargebra ·
+QueryDataset): the active dataset is exactly what the clauses list."""
+
+import pytest
+
+from oxigraph_spark.operators.update import MutableQuadSource
+from oxigraph_spark.sources.ntriples import read_ntriples
+from oxigraph_spark.store import Store
+
+NQ = """
+<urn:s1> <urn:p> "default" .
+<urn:s2> <urn:p> "g1" <urn:graph:1> .
+<urn:s3> <urn:p> "g2" <urn:graph:2> .
+<urn:s4> <urn:p> "g3" <urn:graph:3> .
+"""
+
+
+@pytest.fixture(scope="module")
+def ds_store(spark, tmp_path_factory):
+    p = tmp_path_factory.mktemp("ds") / "data.nq"
+    p.write_text(NQ)
+    quads = read_ntriples(spark, str(p), quads=True)
+    return Store(spark, MutableQuadSource(spark, quads))
+
+
+def _vals(df):
+    return sorted(r.o.lex for r in df.collect())
+
+
+def test_no_dataset_defaults_to_default_graph(ds_store):
+    df = ds_store.query("SELECT ?o WHERE { ?s <urn:p> ?o }")
+    assert _vals(df.select(df["o"].alias("o"))) == ["default"]
+
+
+def test_from_merges_named_graphs(ds_store):
+    df = ds_store.query("""
+        SELECT ?o FROM <urn:graph:1> FROM <urn:graph:2>
+        WHERE { ?s <urn:p> ?o }""")
+    assert _vals(df) == ["g1", "g2"]  # real default graph excluded
+
+
+def test_from_named_restricts_graph_patterns(ds_store):
+    df = ds_store.query("""
+        SELECT ?g ?o FROM NAMED <urn:graph:2>
+        WHERE { GRAPH ?g { ?s <urn:p> ?o } }""")
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0].o.lex == "g2" and rows[0].g.lex == "urn:graph:2"
+
+
+def test_from_named_only_empties_default(ds_store):
+    df = ds_store.query("""
+        SELECT ?o FROM NAMED <urn:graph:1> WHERE { ?s <urn:p> ?o }""")
+    assert df.count() == 0
+
+
+def test_graph_iri_outside_from_named_is_empty(ds_store):
+    df = ds_store.query("""
+        SELECT ?o FROM NAMED <urn:graph:1>
+        WHERE { GRAPH <urn:graph:2> { ?s <urn:p> ?o } }""")
+    assert df.count() == 0
