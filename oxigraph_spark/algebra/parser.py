@@ -1043,6 +1043,19 @@ class Parser:
             src = self._graph_or_default()
             self.eat_kw("TO")
             return U.CopyMoveAdd(kind, src, self._graph_or_default())
+        if self.at_kw("LOAD"):
+            self.next()
+            silent = False
+            if self.at_kw("SILENT"):
+                self.next()
+                silent = True
+            source = self._iri()
+            graph = None
+            if self.at_kw("INTO"):
+                self.next()
+                self.eat_kw("GRAPH")
+                graph = self._iri()
+            return U.Load(source, graph, silent)
         raise ParseError(f"expected update operation, got {self.peek()}")
 
     def _graph_or_default(self):

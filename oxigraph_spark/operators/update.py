@@ -73,8 +73,15 @@ class CopyMoveAdd:
     dst: Optional[str]
 
 
+@dataclass(frozen=True)
+class Load:
+    source: str                      # file IRI/path (no network here)
+    graph: Optional[str] = None      # INTO GRAPH target
+    silent: bool = False
+
+
 UpdateOp = Union[InsertData, DeleteData, DeleteInsert, Clear, Drop, Create,
-                 CopyMoveAdd]
+                 CopyMoveAdd, Load]
 
 
 # -- mutable store ----------------------------------------------------------
@@ -120,6 +127,8 @@ class MutableQuadSource:
             pass  # graphs exist implicitly in the quads model
         elif isinstance(op, CopyMoveAdd):
             self._copy_move_add(op)
+        elif isinstance(op, Load):
+            self._load(op)
         else:
             raise TypeError(type(op))
         self.df = self.df.localCheckpoint(eager=False)
@@ -227,3 +236,25 @@ class MutableQuadSource:
         if op.kind == "MOVE":
             df = df.where(~pred(op.src))
         self.df = df.unionByName(moved).distinct()
+
+    def _load(self, op: Load) -> None:
+        """LOAD <doc> [INTO GRAPH g]: distributed read of a local/shared-fs
+        RDF document (``file://`` IRIs or plain paths; the reference also
+        fetches http(s), which this offline engine rejects — SILENT turns
+        any failure into a no-op per §3.1.31)."""
+        from ..sources.rdf_io import load_rdf
+        path = op.source
+        if path.startswith("file://"):
+            path = path[len("file://"):]
+        try:
+            if "://" in path:
+                raise ValueError(f"LOAD supports only file URIs, got {op.source}")
+            quads = load_rdf(self.spark, path)
+        except Exception:
+            if op.silent:
+                return
+            raise
+        g = (T.iri(F.lit(op.graph)) if op.graph is not None
+             else T.default_graph())
+        quads = quads.select("s", "p", "o", g.alias("g"))
+        self.df = self.df.unionByName(quads).distinct()

@@ -767,8 +767,35 @@ class Compiler:
         cls.SERVICE_HANDLERS[iri] = handler
 
     def _c_Service(self, n: A.Service, graph_ctx) -> Compiled:
-        if not isinstance(n.name, A.NamedNode):
-            raise NotImplementedError("variable SERVICE targets")
+        if isinstance(n.name, A.Var):
+            # variable SERVICE target: evaluate the inner pattern against
+            # every REGISTERED endpoint, binding the var to the endpoint
+            # IRI (the practical federation semantics — an engine can only
+            # call endpoints it knows how to reach)
+            parts: List[Compiled] = []
+            for iri in sorted(self.SERVICE_HANDLERS):
+                sub = self._c_Service(
+                    A.Service(A.NamedNode(iri), n.inner, n.silent), graph_ctx)
+                df = sub.df.withColumn(
+                    n.name.name, _const_term_col(A.NamedNode(iri)))
+                parts.append(Compiled(df, sub.vars | {n.name.name},
+                                      sub.certain | {n.name.name}))
+            if not parts:
+                if n.silent:
+                    df = self.spark.range(1).select(F.lit(1).alias("__unit"))
+                    return Compiled(df, frozenset(), frozenset())
+                raise ValueError("variable SERVICE target with no "
+                                 "registered handlers")
+            all_vars = frozenset().union(*(p.vars for p in parts))
+            dfs = []
+            for p in parts:
+                df = p.df
+                for v in sorted(all_vars - p.vars):
+                    df = df.withColumn(v, B.err())
+                dfs.append(df.select(*sorted(all_vars)))
+            out = reduce(lambda x, y: x.unionByName(y), dfs)
+            certain = frozenset.intersection(*(p.certain for p in parts))
+            return Compiled(out, all_vars, certain)
         handler = self.SERVICE_HANDLERS.get(n.name.iri)
         if handler is None:
             if n.silent:  # SILENT: failure ⇒ single empty solution (§13.2)

@@ -199,6 +199,56 @@ def test_service_handler(spark, nt_path):
     assert df2.count() == 1
 
 
+def test_variable_service_target(spark, nt_path):
+    """SERVICE ?endpoint ranges over registered endpoints, binding the
+    variable to each endpoint IRI."""
+    from oxigraph_spark.operators.update import MutableQuadSource
+    from oxigraph_spark.plans.compiler import Compiler
+    quads = read_ntriples(spark, nt_path)
+    store = Store(spark, MutableQuadSource(spark, quads))
+
+    def mk_handler(val):
+        def handler(sp, pattern):
+            return sp.createDataFrame(
+                [((2, val, T.XSD_STRING, None, None, None, None, None,
+                   None),)], "x struct<kind:tinyint,lex:string,"
+                "datatype:string,lang:string,num:decimal(38,18),dbl:double,"
+                "ts:timestamp,tz_min:smallint,bool:boolean>")
+        return handler
+
+    Compiler.register_service_handler("urn:svc:v1", mk_handler("r1"))
+    Compiler.register_service_handler("urn:svc:v2", mk_handler("r2"))
+    try:
+        df = store.query("""
+            SELECT ?svc ?x WHERE { SERVICE ?svc { ?y <urn:p> ?x } }""")
+        got = sorted((r.svc.lex, r.x.lex) for r in df.collect()
+                     if r.svc.lex.startswith("urn:svc:v"))
+        assert got == [("urn:svc:v1", "r1"), ("urn:svc:v2", "r2")]
+    finally:
+        Compiler.SERVICE_HANDLERS.pop("urn:svc:v1", None)
+        Compiler.SERVICE_HANDLERS.pop("urn:svc:v2", None)
+
+
+def test_update_load_file(spark, nt_path, tmp_path):
+    """LOAD <file://…> [INTO GRAPH g] reads a document distributedly."""
+    from oxigraph_spark.operators.update import MutableQuadSource
+    quads = read_ntriples(spark, nt_path)
+    store = Store(spark, MutableQuadSource(spark, quads))
+    extra = tmp_path / "extra.nt"
+    extra.write_text('<urn:new:s> <urn:new:p> "loaded" .\n')
+    st2 = store.update(f"LOAD <file://{extra}> INTO GRAPH <urn:g:ld>")
+    df = st2.query("""
+        SELECT ?o WHERE { GRAPH <urn:g:ld> { ?s <urn:new:p> ?o } }""")
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0].o.lex == "loaded"
+    # SILENT failure is a no-op; non-SILENT missing file raises
+    st3 = store.update("LOAD SILENT <file:///nonexistent/x.nt>")
+    assert st3.query("ASK { ?s ?p ?o }").count() >= 0
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        store.update("LOAD <http://example.org/x.nt>")
+
+
 def test_dictionary_encode_roundtrip(spark, nt_path):
     from oxigraph_spark.sources.dictionary import encode, decode
     quads = read_ntriples(spark, nt_path)
