@@ -101,9 +101,13 @@ def json_rows(df: DataFrame) -> DataFrame:
 
 
 def to_json_document(df: DataFrame, limit: Optional[int] = None) -> str:
-    """Full SPARQL 1.1 Results JSON document (driver-side assembly of
-    distributed-formatted rows; use ``json_rows().write.text`` for the
-    streaming-to-files path at scale)."""
+    """Full SPARQL 1.1 Results JSON document.
+
+    **Driver-side ``collect()`` — interop/endpoint-response path ONLY.**
+    This materializes the whole result on the driver; NEVER call it on an
+    unbounded result at scale (pass ``limit`` or use
+    ``json_rows(df).write.text(...)``, which formats and writes fully
+    distributed)."""
     rows = json_rows(df if limit is None else df.limit(limit)).collect()
     bindings = ",".join(r.json for r in rows)
     head = json.dumps({"vars": list(df.columns)})
@@ -112,7 +116,10 @@ def to_json_document(df: DataFrame, limit: Optional[int] = None) -> str:
 
 
 def to_xml_document(df: DataFrame, limit: Optional[int] = None) -> str:
-    """SPARQL 1.1 Results XML document (driver-side; for interop/tests)."""
+    """SPARQL 1.1 Results XML document.
+
+    **Driver-side ``collect()`` — interop/tests ONLY**; same size caveat
+    as :func:`to_json_document` (pass ``limit`` at scale)."""
     out = ['<?xml version="1.0"?>',
            '<sparql xmlns="http://www.w3.org/2005/sparql-results#">',
            "<head>"]
