@@ -205,12 +205,15 @@ def _closure(compiler, edges: DataFrame, start: Optional[DataFrame]) -> DataFram
             _one_hop(hop1, edges, broadcast_frontier=bc)).distinct()
         seen = paths.select(F.col("src").alias("psrc"),
                             F.col("dst").alias("pdst"))
+        # lazy checkpoint + count = ONE job per round (the count action
+        # materializes the checkpoint); an eager checkpoint followed by
+        # isEmpty would cost two driver round-trips per round
         new = stepped.join(
             seen,
             (_key(stepped["src"]) == _key(seen["psrc"]))
             & (_key(stepped["dst"]) == _key(seen["pdst"])),
-            "leftanti").localCheckpoint()
-        if new.isEmpty():
+            "leftanti").localCheckpoint(eager=False)
+        if new.count() == 0:
             return paths
         paths = paths.unionByName(new)
         frontier = new

@@ -129,14 +129,24 @@ def minhash_signature(shingle_col: Column, num_perm: int = 32) -> Column:
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                       num_perm: int = 32, bands: int = 8,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      max_bucket: Optional[int] = None) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH, verified by
     signature-agreement similarity.
 
     Returns (id_a, id_b, sim) with id_a < id_b and sim >= threshold.
     Scale: docs hash into (band, band_hash) buckets; only same-bucket pairs
     join — the classic LSH trade: recall controlled by (bands, rows/band).
-    """
+
+    ``max_bucket`` is the 100 TB skew guard: a band hash shared by N docs
+    produces N² candidates, and degenerate content (boilerplate, empty
+    pages) creates million-doc buckets that would dominate the entire
+    job.  Buckets larger than the cap are dropped BEFORE the self-join
+    (standard large-scale MinHash practice; a pair only loses candidacy
+    if EVERY band it agrees on is hot, so recall loss is bounded and the
+    dropped mass is exactly the near-identical boilerplate a pipeline
+    handles by exact dedup anyway).  Default off for exactness at test
+    scale."""
     rows = num_perm // bands
     # signature via explode + per-permutation MIN aggregates: higher-order
     # functions (transform/array_min) evaluate interpreted per element,
@@ -164,6 +174,14 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     # wide alternative shuffles sig × bucket² — the round-1 bottleneck);
     # signatures re-join once per side afterwards to score agreement
     buckets = buckets.select("id", "bucket.band", "bucket.bh")
+    if max_bucket is not None:
+        # one map-side-combinable count per bucket; hot buckets never
+        # reach the self-join
+        sizes = buckets.groupBy("band", "bh") \
+                       .agg(F.count(F.lit(1)).alias("__n")) \
+                       .where(F.col("__n") <= max_bucket)
+        buckets = buckets.join(sizes.select("band", "bh"), ["band", "bh"],
+                               "leftsemi")
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bh") == F.col("b.bh"))

@@ -1,0 +1,93 @@
+"""LLM-data-pipeline operators (SURVEY.md §2.11): planted-duplicate
+recall for every dedup family, hot-bucket guard, ANN self-retrieval —
+the UNFILTERED operator outputs (the gate entries project onto their
+oracle-provable subsets; these tests cover the full surface)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again"),
+    (2, "pack my box with five dozen liquor jugs for the long trip home"),
+    (3, "sphinx of black quartz judge my vow said the old librarian"),
+    (4, "a completely different sentence about distributed query engines"),
+]
+
+
+@pytest.fixture(scope="module")
+def doubled(spark):
+    df = spark.createDataFrame(DOCS, "id long, text string")
+    return df.unionByName(
+        df.withColumn("id", F.col("id") + 100))
+
+
+def test_minhash_planted_recall(doubled):
+    from oxigraph_spark.pipeline.dedup import minhash_lsh_pairs
+    pairs = minhash_lsh_pairs(doubled, "text", "id",
+                              num_perm=16, bands=4, threshold=0.5)
+    got = {(r.id_a, r.id_b): r.sim for r in pairs.collect()}
+    for i, _ in DOCS:
+        assert got.get((i, i + 100)) == 1.0  # every planted dup, sim 1.0
+
+
+def test_minhash_hot_bucket_cap(spark):
+    from oxigraph_spark.pipeline.dedup import minhash_lsh_pairs
+    # 30 identical docs = one 30-doc bucket per band → 435 pairs uncapped
+    df = spark.createDataFrame(
+        [(i, "same text everywhere forever and ever amen") for i in range(30)]
+        + [(100, "another unique document"), (200, "another unique document")],
+        "id long, text string")
+    uncapped = minhash_lsh_pairs(df, "text", "id", num_perm=16, bands=4)
+    capped = minhash_lsh_pairs(df, "text", "id", num_perm=16, bands=4,
+                               max_bucket=10)
+    assert uncapped.count() == 435 + 1
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert got == {(100, 200)}  # hot bucket dropped, small bucket kept
+
+
+def test_simhash_planted_recall(doubled):
+    from oxigraph_spark.pipeline.dedup import simhash_pairs
+    pairs = simhash_pairs(doubled, "text", "id", max_hamming=3)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    for i, _ in DOCS:
+        assert got.get((i, i + 100)) == 0
+
+
+def test_ngram_jaccard_exact(doubled):
+    from oxigraph_spark.pipeline.dedup import ngram_jaccard_pairs
+    pairs = ngram_jaccard_pairs(doubled, "text", "id", n=3, threshold=0.9)
+    got = {(r.id_a, r.id_b): r.sim for r in pairs.collect()}
+    for i, _ in DOCS:
+        assert got.get((i, i + 100)) == 1.0
+
+
+def test_embedding_dedup_and_ann(spark):
+    from oxigraph_spark.pipeline.dedup import embedding_cosine_pairs
+    from oxigraph_spark.pipeline.simsearch import (brute_force_topk,
+                                                   lsh_index, lsh_topk)
+    vecs = [(i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(8)])
+            for i in range(20)]
+    df = spark.createDataFrame(vecs, "id long, vec array<float>")
+    both = df.unionByName(df.withColumn("id", F.col("id") + 100))
+    pairs = embedding_cosine_pairs(both, "vec", "id",
+                                   threshold=0.9999, planes=6)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert all((i, i + 100) in got for i in range(20))
+    # ANN self-retrieval agrees with brute force on the top hit
+    q = vecs[3][1]
+    exact = brute_force_topk(df, "vec", "id", q, k=3).collect()
+    assert exact[0].id == 3 and abs(exact[0].sim - 1.0) < 1e-9
+    ann = lsh_topk(lsh_index(df, "vec", "id", planes=6), q,
+                   k=3, planes=6, multiprobe=1).collect()
+    assert ann[0].id == 3
+
+
+def test_text_stats_basics(spark):
+    from oxigraph_spark.pipeline.textstats import text_stats
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox."), (2, "")], "id long, text string")
+    rows = {r.id: r for r in text_stats(df, "text", "id").collect()}
+    assert rows[1].n_tokens == 4
+    assert rows[1].lang_guess == "en"
+    assert rows[2].n_tokens == 0 and rows[2].quality < 0.5
+    assert rows[1].fp != rows[2].fp
