@@ -81,10 +81,39 @@ def extract_features(media: DataFrame, batch_rows: int = 1024) -> DataFrame:
     return media.mapInPandas(process, schema=FEATURE_SCHEMA)
 
 
-def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB resize: a real impl decodes, resizes, re-encodes in the same
-    mapInPandas shape; here we only re-tag metadata (no image libs)."""
-    return media.withColumn("mime", F.lit(f"image/resized;{width}x{height}"))
+def _resize_stub(payload: bytes, width: int, height: int) -> bytes:
+    """STUB — image resize is not available in this container.
+
+    A real implementation decodes (PIL), resizes, re-encodes.  The stub
+    produces a deterministic payload of the size a width×height raw
+    buffer would have (truncate/cycle the input bytes), so downstream
+    size-sensitive plumbing is exercised for real."""
+    target = width * height
+    if not payload:
+        return bytes(target)
+    reps = target // len(payload) + 1
+    return (payload * reps)[:target]
+
+
+def resize(media: DataFrame, width: int, height: int,
+           batch_rows: int = 1024) -> DataFrame:
+    """Payload-transforming resize in the same Arrow-batched
+    ``mapInPandas`` shape a real decoder uses: binary in → binary out,
+    MEDIA_SCHEMA preserved, mime re-tagged.  Only the per-image
+    ``_resize_stub`` body changes when image libs are available."""
+    mime = f"image/resized;{width}x{height}"
+
+    def process(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["content"]) if r["content"] is not None else b""
+                rows.append((int(r["media_id"]), r["kind"],
+                             _resize_stub(payload, width, height), mime))
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA])
+
+    return media.mapInPandas(process, schema=MEDIA_SCHEMA)
 
 
 def frame_sample_stub(media: DataFrame, every_n: int = 30) -> DataFrame:

@@ -67,6 +67,62 @@ def lsh_index(df: DataFrame, vec_col: str, id_col: str,
                      F.col(id_col).alias("id"), v.alias("vec"))
 
 
+def ivf_index(df: DataFrame, vec_col: str, id_col: str,
+              n_centroids: int = 16) -> DataFrame:
+    """IVF (inverted-file) ANN index: (centroid_id, id, vec).
+
+    Centroids are a DETERMINISTIC seeded sample of the corpus (the
+    ``n_centroids`` vectors with smallest ``xxhash64(id)`` — no fitted
+    k-means model, so the index is reproducible and oracle-checkable);
+    every vector is assigned to its maximum-cosine centroid.  At 100 TB
+    this is the table you write partitioned by ``centroid_id``: a probe
+    reads ``nprobe`` partitions instead of the corpus.  The centroid set
+    itself is tiny and broadcast as literals (one bounded driver
+    collect, like DESCRIBE targets)."""
+    v = F.col(vec_col).cast("array<double>")
+    base = df.select(F.col(id_col).alias("id"), v.alias("vec"))
+    cents = (base.withColumn("__h", F.xxhash64(F.col("id").cast("string")))
+                 .orderBy("__h", "id").limit(n_centroids)
+                 .select("id", "vec").collect())
+    scored = F.array(*[
+        F.struct(cosine(F.col("vec"),
+                        F.array(*[F.lit(float(x)) for x in c["vec"]]))
+                 .alias("s"),
+                 F.lit(int(c["id"])).alias("cid"))
+        for c in cents])
+    best = F.array_max(scored)  # struct compare: max by score, then cid
+    return base.select(best["cid"].alias("centroid_id"), "id", "vec")
+
+
+def _centroid_order(query, cents) -> List[int]:
+    import math
+    qn = math.sqrt(sum(x * x for x in query)) or 1.0
+
+    def cos(c):
+        vn = math.sqrt(sum(x * x for x in c["vec"])) or 1.0
+        return sum(a * b for a, b in zip(query, c["vec"])) / (qn * vn)
+
+    return [int(c["id"]) for c in sorted(cents, key=cos, reverse=True)]
+
+
+def ivf_topk(index: DataFrame, query: Sequence[float], k: int = 10,
+             nprobe: int = 2, centroids: "Optional[DataFrame]" = None) -> DataFrame:
+    """IVF probe: rank centroids by query cosine (driver-side — the
+    centroid set is tiny), brute-force only the ``nprobe`` best inverted
+    lists.  ``centroids`` defaults to re-deriving distinct centroid rows
+    from the index."""
+    qcol = F.array(*[F.lit(float(x)) for x in query])
+    cent_rows = (centroids if centroids is not None
+                 else index.select(F.col("centroid_id").alias("id"))
+                           .distinct()
+                           .join(index.select("id", "vec"), "id")
+                           .dropDuplicates(["id"])).collect()
+    probe = set(_centroid_order(query, cent_rows)[:nprobe])
+    cand = index.where(F.col("centroid_id").isin(*sorted(probe)))
+    out = cand.select("id", cosine(F.col("vec"), qcol).alias("sim"))
+    return out.orderBy(F.col("sim").desc(), F.col("id")).limit(k)
+
+
 def lsh_topk(index: DataFrame, query: Sequence[float], k: int = 10,
              planes: int = 8, multiprobe: int = 1) -> DataFrame:
     """ANN top-k: search the query's bucket plus all buckets within

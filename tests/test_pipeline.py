@@ -82,6 +82,49 @@ def test_embedding_dedup_and_ann(spark):
     assert ann[0].id == 3
 
 
+def test_ivf_ann(spark):
+    """IVF index/probe: deterministic centroids, partition-pruned probe,
+    self-retrieval agreement with brute force."""
+    from oxigraph_spark.pipeline.simsearch import (brute_force_topk,
+                                                   ivf_index, ivf_topk)
+    vecs = [(i, [float((i * 13 + d * 5) % 17) - 8.0 for d in range(8)])
+            for i in range(40)]
+    df = spark.createDataFrame(vecs, "id long, vec array<float>")
+    idx = ivf_index(df, "vec", "id", n_centroids=8)
+    assert idx.select("centroid_id").distinct().count() <= 8
+    assert idx.count() == 40  # every vector assigned exactly once
+    q = vecs[7][1]
+    ann = ivf_topk(idx, q, k=3, nprobe=3).collect()
+    assert ann[0].id == 7 and abs(ann[0].sim - 1.0) < 1e-9
+    exact = brute_force_topk(df, "vec", "id", q, k=3).collect()
+    assert ann[0].id == exact[0].id
+    # probing ALL lists must equal exact brute force
+    full = ivf_topk(idx, q, k=5, nprobe=8).collect()
+    exact5 = brute_force_topk(df, "vec", "id", q, k=5).collect()
+    assert [r.id for r in full] == [r.id for r in exact5]
+
+
+def test_multimodal_plumbing(spark):
+    """Binary media columns: attach → feature-extract → resize →
+    frame-sample; decode is a marked stub, the Spark plumbing (schemas,
+    Arrow batches, payload round trip) is real."""
+    from oxigraph_spark.pipeline.multimodal import (attach_binary,
+                                                    extract_features,
+                                                    frame_sample_stub, resize)
+    df = spark.createDataFrame(
+        [(1, "some media payload"), (2, "x" * 500)], "id long, text string")
+    media = attach_binary(df, "text", "id")
+    feats = {r.media_id: r for r in extract_features(media).collect()}
+    assert feats[1].n_bytes == 18 and len(feats[1].checksum) == 64
+    assert 1 <= feats[2].width <= 1920 and 1 <= feats[2].height <= 1080
+    small = {r.media_id: r for r in resize(media, 8, 4).collect()}
+    assert len(small[1].content) == 32 and len(small[2].content) == 32
+    assert small[1].mime == "image/resized;8x4"
+    frames = frame_sample_stub(media, every_n=10).collect()
+    assert all(r.frame_no % 10 == 0 for r in frames)
+    assert len({r.media_id for r in frames}) == 2
+
+
 def test_text_stats_basics(spark):
     from oxigraph_spark.pipeline.textstats import text_stats
     df = spark.createDataFrame(
