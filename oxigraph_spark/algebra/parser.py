@@ -996,14 +996,34 @@ class Parser:
         return ops
 
     def _update_op(self, U):
+        # WITH <g>: default graph for BOTH the templates and the WHERE
+        # pattern of the following DELETE/INSERT operation (§3.1.3)
+        with_graph: Optional[A.NamedNode] = None
+        if self.at_kw("WITH"):
+            self.next()
+            with_graph = A.NamedNode(self._iri())
+            if not self.at_kw("DELETE", "INSERT"):
+                raise ParseError("WITH requires DELETE/INSERT")
+
+        def tmpl(quads):
+            if with_graph is None:
+                return tuple(quads)
+            return tuple(q if q.g is not None else
+                         U.QuadTemplate(q.s, q.p, q.o, with_graph)
+                         for q in quads)
+
+        def where(pattern):
+            return pattern if with_graph is None \
+                else A.Graph(with_graph, pattern)
+
         if self.at_kw("INSERT"):
             self.next()
             if self.at_kw("DATA"):
                 self.next()
                 return U.InsertData(tuple(self._quad_data()))
-            tmpl = tuple(self._quad_data())
+            t = tmpl(self._quad_data())
             self.eat_kw("WHERE")
-            return U.DeleteInsert((), tmpl, self._group_graph_pattern())
+            return U.DeleteInsert((), t, where(self._group_graph_pattern()))
         if self.at_kw("DELETE"):
             self.next()
             if self.at_kw("DATA"):
@@ -1011,16 +1031,19 @@ class Parser:
                 return U.DeleteData(tuple(self._quad_data()))
             if self.at_kw("WHERE"):
                 self.next()
+                if with_graph is not None:
+                    # DELETE WHERE shorthand under WITH: quads and the
+                    # implied pattern both live in the WITH graph
+                    return U.DeleteInsert(tmpl(self._quad_data()), (), None)
                 return U.DeleteInsert(tuple(self._quad_data()), (), None)
-            del_t = tuple(self._quad_data())
+            del_t = tmpl(self._quad_data())
             ins_t: tuple = ()
             if self.at_kw("INSERT"):
                 self.next()
-                ins_t = tuple(self._quad_data())
+                ins_t = tmpl(self._quad_data())
             self.eat_kw("WHERE")
-            return U.DeleteInsert(del_t, ins_t, self._group_graph_pattern())
-        if self.at_kw("WITH"):
-            raise ParseError("WITH graphs not supported yet")
+            return U.DeleteInsert(del_t, ins_t,
+                                  where(self._group_graph_pattern()))
         if self.at_kw("CLEAR", "DROP"):
             kind = self.eat_kw("CLEAR", "DROP")
             if self.at_kw("SILENT"):

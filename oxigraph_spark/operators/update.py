@@ -202,9 +202,18 @@ class MutableQuadSource:
         from ..plans.compiler import Compiler
         pattern = op.pattern
         if pattern is None:
-            # DELETE WHERE: the template IS the pattern
-            pattern = A.BGP(tuple(
-                A.TriplePattern(q.s, q.p, q.o) for q in op.delete))
+            # DELETE WHERE: the template IS the pattern — quads with a
+            # graph label match inside that GRAPH (incl. WITH rewrites)
+            groups: dict = {}
+            for q in op.delete:
+                groups.setdefault(q.g, []).append(
+                    A.TriplePattern(q.s, q.p, q.o))
+            parts = []
+            for g, tps in groups.items():
+                bgp = A.BGP(tuple(tps))
+                parts.append(bgp if g is None else A.Graph(g, bgp))
+            pattern = reduce(lambda a, b: A.Join(a, b), parts) \
+                if parts else A.BGP()
         compiler = Compiler(self.spark, self)
         sol = compiler.compile_pattern(pattern)
         # both template sets instantiate against the ORIGINAL store state

@@ -111,6 +111,30 @@ def test_named_graphs_via_update(spark):
     assert [r.g.lex for r in df3.collect()] == [f"{EX}g1"]
 
 
+def test_with_graph_update(spark):
+    """WITH <g>: default graph for DELETE/INSERT templates AND the WHERE
+    pattern (§3.1.3)."""
+    st = quads_store(spark, [(iri("x"), iri("p"), integer(1))])
+    st2 = st.update(f"""
+        INSERT DATA {{ GRAPH <{EX}g1> {{ <{EX}x> <{EX}p> 2 }} }} ;
+        WITH <{EX}g1>
+        DELETE {{ ?s <{EX}p> ?o }}
+        INSERT {{ ?s <{EX}p> 20 }}
+        WHERE  {{ ?s <{EX}p> ?o }}
+    """)
+    # the WITH update touched ONLY g1; default graph unchanged
+    df = st2.query(f"SELECT ?o WHERE {{ ?s <{EX}p> ?o }}")
+    assert [int(r.o.num) for r in df.collect()] == [1]
+    df1 = st2.query(
+        f"SELECT ?o WHERE {{ GRAPH <{EX}g1> {{ ?s <{EX}p> ?o }} }}")
+    assert [int(r.o.num) for r in df1.collect()] == [20]
+    # WITH + DELETE WHERE shorthand also scopes to the graph
+    st3 = st2.update(f"WITH <{EX}g1> DELETE WHERE {{ ?s <{EX}p> ?o }}")
+    assert st3.query(
+        f"SELECT ?o WHERE {{ GRAPH <{EX}g1> {{ ?s ?p ?o }} }}").count() == 0
+    assert st3.query(f"SELECT ?o WHERE {{ ?s <{EX}p> ?o }}").count() == 1
+
+
 def test_temporal_timezones(spark):
     triples = [
         (iri("t1"), iri("at"), A.Literal("2024-03-01T12:00:00+05:30",
