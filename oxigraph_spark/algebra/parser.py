@@ -127,6 +127,11 @@ class Parser:
         # per-group lists of (fresh_var, s, p, o) quoted-triple-pattern
         # lowerings, applied when the enclosing group pattern closes
         self._qt_stack: List[List] = []
+        # >0 while parsing a CONSTRUCT / update quad template: blank nodes
+        # stay BlankNode terms (fresh per solution, §16.2.1) and quoted
+        # triples with variables stay QuotedTriple terms (constructed at
+        # runtime via TRIPLE()) instead of being lowered to pattern vars
+        self._template_depth = 0
         # FROM / FROM NAMED iris (top-level query dataset)
         self._from_graphs: List[str] = []
         self._from_named: List[str] = []
@@ -292,7 +297,11 @@ class Parser:
     def _construct_template(self) -> List[A.TriplePattern]:
         self.eat_op("{")
         triples: List = []
-        self._triples_block(triples)
+        self._template_depth += 1
+        try:
+            self._triples_block(triples)
+        finally:
+            self._template_depth -= 1
         self.eat_op("}")
         out = []
         for t in triples:
@@ -632,6 +641,10 @@ class Parser:
                              "not supported (v1 restriction)")
         if all(not isinstance(x, A.Var) for x in (s, p, o)):
             return A.QuotedTriple(s, p, o)
+        if self._template_depth:
+            # template position: build the quoted triple at runtime from
+            # the solution bindings (TRIPLE() semantics, SPARQL 1.2 §16.2)
+            return A.QuotedTriple(s, p, o)
         qv = A.Var(f"__qt{next(self._qt_counter)}")
         if not self._qt_stack:
             raise ParseError("quoted triple pattern outside a group pattern")
@@ -640,26 +653,7 @@ class Parser:
 
     def _apply_qt_lowerings(self, acc: A.GraphPattern,
                             lowerings: List) -> A.GraphPattern:
-        """Lower each quoted-triple pattern: the fresh var must bind a
-        quoted-triple term whose components match — variable components
-        bind via Extend (or sameTerm-filter when already in scope), ground
-        components constrain via sameTerm."""
-        for qv, s, p, o in lowerings:
-            ev = A.EVar(qv.name)
-            acc = A.Filter(A.ECall("ISTRIPLE", (ev,)), acc)
-            for comp, accessor in ((s, "SUBJECT"), (p, "PREDICATE"),
-                                   (o, "OBJECT")):
-                get = A.ECall(accessor, (ev,))
-                if isinstance(comp, A.Var):
-                    if comp.name in A.pattern_vars(acc):
-                        acc = A.Filter(
-                            A.ECall("SAMETERM", (get, A.EVar(comp.name))), acc)
-                    else:
-                        acc = A.Extend(acc, comp, get)
-                else:
-                    acc = A.Filter(
-                        A.ECall("SAMETERM", (get, A.ETerm(comp))), acc)
-        return acc
+        return apply_qt_lowerings(acc, lowerings)
 
     def _graph_node(self, out: List):
         t = self.peek()
@@ -670,10 +664,14 @@ class Parser:
             return A.Var(t.value[1:])
         if t.kind == "BLANK":
             self.next()
+            if self._template_depth:
+                return A.BlankNode(t.value[2:])  # fresh-per-solution term
             return A.Var(f"__bn_{t.value[2:]}")  # bnodes in queries = fresh vars
         if self.at_op("["):
             self.next()
-            v = A.Var(f"__anon{next(self._anon_counter)}")
+            v = (A.BlankNode(f"__anon{next(self._anon_counter)}")
+                 if self._template_depth
+                 else A.Var(f"__anon{next(self._anon_counter)}"))
             if not self.at_op("]"):
                 self._property_list(v, out, required=True)
             self.eat_op("]")
@@ -686,12 +684,17 @@ class Parser:
             self.eat_op(")")
             if not items:
                 return A.NamedNode(RDF_NIL)
-            head = A.Var(f"__list{next(self._anon_counter)}")
+
+            def list_node():
+                n = next(self._anon_counter)
+                return (A.BlankNode(f"__list{n}") if self._template_depth
+                        else A.Var(f"__list{n}"))
+            head = list_node()
             cur = head
             for i, item in enumerate(items):
                 out.append(A.TriplePattern(cur, A.NamedNode(RDF_FIRST), item))
                 nxt = A.NamedNode(RDF_NIL) if i == len(items) - 1 \
-                    else A.Var(f"__list{next(self._anon_counter)}")
+                    else list_node()
                 out.append(A.TriplePattern(cur, A.NamedNode(RDF_REST), nxt))
                 cur = nxt
             return head
@@ -995,6 +998,22 @@ class Parser:
             raise ParseError(f"trailing input: {self.peek()}")
         return ops
 
+    def _check_quads(self, quads, ctx, *, vars_ok, bnodes_ok):
+        """Grammar restrictions on quad templates (§19.6): INSERT/DELETE
+        DATA must be ground; DELETE templates may not contain bnodes."""
+        def walk(t):
+            if isinstance(t, A.Var) and not vars_ok:
+                raise ParseError(f"variable not allowed in {ctx}")
+            if isinstance(t, A.BlankNode) and not bnodes_ok:
+                raise ParseError(f"blank node not allowed in {ctx}")
+            if isinstance(t, A.QuotedTriple):
+                walk(t.s), walk(t.p), walk(t.o)
+        for q in quads:
+            walk(q.s), walk(q.p), walk(q.o)
+            if q.g is not None:
+                walk(q.g)
+        return quads
+
     def _update_op(self, U):
         # WITH <g>: default graph for BOTH the templates and the WHERE
         # pattern of the following DELETE/INSERT operation (§3.1.3)
@@ -1020,7 +1039,9 @@ class Parser:
             self.next()
             if self.at_kw("DATA"):
                 self.next()
-                return U.InsertData(tuple(self._quad_data()))
+                return U.InsertData(tuple(self._check_quads(
+                    self._quad_data(), "INSERT DATA",
+                    vars_ok=False, bnodes_ok=True)))
             t = tmpl(self._quad_data())
             self.eat_kw("WHERE")
             return U.DeleteInsert((), t, where(self._group_graph_pattern()))
@@ -1028,15 +1049,17 @@ class Parser:
             self.next()
             if self.at_kw("DATA"):
                 self.next()
-                return U.DeleteData(tuple(self._quad_data()))
+                return U.DeleteData(tuple(self._check_quads(
+                    self._quad_data(), "DELETE DATA",
+                    vars_ok=False, bnodes_ok=False)))
             if self.at_kw("WHERE"):
                 self.next()
-                if with_graph is not None:
-                    # DELETE WHERE shorthand under WITH: quads and the
-                    # implied pattern both live in the WITH graph
-                    return U.DeleteInsert(tmpl(self._quad_data()), (), None)
-                return U.DeleteInsert(tuple(self._quad_data()), (), None)
-            del_t = tmpl(self._quad_data())
+                dq = self._check_quads(self._quad_data(), "DELETE WHERE",
+                                       vars_ok=True, bnodes_ok=False)
+                return U.DeleteInsert(tmpl(dq), (), None)
+            del_t = tmpl(self._check_quads(
+                self._quad_data(), "DELETE template",
+                vars_ok=True, bnodes_ok=False))
             ins_t: tuple = ()
             if self.at_kw("INSERT"):
                 self.next()
@@ -1097,7 +1120,11 @@ class Parser:
 
         def add_triples(graph):
             triples: List = []
-            self._triples_block(triples)
+            self._template_depth += 1
+            try:
+                self._triples_block(triples)
+            finally:
+                self._template_depth -= 1
             for t in triples:
                 if isinstance(t, A.PathPattern):
                     raise ParseError("property paths not allowed in templates")
@@ -1117,6 +1144,35 @@ class Parser:
                 add_triples(None)
         self.eat_op("}")
         return out
+
+
+def apply_qt_lowerings(acc: A.GraphPattern, lowerings: List) -> A.GraphPattern:
+    """Lower each quoted-triple pattern: the fresh var must bind a
+    quoted-triple term whose components match — variable components
+    bind via Extend (or sameTerm-filter when already in scope), ground
+    components constrain via sameTerm.  Module-level so DELETE WHERE
+    template→pattern conversion (operators/update.py) can reuse it.
+
+    Outer-before-inner order: recursion records nested quoted triples
+    innermost-first, but the OUTER lowering's Extend is what binds the
+    inner fresh var, so it must land deeper in the algebra nest —
+    hence the reversal."""
+    for qv, s, p, o in reversed(lowerings):
+        ev = A.EVar(qv.name)
+        acc = A.Filter(A.ECall("ISTRIPLE", (ev,)), acc)
+        for comp, accessor in ((s, "SUBJECT"), (p, "PREDICATE"),
+                               (o, "OBJECT")):
+            get = A.ECall(accessor, (ev,))
+            if isinstance(comp, A.Var):
+                if comp.name in A.pattern_vars(acc):
+                    acc = A.Filter(
+                        A.ECall("SAMETERM", (get, A.EVar(comp.name))), acc)
+                else:
+                    acc = A.Extend(acc, comp, get)
+            else:
+                acc = A.Filter(
+                    A.ECall("SAMETERM", (get, A.ETerm(comp))), acc)
+    return acc
 
 
 class AggMarker:

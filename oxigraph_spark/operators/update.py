@@ -116,7 +116,7 @@ class MutableQuadSource:
     def apply(self, op: UpdateOp) -> None:
         if isinstance(op, InsertData):
             self.df = self.df.unionByName(
-                self._ground_quads(op.quads)).distinct()
+                self._ground_quads(op.quads, freshen_bnodes=True)).distinct()
         elif isinstance(op, DeleteData):
             self.df = self._anti(self.df, self._ground_quads(op.quads))
         elif isinstance(op, DeleteInsert):
@@ -147,13 +147,29 @@ class MutableQuadSource:
             return F.lit(True)
         return (g["kind"] == T.KIND_IRI) & (g["lex"] == op.graph)
 
-    def _ground_quads(self, quads: Tuple[QuadTemplate, ...]) -> DataFrame:
+    def _ground_quads(self, quads: Tuple[QuadTemplate, ...],
+                      freshen_bnodes: bool = False) -> DataFrame:
         from ..plans.compiler import _term_to_py
+        import uuid
+        # bnodes in INSERT DATA are fresh per operation (§19.6): suffix
+        # the labels so repeats never merge with existing store bnodes
+        suffix = uuid.uuid4().hex[:12]
+
+        def fresh(t):
+            if not freshen_bnodes:
+                return t
+            if isinstance(t, A.BlankNode):
+                return A.BlankNode(f"{t.label}_{suffix}")
+            if isinstance(t, A.QuotedTriple):
+                return A.QuotedTriple(fresh(t.s), fresh(t.p), fresh(t.o))
+            return t
+
         rows = []
         for q in quads:
             gterm = q.g if q.g is not None else None
             rows.append((
-                _term_to_py(q.s), _term_to_py(q.p), _term_to_py(q.o),
+                _term_to_py(fresh(q.s)), _term_to_py(fresh(q.p)),
+                _term_to_py(fresh(q.o)),
                 _term_to_py(gterm) if gterm is not None
                 else (T.KIND_DEFAULT_GRAPH, "", None, None, None, None,
                       None, None, None)))
@@ -173,19 +189,23 @@ class MutableQuadSource:
                      sol: "DataFrame", sol_vars) -> DataFrame:
         """Template × solutions → quads (CONSTRUCT-style; incomplete rows
         dropped, invalid RDF positions dropped — spec §19.6)."""
-        from ..plans.compiler import _const_term_col
+        from ..plans.compiler import (_template_has_bnode,
+                                      _template_term_col)
+        import uuid
+        if any(_template_has_bnode(tq.s, tq.p, tq.o) for tq in templates):
+            # fresh bnode per solution, same label → same bnode across
+            # template quads within a solution (see _compile_construct)
+            sol = sol.withColumn(
+                "__crow", F.monotonically_increasing_id()
+            ).localCheckpoint(eager=False)
+        env = {v: sol[v] for v in sol_vars}
+        bprefix = f"ub{uuid.uuid4().hex[:8]}"
         frames = []
-        for i, tq in enumerate(templates):
-            def col_of(term, default_g=False):
+        for tq in templates:
+            def col_of(term):
                 if term is None:
                     return T.default_graph()
-                if isinstance(term, A.Var):
-                    return (sol[term.name] if term.name in sol_vars
-                            else F.lit(None).cast(T.TERM_SCHEMA))
-                if isinstance(term, A.BlankNode):
-                    return T.bnode(F.concat(F.lit(f"u{i}_{term.label}_"),
-                                            F.expr("uuid()")))
-                return _const_term_col(term)
+                return _template_term_col(term, env, bprefix)
 
             row = sol.select(col_of(tq.s).alias("s"), col_of(tq.p).alias("p"),
                              col_of(tq.o).alias("o"), col_of(tq.g).alias("g"))
@@ -203,17 +223,36 @@ class MutableQuadSource:
         pattern = op.pattern
         if pattern is None:
             # DELETE WHERE: the template IS the pattern — quads with a
-            # graph label match inside that GRAPH (incl. WITH rewrites)
+            # graph label match inside that GRAPH (incl. WITH rewrites);
+            # quoted triples with variables lower to fresh vars + accessor
+            # constraints, exactly as the parser does for WHERE patterns
+            import itertools
+            from ..algebra.parser import apply_qt_lowerings
+            counter = itertools.count()
+            lowerings: list = []
+
+            def strip(term):
+                if not isinstance(term, A.QuotedTriple):
+                    return term
+                s, p, o = strip(term.s), strip(term.p), strip(term.o)
+                if all(not isinstance(x, A.Var) for x in (s, p, o)):
+                    return term
+                v = A.Var(f"__dqt{next(counter)}")
+                lowerings.append((v, s, p, o))
+                return v
+
             groups: dict = {}
             for q in op.delete:
                 groups.setdefault(q.g, []).append(
-                    A.TriplePattern(q.s, q.p, q.o))
+                    A.TriplePattern(strip(q.s), strip(q.p), strip(q.o)))
             parts = []
             for g, tps in groups.items():
                 bgp = A.BGP(tuple(tps))
                 parts.append(bgp if g is None else A.Graph(g, bgp))
             pattern = reduce(lambda a, b: A.Join(a, b), parts) \
                 if parts else A.BGP()
+            if lowerings:
+                pattern = apply_qt_lowerings(pattern, lowerings)
         compiler = Compiler(self.spark, self)
         sol = compiler.compile_pattern(pattern)
         # both template sets instantiate against the ORIGINAL store state

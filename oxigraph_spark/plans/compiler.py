@@ -1158,22 +1158,23 @@ class Compiler:
 
     def _compile_construct(self, q: A.ConstructQuery) -> DataFrame:
         sol = self.compile_pattern(q.pattern)
+        sol_df = sol.df
+        if any(_template_has_bnode(tp.s, tp.p, tp.o) for tp in q.template):
+            # fresh bnode per solution per template label (§16.2.1): a row
+            # id makes the SAME label in DIFFERENT template triples map to
+            # the SAME bnode within one solution; the checkpoint pins the
+            # ids against re-evaluation across the union branches
+            sol_df = sol_df.withColumn(
+                "__crow", F.monotonically_increasing_id()
+            ).localCheckpoint(eager=False)
+        env = {v: sol_df[v] for v in sol.vars}
+        bprefix = f"tb{_uuid.uuid4().hex[:8]}"
         frames = []
-        for i, tp in enumerate(q.template):
-            env = {v: sol.df[v] for v in sol.vars}
-
-            def term_col(t, position):
-                if isinstance(t, A.Var):
-                    return env.get(t.name, B.err())
-                if isinstance(t, A.BlankNode):
-                    # fresh bnode per solution per template bnode (§16.2.1)
-                    return T.bnode(F.concat(F.lit(f"b{i}_{t.label}_"),
-                                            F.expr("uuid()")))
-                return _const_term_col(t)
-
-            row = sol.df.select(term_col(tp.s, "s").alias("s"),
-                                term_col(tp.p, "p").alias("p"),
-                                term_col(tp.o, "o").alias("o"))
+        for tp in q.template:
+            row = sol_df.select(
+                _template_term_col(tp.s, env, bprefix).alias("s"),
+                _template_term_col(tp.p, env, bprefix).alias("p"),
+                _template_term_col(tp.o, env, bprefix).alias("o"))
             # drop incomplete triples (unbound template var → skip)
             row = row.where(F.col("s").isNotNull() & F.col("p").isNotNull()
                             & F.col("o").isNotNull())
@@ -1244,6 +1245,53 @@ def _py_token(t: A.GroundTerm) -> str:
 
 def _py_quoted_lex(t: A.QuotedTriple) -> str:
     return f"{_py_token(t.s)} {_py_token(t.p)} {_py_token(t.o)}"
+
+
+def _template_has_bnode(*terms) -> bool:
+    """True if any template term (recursing into quoted triples) is a
+    blank node — callers then attach a per-solution ``__crow`` id."""
+    def rec(t):
+        if isinstance(t, A.BlankNode):
+            return True
+        if isinstance(t, A.QuotedTriple):
+            return rec(t.s) or rec(t.p) or rec(t.o)
+        return False
+    return any(rec(t) for t in terms)
+
+
+def _qt_has_var(t: A.QuotedTriple) -> bool:
+    def rec(x):
+        if isinstance(x, A.Var):
+            return True
+        if isinstance(x, A.QuotedTriple):
+            return rec(x.s) or rec(x.p) or rec(x.o)
+        return False
+    return rec(t.s) or rec(t.p) or rec(t.o)
+
+
+def _template_term_col(t, env: Dict[str, Column], bprefix: str) -> Column:
+    """Template term → TERM column under solution bindings ``env``
+    (CONSTRUCT §16.2 / update quad instantiation §19.6, shared).
+
+    - Var: the binding (NULL when unbound → caller drops the row);
+    - BlankNode: fresh per solution, SAME label → SAME bnode within a
+      solution (requires ``__crow`` on the frame; ``bprefix`` is unique
+      per instantiation so repeated updates never collide);
+    - QuotedTriple with variables: runtime TRIPLE() construction
+      (invalid components → NULL → row dropped, SPARQL 1.2 §16.2);
+    - ground terms: constant columns.
+    """
+    if isinstance(t, A.Var):
+        return env.get(t.name, B.err())
+    if isinstance(t, A.BlankNode):
+        return T.bnode(F.concat(F.lit(f"{bprefix}_{t.label}_"),
+                                F.col("__crow").cast("string")))
+    if isinstance(t, A.QuotedTriple) and _qt_has_var(t):
+        from ..functions import rdfstar as RS
+        return RS.fn_triple(_template_term_col(t.s, env, bprefix),
+                            _template_term_col(t.p, env, bprefix),
+                            _template_term_col(t.o, env, bprefix))
+    return _const_term_col(t)
 
 
 def _const_term_col(t: A.GroundTerm) -> Column:

@@ -102,3 +102,29 @@ def test_nested_subject_rejected(star_store):
             SELECT ?c WHERE {
               << << <urn:a> <urn:p> 1 >> <urn:q> 2 >> <urn:certainty> ?c .
             }""")
+
+
+def test_construct_quoted_triple_template(star_store):
+    """CONSTRUCT template quoted triples with variables build terms at
+    runtime (TRIPLE() semantics, SPARQL 1.2 §16.2)."""
+    store, _ = star_store
+    df = store.query("""
+        CONSTRUCT { << ?s <urn:p> ?v >> <urn:said> <urn:doc1> }
+        WHERE { ?s <urn:p> ?v }""")
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0].s.kind == T.KIND_TRIPLE
+    assert rows[0].s.lex == f'<urn:a> <urn:p> "42"^^<{XSD_INT}>'
+
+
+def test_insert_delete_quoted_triple_template(star_store):
+    """INSERT templates instantiate quoted triples from bindings; DELETE
+    WHERE with a quoted-triple pattern lowers to accessor constraints."""
+    store, _ = star_store
+    st = store.update("""
+        INSERT { << ?s <urn:p> ?v >> <urn:src> <urn:doc2> }
+        WHERE { ?s <urn:p> ?v }""")
+    got = st.query("SELECT ?t WHERE { ?t <urn:src> <urn:doc2> }").collect()
+    assert len(got) == 1 and got[0].t.kind == T.KIND_TRIPLE
+    st2 = st.update("DELETE WHERE { << ?s <urn:p> ?v >> <urn:src> <urn:doc2> }")
+    assert st2.query("SELECT ?t WHERE { ?t <urn:src> ?x }").count() == 0

@@ -159,3 +159,58 @@ def test_temporal_timezones(spark):
     eq = st.query(f"""
         ASK {{ <{EX}t1> <{EX}at> ?a . <{EX}t2> <{EX}at> ?b . FILTER(?a = ?b) }}""")
     assert eq.count() == 1
+
+
+def test_construct_template_bnodes(spark):
+    """Bnodes in CONSTRUCT templates: fresh per solution, same label →
+    same bnode across template triples within one solution (§16.2.1)."""
+    st = quads_store(spark, [(iri("a"), iri("p"), integer(1)),
+                             (iri("b"), iri("p"), integer(2))])
+    rows = st.query(
+        "CONSTRUCT { ?s <urn:ex:q> _:b . _:b <urn:ex:r> ?o } "
+        "WHERE { ?s <urn:ex:p> ?o }").collect()
+    assert len(rows) == 4
+    by_s = {r.o.lex: r.s.lex for r in rows if r.p.lex == "urn:ex:r"}
+    links = {r.s.lex: r.o.lex for r in rows if r.p.lex == "urn:ex:q"}
+    # each subject links to the bnode that carries its own ?o
+    assert set(links.values()) == set(by_s.values())
+    assert len(set(links.values())) == 2
+
+
+def test_insert_data_bnodes_fresh_per_op(spark):
+    """INSERT DATA bnodes are fresh per operation and shared within it."""
+    st = quads_store(spark, [(iri("x"), iri("p"), integer(1))])
+    st1 = st.update("INSERT DATA { _:b <urn:ex:q> 5 . _:b <urn:ex:r> 6 }")
+    got = st1.query(
+        "SELECT ?s1 ?s2 WHERE { ?s1 <urn:ex:q> ?a . ?s2 <urn:ex:r> ?b }"
+    ).collect()
+    assert len(got) == 1 and got[0].s1.lex == got[0].s2.lex
+    assert got[0].s1.kind == 1
+    st2 = st1.update("INSERT DATA { _:b <urn:ex:q> 5 . _:b <urn:ex:r> 6 }")
+    assert st2.query("SELECT ?s WHERE { ?s <urn:ex:q> ?a }").count() == 2
+
+
+def test_insert_template_bnodes(spark):
+    """Bnodes in INSERT templates instantiate fresh per solution."""
+    st = quads_store(spark, [(iri("a"), iri("p"), integer(1)),
+                             (iri("b"), iri("p"), integer(2))])
+    st2 = st.update("INSERT { ?s <urn:ex:ln> _:n . _:n <urn:ex:v> ?o } "
+                    "WHERE { ?s <urn:ex:p> ?o }")
+    got = st2.query("SELECT ?s ?n ?o WHERE "
+                    "{ ?s <urn:ex:ln> ?n . ?n <urn:ex:v> ?o }").collect()
+    assert len(got) == 2
+    assert len({r.n.lex for r in got}) == 2
+
+
+def test_update_template_validation(spark):
+    """§19.6 grammar restrictions: ground INSERT/DELETE DATA, no bnodes
+    in DELETE templates."""
+    from oxigraph_spark.algebra.parser import ParseError
+    st = quads_store(spark, [(iri("x"), iri("p"), integer(1))])
+    for q in ["INSERT DATA { ?v <urn:ex:p> 1 }",
+              "DELETE DATA { _:b <urn:ex:p> 1 }",
+              "DELETE DATA { ?v <urn:ex:p> 1 }",
+              "DELETE { _:b <urn:ex:p> ?o } WHERE { ?s <urn:ex:p> ?o }",
+              "DELETE WHERE { _:b <urn:ex:p> ?o }"]:
+        with pytest.raises(ParseError):
+            st.update(q)
