@@ -305,3 +305,74 @@ def embedding_cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
     return (cand.select(F.col("a.id").alias("id_a"),
                         F.col("b.id").alias("id_b"), sim.alias("sim"))
                 .where(F.col("sim") >= threshold))
+
+
+# ---------------------------------------------------------------------------
+# pair → cluster: connected components over the near-dup pair graph
+# ---------------------------------------------------------------------------
+
+CC_MAX_ROUNDS = 32
+
+
+def dedup_clusters(pairs: DataFrame, left_col: str = "id_a",
+                   right_col: str = "id_b") -> DataFrame:
+    """Near-dup pairs → ``(id, cluster)``: connected components, with the
+    component's MINIMUM member id as the cluster id (deterministic, so
+    oracle-checkable).
+
+    Min-label propagation with the same one-job-per-round idiom as the
+    property-path fixpoint (operators/paths.py): per round one shuffle
+    join + one aggregate, the convergence count doubles as the action
+    that materializes the lazy checkpoint.  LSH candidate components are
+    near-cliques (every member shares a band bucket with most others),
+    so label propagation converges in 2–4 rounds — no need for the
+    log(n) large-star/small-star dance at this diameter.  Only ids
+    (8 bytes) ever shuffle; never text or signatures.
+    """
+    sym = (pairs.select(F.col(left_col).alias("src"),
+                        F.col(right_col).alias("dst"))
+           .unionByName(pairs.select(F.col(right_col).alias("src"),
+                                     F.col(left_col).alias("dst")))
+           .distinct().localCheckpoint(eager=False))
+    # initial label: min(self, neighbors)
+    labels = (sym.groupBy("src").agg(F.min("dst").alias("m"))
+              .select(F.col("src").alias("id"),
+                      F.least(F.col("src"), F.col("m")).alias("cluster"))
+              .localCheckpoint(eager=False))
+    for _ in range(CC_MAX_ROUNDS):
+        nbr = (sym.join(labels, sym["dst"] == labels["id"])
+               .select(sym["src"].alias("id"), F.col("cluster")))
+        new = (nbr.unionByName(labels)
+               .groupBy("id").agg(F.min("cluster").alias("cluster"))
+               .localCheckpoint(eager=False))
+        changed = (new.join(labels.select(F.col("id").alias("oid"),
+                                          F.col("cluster").alias("old")),
+                            new["id"] == F.col("oid"))
+                   .where(F.col("cluster") < F.col("old")).count())
+        labels = new
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"dedup clustering did not converge in {CC_MAX_ROUNDS} rounds; "
+        "the pair graph has a path of that diameter — raise "
+        "pipeline.dedup.CC_MAX_ROUNDS")
+
+
+def assign_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "id",
+                    left_col: str = "id_a",
+                    right_col: str = "id_b") -> DataFrame:
+    """Attach ``cluster`` + ``is_duplicate`` to every document: docs in no
+    pair form singleton clusters (cluster = own id, not a duplicate);
+    within a component only the min-id representative is kept.
+
+    The labels table holds only ids that appear in some near-dup pair —
+    usually small relative to the corpus, in which case AQE broadcasts
+    the join and the corpus never shuffles.  No broadcast HINT on
+    purpose: at a high duplicate rate the label table is itself huge,
+    and forcing a broadcast would OOM the driver — AQE picks per run."""
+    labels = dedup_clusters(pairs, left_col, right_col) \
+        .withColumnRenamed("id", "__cid")
+    out = df.join(labels, df[id_col] == F.col("__cid"), "left").drop("__cid")
+    cluster = F.coalesce(F.col("cluster"), df[id_col])
+    return (out.withColumn("cluster", cluster)
+               .withColumn("is_duplicate", df[id_col] != cluster))

@@ -134,3 +134,47 @@ def test_text_stats_basics(spark):
     assert rows[1].lang_guess == "en"
     assert rows[2].n_tokens == 0 and rows[2].quality < 0.5
     assert rows[1].fp != rows[2].fp
+
+
+def test_dedup_clusters_transitive(spark):
+    """Connected components over pairs: chains merge transitively, min id
+    labels the cluster, non-paired docs are singletons."""
+    from oxigraph_spark.pipeline.dedup import assign_clusters, dedup_clusters
+    # two components: {1,2,3,4} via a chain, {10,11}; 20 isolated
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long")
+    labs = {r.id: r.cluster for r in dedup_clusters(pairs).collect()}
+    assert labs == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 4, 10, 11, 20)],
+        "id long, text string")
+    out = assign_clusters(docs, pairs).collect()
+    got = {r.id: (r.cluster, r.is_duplicate) for r in out}
+    assert got[20] == (20, False)          # singleton
+    assert got[1] == (1, False)            # representative
+    assert got[4] == (1, True)
+    assert got[11] == (10, True)
+
+
+def test_dedup_clusters_long_chain(spark):
+    """A path graph of diameter 12 still converges (label propagation
+    rounds ≤ CC_MAX_ROUNDS)."""
+    from oxigraph_spark.pipeline.dedup import dedup_clusters
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long")
+    labs = dedup_clusters(pairs).collect()
+    assert {r.cluster for r in labs} == {0}
+    assert len(labs) == 13
+
+
+def test_minhash_to_clusters_end_to_end(doubled):
+    """minhash pairs → clusters: each planted duplicate pair becomes one
+    two-member cluster whose representative is the original id."""
+    from oxigraph_spark.pipeline.dedup import assign_clusters, minhash_lsh_pairs
+    pairs = minhash_lsh_pairs(doubled, "text", "id")
+    out = assign_clusters(doubled, pairs)
+    kept = out.where(~F.col("is_duplicate"))
+    dups = out.where(F.col("is_duplicate"))
+    assert kept.count() == 4 and dups.count() == 4
+    assert {r.cluster for r in dups.collect()} == {1, 2, 3, 4}
