@@ -316,6 +316,29 @@ def term_key(t: Column) -> Column:
         t["datatype"].alias("datatype"), t["lang"].alias("lang"))
 
 
+def join_key(t: Column) -> Column:
+    """16-byte content-hash join key over the term identity 4-tuple —
+    the shuffle-narrow replacement for :func:`term_key` in JOIN
+    conditions (our analog of the reference's dictionary-encoded id
+    joins, ``storage/numeric_encoder.rs`` · ``EncodedTerm``, minus the
+    global dictionary: content hashes need no coordination at ingest).
+
+    ``term_key`` duplicates ``lex``/``datatype`` strings into the
+    exchange alongside the term payload; this ships 16 bytes instead
+    and makes sort-merge compares O(1).  Two independently-seeded
+    xxhash64 halves → collision odds ≈ N²/2¹²⁹ (immaterial at any
+    corpus size).  Per-field null sentinels because Spark hash
+    functions SKIP null inputs (hash(a, null, b) == hash(a, b, null)
+    otherwise).  Only for equality under non-null guards — term_key
+    stays for group keys that rebuild the representative term."""
+    parts = (t["kind"],
+             F.coalesce(t["lex"], F.lit("\x00L")),
+             F.coalesce(t["datatype"], F.lit("\x00D")),
+             F.coalesce(t["lang"], F.lit("\x00G")))
+    return F.struct(F.xxhash64(*parts).alias("h1"),
+                    F.xxhash64(*parts, F.lit(-7046029254386353131)).alias("h2"))
+
+
 def same_term(a: Column, b: Column) -> Column:
     return term_key(a).eqNullSafe(term_key(b))
 

@@ -26,7 +26,9 @@ from ..model import terms as T
 
 
 def _key(c: Column) -> Column:
-    return T.term_key(c)
+    # 16-byte hash join key: path relations join src/dst constantly and
+    # the fixpoint re-sorts the frontier every round (see terms.join_key)
+    return T.join_key(c)
 
 
 def _pair_key(df: DataFrame):

@@ -181,7 +181,7 @@ class MutableQuadSource:
     def _anti(self, df: DataFrame, remove: DataFrame) -> DataFrame:
         r = remove.select(*[remove[c].alias(f"{c}__r") for c in ("s", "p", "o", "g")])
         cond = reduce(lambda a, b: a & b, [
-            T.term_key(df[c]) == T.term_key(r[f"{c}__r"])
+            T.join_key(df[c]) == T.join_key(r[f"{c}__r"])
             for c in ("s", "p", "o", "g")])
         return df.join(F.broadcast(r.distinct()), cond, "leftanti")
 

@@ -613,10 +613,10 @@ class Compiler:
         for v in shared:
             lc, rc = l.df[v], rdf[ren[v]]
             if v in l.certain and v in r.certain:
-                conds.append(T.term_key(lc) == T.term_key(rc))
+                conds.append(T.join_key(lc) == T.join_key(rc))
             else:
                 conds.append(lc.isNull() | rc.isNull()
-                             | (T.term_key(lc) == T.term_key(rc)))
+                             | (T.join_key(lc) == T.join_key(rc)))
 
         # merged-view environment for expressions scoping over both sides
         env: Dict[str, Column] = {}
@@ -679,7 +679,7 @@ class Compiler:
         for v in shared:
             lc, rc = l.df[v], rdf[ren[v]]
             compat.append(lc.isNull() | rc.isNull()
-                          | (T.term_key(lc) == T.term_key(rc)))
+                          | (T.join_key(lc) == T.join_key(rc)))
             overlap.append(lc.isNotNull() & rc.isNotNull())
         cond = reduce(lambda a, b: a & b, compat) \
             & reduce(lambda a, b: a | b, overlap)
@@ -961,10 +961,10 @@ class Compiler:
                 for v in shared:
                     lc, rc = df[v], sdf[f"{v}__e{marker}"]
                     if v in inner.certain and v in sub.certain:
-                        conds.append(T.term_key(lc) == T.term_key(rc))
+                        conds.append(T.join_key(lc) == T.join_key(rc))
                     else:
                         conds.append(lc.isNull() | rc.isNull()
-                                     | (T.term_key(lc) == T.term_key(rc)))
+                                     | (T.join_key(lc) == T.join_key(rc)))
                 df = df.join(sdf, reduce(lambda a, b: a & b, conds), "left")
             else:
                 # uncorrelated EXISTS: one-row broadcast flag (true iff the
@@ -1207,7 +1207,7 @@ class Compiler:
             F.col("g")["kind"] == T.KIND_DEFAULT_GRAPH)
         out = quads.join(
             F.broadcast(nodes),
-            T.term_key(quads["s"]) == T.term_key(nodes["node"]), "leftsemi")
+            T.join_key(quads["s"]) == T.join_key(nodes["node"]), "leftsemi")
         return out.select("s", "p", "o")
 
 

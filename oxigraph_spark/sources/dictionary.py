@@ -25,7 +25,13 @@ def term_id(t: Column) -> Column:
     Collision probability over N distinct terms ≈ N²/2⁶⁵ (≈ 3e-7 at one
     billion terms) — acceptable for analytics; a 128-bit variant (two
     xxhash64 seeds) is the belt-and-braces option."""
-    return F.xxhash64(t["kind"], t["lex"], t["datatype"], t["lang"])
+    # per-field null sentinels: Spark hash functions skip null inputs,
+    # which would conflate (lex, null, lang) with (lex, lang, null) —
+    # same scheme as model.terms.join_key
+    return F.xxhash64(t["kind"],
+                      F.coalesce(t["lex"], F.lit("\x00L")),
+                      F.coalesce(t["datatype"], F.lit("\x00D")),
+                      F.coalesce(t["lang"], F.lit("\x00G")))
 
 
 def encode(quads: DataFrame) -> tuple[DataFrame, DataFrame]:
