@@ -1,0 +1,236 @@
+"""Corpus-curation operators for training-data pipelines.
+
+Not in the reference (oxigraph has no document processing); extensions in
+the spirit of SURVEY.md §2.11.  Everything is built-in-function
+DataFrame code except ``pack_sequences``, whose per-partition greedy bin
+packing is genuinely imperative — that one is an Arrow-batched
+``mapInPandas`` (the documented slow-path escape hatch).
+
+100 TB shapes:
+- stratified sampling: one tiny stratum-count aggregate, then a
+  map-side ``sampleBy`` — the corpus is never shuffled;
+- winnowing: per-document O(len·window) JVM expressions, then an
+  inverted-index pair join on 8-byte fingerprints (Σ posting² like the
+  other dedup families, never all-pairs);
+- packing: bins never span partitions, so no global coordination;
+- streaming dedup: state bounded by the watermark horizon.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .dedup import normalize_text, spread
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling
+# ---------------------------------------------------------------------------
+
+def stratified_sample(df: DataFrame, strata_col: str,
+                      fractions: Optional[Dict] = None,
+                      cap_per_stratum: Optional[int] = None,
+                      seed: int = 42) -> DataFrame:
+    """Deterministic per-stratum sampling (e.g. balance languages).
+
+    Either explicit ``fractions`` {stratum: fraction}, or
+    ``cap_per_stratum`` = N to down-sample every stratum to ~N docs
+    (fractions derived from one small count aggregate; strata
+    cardinality is assumed driver-sized — languages, sources — NOT
+    arbitrary keys).  Bernoulli sampling per row → no shuffle."""
+    if (fractions is None) == (cap_per_stratum is None):
+        raise ValueError("exactly one of fractions / cap_per_stratum")
+    if fractions is None:
+        counts = {r["k"]: r["n"]
+                  for r in df.groupBy(F.col(strata_col).alias("k"))
+                             .agg(F.count(F.lit(1)).alias("n")).collect()}
+        fractions = {k: min(1.0, cap_per_stratum / n)
+                     for k, n in counts.items()}
+    return df.sampleBy(strata_col, fractions, seed=seed)
+
+
+# ---------------------------------------------------------------------------
+# corpus statistics
+# ---------------------------------------------------------------------------
+
+def corpus_stats(df: DataFrame, text_col: str,
+                 strata_col: Optional[str] = None) -> DataFrame:
+    """Per-stratum (default: corpus-wide) size/token statistics with
+    approximate quantiles — the curation dashboard numbers.  One
+    aggregate; percentile_approx is a fixed-size sketch (map-side
+    combinable), so this is a single narrow shuffle at any scale."""
+    from .textstats import token_count
+    t = F.col(text_col)
+    toks = token_count(t)
+    keys = [F.col(strata_col)] if strata_col else [F.lit("all").alias("stratum")]
+    return (df.groupBy(*keys)
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum(toks).alias("total_tokens"),
+                   F.round(F.avg(toks), 3).alias("mean_tokens"),
+                   F.percentile_approx(toks, [0.5, 0.9, 0.99])
+                    .alias("token_quantiles_50_90_99"),
+                   F.sum(F.length(t)).alias("total_chars")))
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (partial-overlap / containment detection)
+# ---------------------------------------------------------------------------
+
+def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str,
+                        k: int = 8, window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 —
+    the MOSS algorithm) → ``(id, fps array<long>)``: hash every char
+    k-gram, keep the MINIMUM hash of each sliding window of ``window``
+    consecutive k-grams, distinct.
+
+    Guarantees: any shared substring of length ≥ k + window − 1 between
+    two documents yields at least one shared fingerprint — catches
+    doc-contains-doc overlap that whole-document MinHash Jaccard misses.
+    Pure JVM higher-order functions, O(len·window) per doc.
+
+    DataFrame-level on purpose: the k-gram array must be MATERIALIZED
+    before the window pass references it inside a lambda — a lambda body
+    re-evaluates free sub-expressions PER ELEMENT, so composing this as
+    one Column expression is O(len²·regex) (measured 40 ms/doc → ~1 ms).
+    Each stage is an `_opaque` alias so CollapseProject cannot inline it
+    back into the next lambda."""
+    from ..plans.compiler import _opaque
+    t = F.col("__nt")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - k + 1, F.lit(1))),
+        lambda i: F.xxhash64(t.substr(i, F.lit(k))))
+    g = F.col("__grams")
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(g) - window + 1, F.lit(1))),
+        lambda j: F.array_min(F.slice(g, j, window)))
+    return (df.select(F.col(id_col).alias("id"),
+                      _opaque(normalize_text(F.col(text_col))).alias("__nt"))
+              .select("id", _opaque(grams).alias("__grams"))
+              .select("id", F.array_distinct(mins).alias("fps")))
+
+
+def winnow_overlap_pairs(df: DataFrame, text_col: str, id_col: str,
+                         k: int = 8, window: int = 4,
+                         min_shared: int = 5,
+                         max_posting: int = 64) -> DataFrame:
+    """Candidate partial-overlap pairs: docs sharing ≥ ``min_shared``
+    winnowing fingerprints.  Inverted index on the 8-byte fingerprint →
+    per-fingerprint id pairs → co-occurrence count.
+
+    ``max_posting`` is the load-bearing knob: fingerprints whose posting
+    list exceeds it are DROPPED before the pair join (same idiom as the
+    MinHash hot-bucket cap), which (a) bounds the join at
+    Σ min(posting, cap)² regardless of corpus size — boilerplate shared
+    by thousands of docs would otherwise contribute posting²/2 pairs
+    EACH — and (b) is the right semantics: a fingerprint common to half
+    the corpus carries no overlap signal, exactly like an IDF stopword.
+    Doc-specific (discriminative) fingerprints always survive the cap."""
+    fp = winnow_fingerprints(spread(df), text_col, id_col, k, window) \
+        .select("id", F.explode("fps").alias("fp"))
+    fp = fp.withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy("fp"))) \
+        .where(F.col("__n") <= max_posting).drop("__n")
+    a = fp.alias("a")
+    b = fp.alias("b")
+    pairs = (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("id_a"),
+                      F.col("b.id").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("shared_fps"))
+             .where(F.col("shared_fps") >= min_shared))
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (training-batch construction)
+# ---------------------------------------------------------------------------
+
+def pack_sequences(df: DataFrame, id_col: str, token_col: str,
+                   max_tokens: int = 2048,
+                   open_bins: int = 32) -> DataFrame:
+    """Greedy first-fit packing of documents into training sequences of
+    ≤ ``max_tokens`` total tokens → ``(pack_id, ids, total_tokens)``.
+
+    Bins never span partitions: each partition packs independently
+    (``pack_id`` = partition id ⊕ local counter), so there is no global
+    coordination and the waste is < 1 open bin per partition — noise at
+    scale.  At most ``open_bins`` bins stay open per partition (first
+    fit over a bounded ring), keeping packing O(n·open_bins).
+
+    Docs longer than ``max_tokens`` get a singleton pack (truncation is
+    the tokenizer's job, not the packer's).  This is per-partition
+    imperative logic — the documented legitimate ``mapInPandas`` case.
+    """
+    from pyspark.sql.types import (ArrayType, LongType, StructField,
+                                   StructType)
+    src = df.select(
+        F.spark_partition_id().alias("__pid"),
+        F.col(id_col).cast("long").alias("id"),
+        F.col(token_col).cast("long").alias("tok"))
+    schema = StructType([
+        StructField("pack_id", LongType()),
+        StructField("ids", ArrayType(LongType())),
+        StructField("total_tokens", LongType()),
+    ])
+
+    def pack(batches):
+        import pandas as pd
+        bins = []          # [remaining, ids, total]
+        pid, seq = 0, 0
+
+        def close(b):
+            nonlocal seq
+            out = {"pack_id": (pid << 20) | seq, "ids": b[1],
+                   "total_tokens": b[2]}
+            seq += 1
+            return out
+
+        done = []
+        for pdf in batches:
+            for i, t, p in zip(pdf["id"], pdf["tok"], pdf["__pid"]):
+                pid = int(p)
+                t = int(t)
+                if t >= max_tokens:
+                    done.append(close([0, [int(i)], t]))
+                    continue
+                for b in bins:
+                    if b[0] >= t:
+                        b[0] -= t
+                        b[1].append(int(i))
+                        b[2] += t
+                        break
+                else:
+                    bins.append([max_tokens - t, [int(i)], t])
+                    if len(bins) > open_bins:
+                        done.append(close(bins.pop(0)))
+                if len(done) >= 1000:
+                    yield pd.DataFrame(done, columns=[f.name for f in schema])
+                    done = []
+        done.extend(close(b) for b in bins)
+        if done:
+            yield pd.DataFrame(done, columns=[f.name for f in schema])
+
+    return src.mapInPandas(pack, schema)
+
+
+# ---------------------------------------------------------------------------
+# streaming dedup
+# ---------------------------------------------------------------------------
+
+def streaming_exact_dedup(df: DataFrame, text_col: str,
+                          ts_col: str = "ts",
+                          watermark: str = "10 minutes") -> DataFrame:
+    """Exact dedup for a document STREAM: keep the first arrival of each
+    normalized-content hash within the watermark horizon
+    (``dropDuplicatesWithinWatermark`` — state is bounded by the
+    horizon, unlike a global dropDuplicates whose state grows forever).
+    In batch mode the same transform degrades to plain content dedup,
+    so it stays oracle-checkable."""
+    out = df.withColumn("__h", F.xxhash64(normalize_text(F.col(text_col))))
+    if out.isStreaming:
+        return (out.withWatermark(ts_col, watermark)
+                   .dropDuplicatesWithinWatermark(["__h"])
+                   .drop("__h"))
+    return out.dropDuplicates(["__h"]).drop("__h")

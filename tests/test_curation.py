@@ -1,0 +1,89 @@
+"""Corpus-curation operators: stratified sampling, corpus stats,
+winnowing overlap detection, sequence packing, streaming dedup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from oxigraph_spark.pipeline.curation import (
+    corpus_stats, pack_sequences, stratified_sample, streaming_exact_dedup,
+    winnow_fingerprints, winnow_overlap_pairs)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, "en" if i % 3 else "de",
+             f"document number {i} talks about engines " * (1 + i % 5))
+            for i in range(60)]
+    return spark.createDataFrame(rows, "id long, lang string, text string")
+
+
+def test_stratified_sample_cap(corpus):
+    out = stratified_sample(corpus, "lang", cap_per_stratum=10, seed=7)
+    counts = {r.lang: r.n for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # Bernoulli sampling: expect ≈10 per stratum, never more than input
+    assert 0 < counts["en"] <= 20
+    assert 0 < counts["de"] <= 20
+    # deterministic across runs
+    again = stratified_sample(corpus, "lang", cap_per_stratum=10, seed=7)
+    assert sorted(r.id for r in out.collect()) == \
+        sorted(r.id for r in again.collect())
+    with pytest.raises(ValueError):
+        stratified_sample(corpus, "lang")
+
+
+def test_corpus_stats(corpus):
+    one = corpus_stats(corpus, "text").collect()
+    assert len(one) == 1 and one[0].n_docs == 60
+    assert one[0].total_tokens > 0
+    assert len(one[0].token_quantiles_50_90_99) == 3
+    per = {r.lang: r.n_docs
+           for r in corpus_stats(corpus, "text", "lang").collect()}
+    assert per == {"en": 40, "de": 20}
+
+
+def test_winnowing_shared_substring(spark):
+    """Docs sharing a long substring share fingerprints; disjoint docs
+    share (almost) none — the winnowing guarantee."""
+    shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [(1, f"intro text alpha. {shared} outro one."),
+            (2, f"completely different beginning here; {shared} and more."),
+            (3, "unrelated content about spark catalyst optimizer rules")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    pairs = winnow_overlap_pairs(df, "text", "id", min_shared=3).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+
+
+def test_winnowing_containment(spark):
+    """Containment: a short doc fully inside a long one is caught even
+    though whole-doc Jaccard similarity is low."""
+    inner = "neural networks approximate functions with composed layers"
+    long_doc = ("a very long surrounding document " * 20) + inner + \
+               (" trailing content of the host document " * 20)
+    df = spark.createDataFrame([(1, inner), (2, long_doc)],
+                               "id long, text string")
+    pairs = winnow_overlap_pairs(df, "text", "id", min_shared=3).collect()
+    assert len(pairs) == 1
+
+
+def test_pack_sequences(spark):
+    rows = [(i, 100 + (i * 37) % 500) for i in range(200)] + [(999, 5000)]
+    df = spark.createDataFrame(rows, "id long, n_tokens long").repartition(4)
+    packs = pack_sequences(df, "id", "n_tokens", max_tokens=2048).collect()
+    ids = [i for p in packs for i in p.ids]
+    assert sorted(ids) == sorted(r[0] for r in rows)       # every doc packed once
+    for p in packs:
+        if p.ids != [999]:
+            assert p.total_tokens <= 2048
+    # packing efficiency: mean fill of multi-doc packs is decent
+    fills = [p.total_tokens / 2048 for p in packs if len(p.ids) > 1]
+    assert sum(fills) / len(fills) > 0.7
+
+
+def test_streaming_dedup_batch_mode(spark):
+    import datetime
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(1, t0, "same text"), (2, t0, "Same  TEXT!"), (3, t0, "other")]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, text string")
+    out = streaming_exact_dedup(df, "text")
+    assert out.count() == 2
