@@ -56,7 +56,9 @@ def _component(t: Column, which: str) -> Column:
         tok = F.regexp_extract(lex, r"^\S+ (\S+) ", 1)
     else:
         tok = F.regexp_extract(lex, r"^\S+ \S+ (.*)$", 1)
-    return F.when(t["kind"] == T.KIND_TRIPLE, parse_token(tok)) \
+    # let-bind the extracted token so parse_token's many references see a
+    # leaf lambda var, not a duplicated regexp_extract subtree
+    return F.when(t["kind"] == T.KIND_TRIPLE, T.let1(tok, parse_token)) \
             .otherwise(err())
 
 

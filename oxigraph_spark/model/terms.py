@@ -94,6 +94,25 @@ def _col(c: ColumnOrName) -> Column:
     return c if isinstance(c, Column) else F.col(c)
 
 
+def let1(val: Column, body) -> Column:
+    """``let x = val in body(x)`` for Column expressions.
+
+    Binds ``val`` once by wrapping it in a one-element array and applying
+    ``body`` through a higher-order-function lambda: inside ``body`` the
+    argument is a leaf ``NamedLambdaVariable``, so a body that references
+    its argument N times yields a tree containing ``val`` ONCE instead of
+    N times.  This collapses the multiplicative expression blowup when a
+    large subtree (e.g. the unescape chain) feeds a kernel that inspects
+    its input many times (e.g. XSD canonicalization) — the difference
+    between a 5 KB and a 5 MB Catalyst plan.
+
+    Trade-off: higher-order functions are ``CodegenFallback`` — the
+    subtree evaluates interpreted.  For parse-heavy kernels the regex
+    cost dominates either way, and janino compiling a multi-MB method
+    (or bailing out to interpreted mode anyway) is strictly worse."""
+    return F.element_at(F.transform(F.array(val), body), 1)
+
+
 def _lit(v) -> Column:
     return v if isinstance(v, Column) else F.lit(v)
 

@@ -241,7 +241,12 @@ def _inline_ok(e) -> bool:
         return True
     if isinstance(e, A.ECall) and e.args and all(_leaf(a) for a in e.args):
         n = e.name.upper() if not e.name.startswith("http") else e.name
-        return n not in ("IF", "COALESCE")  # keep lazy forms materialized
+        # IF/COALESCE: keep lazy forms materialized.  RDF-star accessors:
+        # their kernels embed the full N-Triples token parser (~20 KB tree
+        # even let-bound) — inlining one into e.g. SAMETERM duplicates it
+        # per struct field; always materialize as an opaque temp.
+        return n not in ("IF", "COALESCE",
+                         "TRIPLE", "SUBJECT", "PREDICATE", "OBJECT")
     return False
 
 

@@ -123,17 +123,19 @@ def _parse_term(raw: Column, canonicalize_qt: bool = False) -> Column:
     quoted = F.regexp_extract(raw, r'^"((?:[^"\\]|\\.)*)"', 1)
     lang = F.nullif(F.regexp_extract(raw, r'"@([A-Za-z0-9-]+)$', 1), F.lit(""))
     dtype = F.nullif(F.regexp_extract(raw, r'\^\^<([^>]*)>$', 1), F.lit(""))
-    lex = _unescape(quoted)
     dt = F.coalesce(
         dtype,
         F.when(lang.isNotNull(), F.lit(T.RDF_LANGSTRING))
          .otherwise(F.lit(T.XSD_STRING)))
-    lit = T.make_typed(lex, dt)
-    # make_typed loses lang; rebuild for language-tagged strings
-    lit = F.when(lang.isNotNull(),
-                 T.term_struct(T.KIND_LITERAL, lex,
-                               datatype=F.lit(T.RDF_LANGSTRING), lang=lang)) \
-           .otherwise(lit)
+    # let-bind the unescaped lexical form: make_typed inspects its input
+    # ~30 times and the unescape chain is a ~6 KB tree — inlining it at
+    # every reference made ONE parse_token a 222 KB expression (and an
+    # RDF-star accessor query a 4.5 MB / 23 MiB-task-binary plan)
+    lit = T.let1(_unescape(quoted), lambda lex: F.when(
+        lang.isNotNull(),
+        T.term_struct(T.KIND_LITERAL, lex,
+                      datatype=F.lit(T.RDF_LANGSTRING), lang=lang))
+        .otherwise(T.make_typed(lex, dt)))
     if canonicalize_qt:
         inner = F.trim(raw.substr(F.lit(3), F.length(raw) - 4))
         qs = F.regexp_extract(inner, rf"^({_T_IRI}|{_T_BN})", 1)
