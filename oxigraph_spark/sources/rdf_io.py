@@ -4,10 +4,16 @@ Reference: ``lib/oxrdfio/src/{format,parser,serializer}.rs`` ·
 ``RdfFormat``/``RdfParser``/``RdfSerializer`` facade.  Formats:
 
 - ``ntriples`` / ``nquads``: distributed line-based read/write (S2);
-- ``turtle``: READ-ONLY via a driver-side converter for small files
-  (Turtle's stateful prefixes aren't line-splittable; the distributed
-  path is N-Triples — convert once, then scale);
-- RDF/XML, JSON-LD, N3: not implemented (S4–S6 out of scope, flagged).
+- ``turtle``: driver-side reader for small files; the distributed path
+  is :func:`turtle_to_ntriples` (one task per file) — Turtle's stateful
+  prefixes aren't line-splittable;
+- ``rdfxml`` (S5): driver-side small reader + writer; distributed path
+  :func:`rdfxml.rdfxml_to_ntriples` (one task per file);
+- ``jsonld`` (S6): expanded form only (compacted docs must be expanded
+  by a JSON-LD processor first — @context raises); same small/driver +
+  per-file distributed split;
+- ``n3`` (S4): the Turtle-compatible subset (no formulas/rules — those
+  have no RDF data model to map onto; a ``{`` formula raises).
 """
 
 from __future__ import annotations
@@ -20,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..model import terms as T
 
-FORMATS = ("ntriples", "nquads", "turtle")
+FORMATS = ("ntriples", "nquads", "turtle", "rdfxml", "jsonld", "n3")
 
 
 def load_rdf(spark: SparkSession, path: str, fmt: Optional[str] = None) -> DataFrame:
@@ -32,20 +38,34 @@ def load_rdf(spark: SparkSession, path: str, fmt: Optional[str] = None) -> DataF
     if fmt == "nquads":
         from .ntriples import read_ntriples
         return read_ntriples(spark, path, quads=True)
-    if fmt == "turtle":
-        return _read_turtle_small(spark, path)
-    raise NotImplementedError(
-        f"format {fmt!r}: only {FORMATS} supported (RDF/XML, JSON-LD, N3 "
-        "are out of scope — SURVEY.md §2.1 S4–S6)")
+    if fmt in ("turtle", "n3"):
+        return _read_turtle_small(spark, path, n3=(fmt == "n3"))
+    if fmt == "rdfxml":
+        from .rdfxml import read_rdfxml_small
+        return read_rdfxml_small(spark, path)
+    if fmt == "jsonld":
+        from .jsonld import read_jsonld_small
+        return read_jsonld_small(spark, path)
+    raise NotImplementedError(f"format {fmt!r}: supported = {FORMATS}")
 
 
 def dump_rdf(df: DataFrame, path: str, fmt: str = "ntriples") -> None:
-    """Serialize quads to files (Store::dump_to_writer analog)."""
+    """Serialize quads to files (Store::dump_to_writer analog).
+    N-Triples/N-Quads write distributed; RDF/XML and JSON-LD are
+    driver-side single-document writers (bounded, for interop)."""
     from .ntriples import write_ntriples
     if fmt == "ntriples":
         write_ntriples(df, path, quads=False)
     elif fmt == "nquads":
         write_ntriples(df, path, quads=True)
+    elif fmt == "rdfxml":
+        from .rdfxml import to_rdfxml_document
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(to_rdfxml_document(df))
+    elif fmt == "jsonld":
+        from .jsonld import to_jsonld_document
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(to_jsonld_document(df))
     else:
         raise NotImplementedError(f"serializer for {fmt!r}")
 
@@ -53,7 +73,9 @@ def dump_rdf(df: DataFrame, path: str, fmt: str = "ntriples") -> None:
 def guess_format(path: str) -> str:
     ext = os.path.splitext(path)[1].lower()
     return {".nt": "ntriples", ".nq": "nquads", ".ttl": "turtle",
-            ".trig": "turtle"}.get(ext, "ntriples")
+            ".trig": "turtle", ".n3": "n3", ".rdf": "rdfxml",
+            ".rdfxml": "rdfxml", ".owl": "rdfxml", ".xml": "rdfxml",
+            ".jsonld": "jsonld", ".json": "jsonld"}.get(ext, "ntriples")
 
 
 # -- distributed Turtle → N-Triples conversion ------------------------------
@@ -113,16 +135,29 @@ _TTL_PREFIX = re.compile(r"@prefix\s+([A-Za-z0-9_-]*):\s*<([^>]*)>\s*\.")
 
 
 def _read_turtle_small(spark: SparkSession, path: str,
-                       max_bytes: int = 64 << 20) -> DataFrame:
+                       max_bytes: int = 64 << 20,
+                       n3: bool = False) -> DataFrame:
     """Convert a SMALL Turtle file to triples driver-side, then
     parallelize.  Supports prefixes, ``a``, ``;``/``,`` lists and plain
-    terms — not nested bnodes/collections (use N-Triples for those)."""
+    terms — not nested bnodes/collections (use N-Triples for those).
+
+    ``n3=True`` reads the Turtle-compatible subset of Notation3 (S4):
+    N3's extensions — formulas ``{...}``, rules ``=>``, ``@forAll`` /
+    ``@forSome`` — have no RDF data-model mapping, so they raise rather
+    than silently drop."""
     size = os.path.getsize(path)
     if size > max_bytes:
         raise ValueError(
             f"turtle file {size >> 20} MiB > {max_bytes >> 20} MiB limit: "
             "convert to N-Triples for the distributed path")
     text = open(path, encoding="utf-8").read()
+    if n3:
+        stripped = re.sub(r'"(?:[^"\\]|\\.)*"', '""', text)  # ignore strings
+        for tok in ("{", "=>", "@forAll", "@forSome"):
+            if tok in stripped:
+                raise NotImplementedError(
+                    f"N3 {tok!r}: formulas/rules are outside the RDF data "
+                    "model; only the Turtle-compatible N3 subset is read")
     prefixes = dict(_TTL_PREFIX.findall(text))
     body = _TTL_PREFIX.sub("", text)
     from ..algebra.parser import Parser

@@ -1,0 +1,265 @@
+"""RDF/XML (S5), JSON-LD expanded (S6), N3 subset (S4) format tests."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from oxigraph_spark.algebra import ast as A
+from oxigraph_spark.model import terms as T
+from oxigraph_spark.sources import rdf_io
+from oxigraph_spark.sources.jsonld import (
+    parse_jsonld, jsonld_to_ntriples, to_jsonld_document)
+from oxigraph_spark.sources.rdfxml import (
+    parse_rdfxml, rdfxml_to_ntriples, to_rdfxml_document)
+
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+# -- RDF/XML parser (pure Python, no Spark) ---------------------------------
+
+def test_rdfxml_core_grammar():
+    doc = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:ex="urn:ex:" xml:base="http://b.example/doc">
+  <ex:Person rdf:about="http://a.example/alice" ex:nick="Al">
+    <ex:name xml:lang="en">Alice</ex:name>
+    <ex:age rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">30</ex:age>
+    <ex:knows rdf:resource="http://a.example/bob"/>
+    <ex:addr rdf:parseType="Resource">
+      <ex:city>Springfield</ex:city>
+    </ex:addr>
+  </ex:Person>
+  <rdf:Description rdf:ID="frag">
+    <ex:note rdf:nodeID="n1"/>
+  </rdf:Description>
+</rdf:RDF>"""
+    triples = parse_rdfxml(doc)
+    idx = {}
+    for s, p, o in triples:
+        idx.setdefault(p.iri, []).append((s, o))
+    # typed node element → rdf:type
+    (s, o), = idx[RDF + "type"]
+    assert s == A.NamedNode("http://a.example/alice")
+    assert o == A.NamedNode("urn:ex:Person")
+    # property attribute → literal triple
+    assert idx["urn:ex:nick"][0][1] == A.Literal("Al")
+    # xml:lang on the property element
+    assert idx["urn:ex:name"][0][1] == A.Literal("Alice", lang="en")
+    # rdf:datatype
+    assert idx["urn:ex:age"][0][1] == A.Literal(
+        "30", datatype=XSD + "integer")
+    assert idx["urn:ex:knows"][0][1] == A.NamedNode("http://a.example/bob")
+    # parseType=Resource → bnode with nested property
+    addr = idx["urn:ex:addr"][0][1]
+    assert isinstance(addr, A.BlankNode)
+    assert idx["urn:ex:city"][0] == (addr, A.Literal("Springfield"))
+    # rdf:ID resolves against xml:base; rdf:nodeID object
+    s, o = idx["urn:ex:note"][0]
+    assert s == A.NamedNode("http://b.example/doc#frag")
+    assert o == A.BlankNode("n1")
+
+
+def test_rdfxml_li_and_collection():
+    doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:ex="urn:ex:">
+  <rdf:Seq rdf:about="urn:ex:seq">
+    <rdf:li>one</rdf:li>
+    <rdf:li>two</rdf:li>
+  </rdf:Seq>
+  <rdf:Description rdf:about="urn:ex:l">
+    <ex:items rdf:parseType="Collection">
+      <rdf:Description rdf:about="urn:ex:i1"/>
+      <rdf:Description rdf:about="urn:ex:i2"/>
+    </ex:items>
+  </rdf:Description>
+</rdf:RDF>"""
+    triples = parse_rdfxml(doc)
+    preds = {p.iri for _, p, _ in triples}
+    assert RDF + "_1" in preds and RDF + "_2" in preds
+    # collection → well-formed rdf list: walk it from the head
+    firsts = {s: o for s, p, o in triples if p.iri == RDF + "first"}
+    rests = {s: o for s, p, o in triples if p.iri == RDF + "rest"}
+    head, = [o for s, p, o in triples if p.iri == "urn:ex:items"]
+    items = []
+    while head != A.NamedNode(RDF + "nil"):
+        items.append(firsts[head])
+        head = rests[head]
+    assert items == [A.NamedNode("urn:ex:i1"), A.NamedNode("urn:ex:i2")]
+
+
+def test_rdfxml_reification_and_xmlliteral():
+    doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:ex="urn:ex:" xml:base="http://b.example/">
+  <rdf:Description rdf:about="urn:ex:s">
+    <ex:claim rdf:ID="st1">v</ex:claim>
+    <ex:html rdf:parseType="Literal"><b>bold</b></ex:html>
+  </rdf:Description>
+</rdf:RDF>"""
+    triples = parse_rdfxml(doc)
+    bypred = {p.iri: (s, o) for s, p, o in triples}
+    st = A.NamedNode("http://b.example/#st1")
+    assert bypred[RDF + "subject"] == (st, A.NamedNode("urn:ex:s"))
+    assert bypred[RDF + "object"][1] == A.Literal("v")
+    assert bypred["urn:ex:html"][1] == A.Literal(
+        "<b>bold</b>", datatype=RDF + "XMLLiteral")
+
+
+def test_rdfxml_roundtrip_via_spark(spark, tmp_path):
+    nt = tmp_path / "g.nt"
+    nt.write_text("""<urn:ex:a> <urn:ex:p> "plain" .
+<urn:ex:a> <urn:ex:p> "français"@fr .
+<urn:ex:a> <urn:ex:n> "42"^^<http://www.w3.org/2001/XMLSchema#integer> .
+<urn:ex:a> <urn:ex:q> <urn:ex:b> .
+_:x <urn:ex:p> "from bnode" .
+""")
+    df = rdf_io.load_rdf(spark, str(nt), "ntriples")
+    out = tmp_path / "g.rdf"
+    rdf_io.dump_rdf(df, str(out), "rdfxml")
+    back = rdf_io.load_rdf(spark, str(out), "rdfxml")
+
+    def key(df):
+        return sorted(map(tuple, df.select(
+            "s.kind", "p.lex", "o.kind", "o.lex", "o.datatype", "o.lang"
+        ).collect()))
+    assert key(back) == key(df)
+
+
+def test_rdfxml_to_ntriples_distributed(spark, tmp_path):
+    d = tmp_path / "xmls"
+    d.mkdir()
+    (d / "a.rdf").write_text("""<rdf:RDF
+  xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" xmlns:ex="urn:ex:">
+  <rdf:Description rdf:about="urn:ex:a"><ex:name>A &amp; B</ex:name>
+  <ex:pal><rdf:Description rdf:about="urn:ex:b"/></ex:pal>
+  </rdf:Description></rdf:RDF>""")
+    (d / "b.rdf").write_text("""<rdf:RDF
+  xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" xmlns:ex="urn:ex:">
+  <ex:Thing rdf:about="urn:ex:c"/></rdf:RDF>""")
+    out = str(tmp_path / "nt_out")
+    rdfxml_to_ntriples(spark, str(d), out)
+    quads = rdf_io.load_rdf(spark, out + "/*.txt", "ntriples")
+    rows = quads.collect()
+    assert len(rows) == 3
+    vals = {r.o.lex for r in rows}
+    assert "A & B" in vals and "urn:ex:Thing" in vals
+
+
+# -- JSON-LD expanded form --------------------------------------------------
+
+def test_jsonld_expanded_core():
+    doc = [
+        {"@id": "urn:ex:a",
+         "@type": ["urn:ex:Person"],
+         "urn:ex:name": [{"@value": "Alice", "@language": "en"}],
+         "urn:ex:age": [{"@value": 30}],
+         "urn:ex:score": [{"@value": 1.5}],
+         "urn:ex:ok": [{"@value": True}],
+         "urn:ex:knows": [{"@id": "_:b"},
+                          {"@id": "urn:ex:c"}]},
+        {"@id": "_:b", "urn:ex:name": [{"@value": "Bob"}]},
+    ]
+    quads = parse_jsonld(doc)
+    idx = {}
+    for s, p, o, g in quads:
+        assert g is None
+        idx.setdefault(p.iri, []).append((s, o))
+    assert idx[RDF + "type"][0][1] == A.NamedNode("urn:ex:Person")
+    assert idx["urn:ex:name"][0][1] == A.Literal("Alice", lang="en")
+    assert idx["urn:ex:age"][0][1] == A.Literal(
+        "30", datatype=XSD + "integer")
+    assert idx["urn:ex:score"][0][1] == A.Literal(
+        "1.5", datatype=XSD + "double")
+    assert idx["urn:ex:ok"][0][1] == A.Literal(
+        "true", datatype=XSD + "boolean")
+    # bnode @id relabeled consistently between reference and node object
+    bob_ref = idx["urn:ex:knows"][0][1]
+    bob_node = idx["urn:ex:name"][1][0]
+    assert isinstance(bob_ref, A.BlankNode) and bob_ref == bob_node
+
+
+def test_jsonld_lists_graphs_nesting():
+    doc = [
+        {"@id": "urn:ex:l",
+         "urn:ex:items": [{"@list": [{"@value": 1}, {"@id": "urn:ex:x"}]}],
+         "urn:ex:embed": [{"urn:ex:name": [{"@value": "anon"}]}]},
+        {"@id": "urn:ex:g1",
+         "@graph": [{"@id": "urn:ex:s", "urn:ex:p": [{"@value": "v"}]}]},
+    ]
+    quads = parse_jsonld(doc)
+    in_g1 = [(s, p, o) for s, p, o, g in quads
+             if g == A.NamedNode("urn:ex:g1")]
+    assert in_g1 == [(A.NamedNode("urn:ex:s"), A.NamedNode("urn:ex:p"),
+                      A.Literal("v"))]
+    firsts = [o for s, p, o, g in quads if p.iri == RDF + "first"]
+    assert A.Literal("1", datatype=XSD + "integer") in firsts
+    # embedded anonymous node object got a fresh bnode subject
+    anon = [s for s, p, o, g in quads if o == A.Literal("anon")]
+    assert isinstance(anon[0], A.BlankNode)
+
+
+def test_jsonld_context_raises():
+    with pytest.raises(NotImplementedError, match="@context"):
+        parse_jsonld({"@context": {"ex": "urn:ex:"}, "@id": "ex:a"})
+
+
+def test_jsonld_roundtrip_via_spark(spark, tmp_path):
+    nt = tmp_path / "g.nt"
+    nt.write_text("""<urn:ex:a> <urn:ex:p> "plain" .
+<urn:ex:a> <urn:ex:p> "texte"@fr .
+<urn:ex:a> <urn:ex:n> "42"^^<http://www.w3.org/2001/XMLSchema#integer> .
+<urn:ex:a> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <urn:ex:T> .
+_:x <urn:ex:q> <urn:ex:a> .
+""")
+    df = rdf_io.load_rdf(spark, str(nt), "ntriples")
+    out = tmp_path / "g.jsonld"
+    rdf_io.dump_rdf(df, str(out), "jsonld")
+    assert "@value" in out.read_text()
+    back = rdf_io.load_rdf(spark, str(out), "jsonld")
+
+    def key(df):
+        return sorted(map(tuple, df.select(
+            "s.kind", "p.lex", "o.kind", "o.lex", "o.datatype", "o.lang"
+        ).collect()))
+    assert key(back) == key(df)
+
+
+def test_jsonld_to_ntriples_distributed(spark, tmp_path):
+    d = tmp_path / "jsons"
+    d.mkdir()
+    (d / "a.jsonld").write_text(json.dumps(
+        [{"@id": "urn:ex:a", "urn:ex:name": [{"@value": "A"}],
+          "urn:ex:pal": [{"urn:ex:name": [{"@value": "anon pal"}]}]}]))
+    (d / "b.jsonld").write_text(json.dumps(
+        [{"@id": "urn:ex:g", "@graph": [
+            {"@id": "urn:ex:s", "urn:ex:p": [{"@value": "in graph"}]}]}]))
+    out = str(tmp_path / "nq_out")
+    jsonld_to_ntriples(spark, str(d), out)
+    quads = rdf_io.load_rdf(spark, out + "/*.txt", "nquads")
+    rows = quads.collect()
+    assert len(rows) == 4
+    graphs = {r.g.lex for r in rows}
+    assert "urn:ex:g" in graphs
+
+
+# -- N3 subset --------------------------------------------------------------
+
+def test_n3_turtle_subset(spark, tmp_path):
+    n3 = tmp_path / "d.n3"
+    n3.write_text("""
+@prefix ex: <urn:ex:> .
+ex:a a ex:Person ; ex:name "Alice {not a formula}" .
+""")
+    df = rdf_io.load_rdf(spark, str(n3))  # guessed from extension
+    assert df.count() == 2
+
+
+def test_n3_formula_raises(spark, tmp_path):
+    n3 = tmp_path / "f.n3"
+    n3.write_text("""
+@prefix ex: <urn:ex:> .
+{ ex:a ex:p ex:b } => { ex:a ex:q ex:b } .
+""")
+    with pytest.raises(NotImplementedError, match="formulas"):
+        rdf_io.load_rdf(spark, str(n3), "n3")
