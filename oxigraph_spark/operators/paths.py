@@ -171,29 +171,48 @@ MAX_ITERATIONS = 64
 
 def _one_hop(frontier: DataFrame, edges: DataFrame,
              broadcast_frontier: bool = False) -> DataFrame:
+    """One hop over ENCODED relations (sk, dk) — plain 16-byte column
+    equality, no per-round key recomputation."""
     f = F.broadcast(frontier) if broadcast_frontier else frontier
     f, e = f.alias("f"), edges.alias("e")
-    return f.join(e, _key(F.col("f.dst")) == _key(F.col("e.src"))) \
-            .select(F.col("f.src").alias("src"),
-                    F.col("e.dst").alias("dst")).distinct()
+    return f.join(e, F.col("f.dk") == F.col("e.sk")) \
+            .select(F.col("f.sk").alias("sk"),
+                    F.col("e.dk").alias("dk")).distinct()
 
 
 def _closure(compiler, edges: DataFrame, start: Optional[DataFrame]) -> DataFrame:
-    """Semi-naive transitive closure.
+    """Semi-naive transitive closure with dictionary-encoded iteration
+    (late materialization — the reference's ``EncodedTerm`` id-space
+    evaluation, ``storage/numeric_encoder.rs``, as a Spark plan shape).
 
-    Per round: two chained hop joins (halves fixpoint driver round-trips
-    vs one hop per round), one anti-join against the accumulated paths,
-    one ``localCheckpoint`` of the NEW delta only.  The accumulated path
-    set is a lazy union of checkpointed deltas — it is never re-shuffled
-    or re-materialized as it grows (at 100 TB re-checkpointing the full
-    closure each round would dominate the fixpoint cost)."""
+    The fixpoint never touches TERM structs: edges encode once to
+    16-byte content-hash pairs ``(sk, dk)`` plus a ``(k, term)``
+    dictionary; every round's join / distinct / anti-join shuffles two
+    fixed-width binaries per row, and the accumulated closure decodes
+    back to terms through TWO dictionary joins at the very end.  At
+    100 TB the difference per round is shuffling 32 B/row versus two
+    full term structs (lex strings included); locally it also keeps the
+    per-round Catalyst plan small — key equality instead of rebuilt
+    hash expressions.
+
+    Per round: two chained hop joins (halves fixpoint driver
+    round-trips), one anti-join against the accumulated paths, one
+    ``localCheckpoint`` of the NEW delta only.  The accumulated path
+    set is a lazy union of checkpointed deltas — never re-shuffled or
+    re-materialized as it grows."""
     edges = edges.distinct().localCheckpoint(eager=False)
+    # dictionary: one row per distinct endpoint term (one shuffle, once)
+    dic = edges.select(F.col("src").alias("term")) \
+               .unionByName(edges.select(F.col("dst").alias("term"))) \
+               .select(_key(F.col("term")).alias("k"), "term") \
+               .dropDuplicates(["k"]).localCheckpoint(eager=False)
+    ek = edges.select(_key(edges["src"]).alias("sk"),
+                      _key(edges["dst"]).alias("dk"))
     if start is not None:
-        sk = _key(start["src"])
-        paths = edges.join(F.broadcast(start),
-                           _key(edges["src"]) == sk, "leftsemi")
+        sk0 = start.select(_key(start["src"]).alias("k")).distinct()
+        paths = ek.join(F.broadcast(sk0), ek["sk"] == sk0["k"], "leftsemi")
     else:
-        paths = edges
+        paths = ek
     frontier = paths.distinct().localCheckpoint()
     paths = frontier
     # seeded closures keep a bounded frontier (reachable set of the seed
@@ -202,27 +221,36 @@ def _closure(compiler, edges: DataFrame, start: Optional[DataFrame]) -> DataFram
     # closures keep the shuffle join (the frontier IS the full relation).
     bc = start is not None
     for _ in range(MAX_ITERATIONS):
-        hop1 = _one_hop(frontier, edges, broadcast_frontier=bc)
+        hop1 = _one_hop(frontier, ek, broadcast_frontier=bc)
         stepped = hop1.unionByName(
-            _one_hop(hop1, edges, broadcast_frontier=bc)).distinct()
-        seen = paths.select(F.col("src").alias("psrc"),
-                            F.col("dst").alias("pdst"))
+            _one_hop(hop1, ek, broadcast_frontier=bc)).distinct()
+        seen = paths.select(F.col("sk").alias("psk"),
+                            F.col("dk").alias("pdk"))
         # lazy checkpoint + count = ONE job per round (the count action
         # materializes the checkpoint); an eager checkpoint followed by
         # isEmpty would cost two driver round-trips per round
         new = stepped.join(
             seen,
-            (_key(stepped["src"]) == _key(seen["psrc"]))
-            & (_key(stepped["dst"]) == _key(seen["pdst"])),
+            (stepped["sk"] == seen["psk"]) & (stepped["dk"] == seen["pdk"]),
             "leftanti").localCheckpoint(eager=False)
         if new.count() == 0:
-            return paths
+            return _decode_pairs(paths, dic)
         paths = paths.unionByName(new)
         frontier = new
     raise RuntimeError(
         f"property-path closure did not converge within {2 * MAX_ITERATIONS} "
         "edge hops; raise oxigraph_spark.operators.paths.MAX_ITERATIONS for "
         "deeper graphs")
+
+
+def _decode_pairs(pairs: DataFrame, dic: DataFrame) -> DataFrame:
+    """(sk, dk) key pairs → (src, dst) terms via two dictionary joins —
+    the LATE materialization step, run once after the fixpoint."""
+    ds = dic.select(F.col("k").alias("__sk"), F.col("term").alias("src"))
+    dd = dic.select(F.col("k").alias("__dk"), F.col("term").alias("dst"))
+    return pairs.join(ds, pairs["sk"] == ds["__sk"]) \
+                .join(dd, pairs["dk"] == dd["__dk"]) \
+                .select("src", "dst")
 
 
 def _seeded_closure(compiler, inner_path, graph_ctx, seeds: DataFrame,
