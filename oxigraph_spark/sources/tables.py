@@ -49,4 +49,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # integer division — `/` promotes to double and loses ~100 µs of
         # precision at 2024-epoch nanosecond magnitudes
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return normalize_ntz(df)
+
+
+def normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast TIMESTAMP_NTZ columns to TIMESTAMP (LTZ).  The session is
+    pinned to UTC so the wall-clock values are unchanged; LTZ is required
+    by streaming watermarks ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]) and
+    keeps batch/stream schemas identical."""
+    for f in df.schema.fields:
+        if f.dataType.simpleString() == "timestamp_ntz":
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df

@@ -22,7 +22,7 @@ from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
 def stream_events(spark: SparkSession, sf_dir: str,
                   max_files_per_trigger: int = 1) -> DataFrame:
     """events.parquet replayed as a file-source stream."""
-    from ..sources.tables import load_table
+    from ..sources.tables import load_table, normalize_ntz
     batch = load_table(spark, sf_dir, "events")
     # the streaming file source requires a DIRECTORY; select the events
     # file from the sf dir via glob filter, and reapply the nano→micro
@@ -38,7 +38,7 @@ def stream_events(spark: SparkSession, sf_dir: str,
         if f.name == "ts" and f.dataType.simpleString() == "bigint":
             stream = stream.withColumn(
                 "ts", F.timestamp_micros(F.expr("`ts` div 1000")))
-    return stream
+    return normalize_ntz(stream)
 
 
 def with_watermark(df: DataFrame, delay: str = "10 minutes") -> DataFrame:
