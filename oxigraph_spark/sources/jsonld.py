@@ -1,15 +1,18 @@
-"""JSON-LD reader/writer — expanded form (SURVEY.md §2.1 S6).
+"""JSON-LD reader/writer — expanded + compact form (SURVEY.md §2.1 S6).
 
 Reference: ``lib/oxjsonld/src/`` · upstream parses JSON-LD 1.0 with
 context processing.  This implementation covers the EXPANDED document
 form (the canonical, context-free shape every JSON-LD processor can
-produce via the standard ``expand()`` operation): an array of node
+produce via the standard ``expand()`` operation) — an array of node
 objects keyed by absolute IRIs, with ``@value``/``@type``/``@language``
 value objects, ``@id`` references, ``@list`` collections and ``@graph``
-containers.  Compacted documents must be expanded first (context
-processing needs remote-``@context`` fetches — no network here);
-this restriction is documented, not silent: a top-level ``@context``
-raises.
+containers — plus COMPACT documents with **inline** ``@context``:
+term→IRI mappings, compact IRIs (``prefix:suffix``), keyword aliases,
+``@vocab``/``@base``/``@language`` defaults, type coercion (``@id`` /
+``@vocab`` / datatype), containers (``@list``/``@set``/``@language``/
+``@index``) and node-level ``@reverse``.  Remote context URLs still
+raise (context fetching needs network, unavailable here) — the
+restriction is documented, not silent.
 
 Spark-first shape: same whole-document parallelism as RDF/XML and
 Turtle — :func:`jsonld_to_ntriples` converts one file per task, then
@@ -52,12 +55,23 @@ class _Ctx:
 
 
 def parse_jsonld(doc, bnode_prefix: str = "jb") -> List[Triple]:
-    """Expanded JSON-LD document (parsed JSON) → ground quads
-    ``(s, p, o, graph-or-None)``."""
+    """JSON-LD document (parsed JSON) → ground quads
+    ``(s, p, o, graph-or-None)``.  Documents carrying an inline
+    ``@context`` anywhere are run through :func:`expand` first."""
+    if _has_context(doc):
+        doc = expand(doc)
     ctx = _Ctx(bnode_prefix)
     out: List[Triple] = []
     _top(doc, ctx, out, None)
     return out
+
+
+def _has_context(doc) -> bool:
+    if isinstance(doc, dict):
+        return "@context" in doc or any(_has_context(v) for v in doc.values())
+    if isinstance(doc, list):
+        return any(_has_context(v) for v in doc)
+    return False
 
 
 def _top(doc, ctx: _Ctx, out: List[Triple], graph):
@@ -88,6 +102,11 @@ def _node(node: dict, ctx: _Ctx, out: List[Triple], graph):
         out.append((subj, A.NamedNode(RDF_NS + "type"), ctx.ref(t), graph))
     if "@graph" in node:  # named graph container
         _top(node["@graph"], ctx, out, subj)
+    for pred, values in node.get("@reverse", {}).items():
+        # reversed relationship: the VALUES are the subjects
+        p = A.NamedNode(pred)
+        for v in _as_list(values):
+            out.append((_object(v, ctx, out, graph), p, subj, graph))
     for key, values in node.items():
         if key.startswith("@"):
             continue
@@ -141,6 +160,258 @@ def _rdf_list(items, ctx: _Ctx, out: List[Triple], graph):
         out.append((cell, rest, head, graph))
         head = cell
     return head
+
+
+# -- context processing + expansion (compact → expanded form) ---------------
+#
+# Subset of the JSON-LD 1.0 expansion algorithm that is computable
+# offline: inline contexts only.  Unsupported constructs raise
+# NotImplementedError (remote context URLs, scoped contexts, @nest,
+# @container arrays) rather than silently dropping data.
+
+_KEYWORDS = frozenset({
+    "@id", "@type", "@value", "@language", "@list", "@set", "@graph",
+    "@index", "@reverse", "@context", "@vocab", "@base", "@container",
+    "@nest", "@version", "@none", "@json", "@direction",
+})
+
+
+class _ActiveCtx:
+    __slots__ = ("terms", "vocab", "base", "language")
+
+    def __init__(self):
+        self.terms: dict = {}
+        self.vocab: Optional[str] = None
+        self.base: Optional[str] = None
+        self.language: Optional[str] = None
+
+    def copy(self) -> "_ActiveCtx":
+        c = _ActiveCtx()
+        c.terms = dict(self.terms)
+        c.vocab, c.base, c.language = self.vocab, self.base, self.language
+        return c
+
+
+def _process_context(actx: "_ActiveCtx", local) -> "_ActiveCtx":
+    actx = actx.copy()
+    for c in (local if isinstance(local, list) else [local]):
+        if c is None:          # null context: reset
+            actx = _ActiveCtx()
+            continue
+        if isinstance(c, str):
+            raise NotImplementedError(
+                f"remote @context {c!r}: context fetching needs network — "
+                "inline the context or pre-expand the document")
+        if not isinstance(c, dict):
+            raise ValueError(f"@context entry must be object/null/IRI: {c!r}")
+        if "@base" in c:
+            actx.base = c["@base"]
+        if "@vocab" in c:
+            actx.vocab = c["@vocab"]
+        if "@language" in c:
+            actx.language = c["@language"]
+        defined: dict = {}
+        for term in c:
+            if term not in ("@base", "@vocab", "@language", "@version"):
+                _create_term(actx, c, term, defined)
+    return actx
+
+
+def _create_term(actx: "_ActiveCtx", lctx: dict, term: str, defined: dict):
+    if defined.get(term):
+        return
+    if term in defined:
+        raise ValueError(f"cyclic @context term definition: {term!r}")
+    if term.startswith("@"):
+        raise ValueError(f"@context cannot redefine keyword {term!r}")
+    defined[term] = False
+    defn = lctx[term]
+    if defn is None:
+        actx.terms[term] = {"iri": None}      # explicit null: term dropped
+        defined[term] = True
+        return
+    if isinstance(defn, str):
+        actx.terms[term] = {
+            "iri": _expand_iri(actx, defn, vocab=True, lctx=lctx,
+                               defined=defined)}
+        defined[term] = True
+        return
+    if not isinstance(defn, dict):
+        raise ValueError(f"invalid term definition for {term!r}: {defn!r}")
+    if "@context" in defn:
+        raise NotImplementedError("scoped contexts (JSON-LD 1.1)")
+    td: dict = {}
+    if "@reverse" in defn:
+        td["reverse"] = True
+        td["iri"] = _expand_iri(actx, defn["@reverse"], vocab=True,
+                                lctx=lctx, defined=defined)
+    elif "@id" in defn:
+        v = defn["@id"]
+        td["iri"] = v if (v is None or v in _KEYWORDS) else \
+            _expand_iri(actx, v, vocab=True, lctx=lctx, defined=defined)
+    else:
+        td["iri"] = _expand_iri(actx, term, vocab=True, lctx=lctx,
+                                defined=defined)
+    if "@type" in defn:
+        t = defn["@type"]
+        td["type"] = t if t in ("@id", "@vocab") else \
+            _expand_iri(actx, t, vocab=True, lctx=lctx, defined=defined)
+    if "@language" in defn:
+        td["language"] = defn["@language"]    # None clears the default
+        td["has_language"] = True
+    if "@container" in defn:
+        cont = defn["@container"]
+        if cont not in ("@list", "@set", "@language", "@index"):
+            raise NotImplementedError(f"@container {cont!r}")
+        td["container"] = cont
+    actx.terms[term] = td
+    defined[term] = True
+
+
+def _expand_iri(actx: "_ActiveCtx", value, vocab: bool = False,
+                relative: bool = False, lctx: Optional[dict] = None,
+                defined: Optional[dict] = None):
+    """Term / compact-IRI / relative-IRI → absolute IRI (or keyword).
+    Returns None when the value has no mapping in vocab mode (the spec
+    drops such properties)."""
+    if value is None or value in _KEYWORDS:
+        return value
+    if not isinstance(value, str):
+        raise ValueError(f"IRI expansion on non-string: {value!r}")
+    if lctx is not None and value in lctx and not defined.get(value):
+        _create_term(actx, lctx, value, defined)
+    if vocab and value in actx.terms:
+        return actx.terms[value]["iri"]
+    colon = value.find(":", 1)
+    if colon > 0:
+        prefix, suffix = value[:colon], value[colon + 1:]
+        if prefix == "_" or suffix.startswith("//"):
+            return value                       # bnode label / absolute IRI
+        if lctx is not None and prefix in lctx and not defined.get(prefix):
+            _create_term(actx, lctx, prefix, defined)
+        td = actx.terms.get(prefix)
+        if td and td.get("iri"):
+            return td["iri"] + suffix
+        return value                           # scheme:path absolute IRI
+    if vocab and actx.vocab is not None:
+        return actx.vocab + value
+    if relative and actx.base is not None:
+        from urllib.parse import urljoin
+        return urljoin(actx.base, value)
+    return None if vocab else value
+
+
+def expand(doc):
+    """Compact JSON-LD (inline contexts) → expanded document, suitable
+    for the expanded-form parser above.  Mirrors the W3C expansion
+    algorithm restricted to offline-computable inputs."""
+    out = _expand_element(_ActiveCtx(), doc, None)
+    return [] if out is None else out
+
+
+def _expand_value(actx: "_ActiveCtx", active_prop: Optional[str], value):
+    td = actx.terms.get(active_prop or "", {})
+    t = td.get("type")
+    if isinstance(value, str):
+        if t == "@id":
+            return {"@id": _expand_iri(actx, value, relative=True)}
+        if t == "@vocab":
+            return {"@id": _expand_iri(actx, value, vocab=True,
+                                       relative=True) or value}
+    rv: dict = {"@value": value}
+    if t and t not in ("@id", "@vocab"):
+        rv["@type"] = t
+    elif isinstance(value, str):
+        lang = td["language"] if td.get("has_language") else actx.language
+        if lang:
+            rv["@language"] = lang
+    return rv
+
+
+def _expand_element(actx: "_ActiveCtx", element, active_prop):
+    if element is None:
+        return None
+    if isinstance(element, list):
+        result = []
+        for item in element:
+            v = _expand_element(actx, item, active_prop)
+            if v is None:
+                continue
+            result.extend(v) if isinstance(v, list) else result.append(v)
+        return result
+    if not isinstance(element, dict):
+        return _expand_value(actx, active_prop, element)
+    if "@context" in element:
+        actx = _process_context(actx, element["@context"])
+    result: dict = {}
+    for key in element:
+        if key == "@context":
+            continue
+        ekey = _expand_iri(actx, key, vocab=True)
+        if ekey is None:
+            continue                           # unmapped property: dropped
+        if ekey == "@id":
+            result["@id"] = _expand_iri(actx, element[key], relative=True) \
+                if isinstance(element[key], str) else element[key]
+            continue
+        if ekey == "@type":
+            result["@type"] = [
+                _expand_iri(actx, t, vocab=True, relative=True) or t
+                for t in _as_list(element[key])]
+            continue
+        if ekey in ("@value", "@language", "@index"):
+            result[ekey] = element[key]
+            continue
+        if ekey == "@graph":
+            result["@graph"] = _expand_element(actx, element[key], "@graph")
+            continue
+        if ekey == "@list":
+            ev = _expand_element(actx, element[key], active_prop)
+            result["@list"] = [] if ev is None else _as_list(ev)
+            continue
+        if ekey == "@set":
+            ev = _expand_element(actx, element[key], active_prop)
+            return [] if ev is None else ev    # @set is transparent
+        if ekey == "@reverse":
+            rev = result.setdefault("@reverse", {})
+            for rk, rvs in element[key].items():
+                rki = _expand_iri(actx, rk, vocab=True)
+                if rki is None:
+                    continue
+                ev = _expand_element(actx, rvs, rk)
+                rev.setdefault(rki, []).extend(
+                    [] if ev is None else _as_list(ev))
+            continue
+        if ekey in _KEYWORDS:
+            raise NotImplementedError(f"JSON-LD keyword {ekey}")
+        td = actx.terms.get(key, {})
+        container = td.get("container")
+        if container == "@language" and isinstance(element[key], dict):
+            vals = [{"@value": item, "@language": lang}
+                    for lang, lv in sorted(element[key].items())
+                    for item in _as_list(lv)]
+        elif container == "@index" and isinstance(element[key], dict):
+            vals = []
+            for _idx in sorted(element[key]):
+                ev = _expand_element(actx, element[key][_idx], key)
+                vals.extend([] if ev is None else _as_list(ev))
+        else:
+            ev = _expand_element(actx, element[key], key)
+            vals = [] if ev is None else _as_list(ev)
+            if container == "@list" and not (
+                    len(vals) == 1 and isinstance(vals[0], dict)
+                    and "@list" in vals[0]):
+                vals = [{"@list": vals}]
+        if td.get("reverse"):
+            result.setdefault("@reverse", {}).setdefault(
+                td["iri"], []).extend(vals)
+        else:
+            result.setdefault(ekey, []).extend(vals)
+    # a value object's @type must be a bare IRI string, not an array
+    if "@value" in result and isinstance(result.get("@type"), list) \
+            and len(result["@type"]) == 1:
+        result["@type"] = result["@type"][0]
+    return result
 
 
 # -- Spark wiring -----------------------------------------------------------

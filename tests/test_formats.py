@@ -199,9 +199,108 @@ def test_jsonld_lists_graphs_nesting():
     assert isinstance(anon[0], A.BlankNode)
 
 
-def test_jsonld_context_raises():
-    with pytest.raises(NotImplementedError, match="@context"):
-        parse_jsonld({"@context": {"ex": "urn:ex:"}, "@id": "ex:a"})
+def test_jsonld_remote_context_raises():
+    with pytest.raises(NotImplementedError, match="remote @context"):
+        parse_jsonld({"@context": "https://schema.org", "name": "x"})
+
+
+def test_jsonld_compact_inline_context():
+    doc = {
+        "@context": {
+            "ex": "urn:ex:",
+            "name": "ex:name",
+            "knows": {"@id": "ex:knows", "@type": "@id"},
+            "age": {"@id": "ex:age", "@type": "ex:years"},
+            "id": "@id", "type": "@type",
+        },
+        "id": "ex:a",
+        "type": "ex:Person",
+        "name": "Alice",
+        "knows": ["ex:b", "_:c"],
+        "age": 30,
+    }
+    quads = parse_jsonld(doc)
+    idx = {}
+    for s, p, o, g in quads:
+        assert g is None and s == A.NamedNode("urn:ex:a")
+        idx.setdefault(p.iri, []).append(o)
+    assert idx[RDF + "type"] == [A.NamedNode("urn:ex:Person")]
+    assert idx["urn:ex:name"] == [A.Literal("Alice")]
+    assert A.NamedNode("urn:ex:b") in idx["urn:ex:knows"]
+    assert any(isinstance(o, A.BlankNode) for o in idx["urn:ex:knows"])
+    # the term's datatype coercion overrides the native JSON typing
+    assert idx["urn:ex:age"] == [A.Literal("30", datatype="urn:ex:years")]
+
+
+def test_jsonld_compact_vocab_base_language():
+    doc = {
+        "@context": {"@vocab": "urn:v:", "@base": "http://ex.org/d/",
+                     "@language": "fr"},
+        "@id": "item1",
+        "title": "bonjour",
+        "link": {"@id": "other"},
+    }
+    quads = parse_jsonld(doc)
+    trip = {(s, p.iri, o) for s, p, o, g in quads}
+    subj = A.NamedNode("http://ex.org/d/item1")
+    assert (subj, "urn:v:title", A.Literal("bonjour", lang="fr")) in trip
+    assert (subj, "urn:v:link", A.NamedNode("http://ex.org/d/other")) in trip
+
+
+def test_jsonld_compact_containers_and_reverse():
+    doc = {
+        "@context": {
+            "ex": "urn:ex:",
+            "label": {"@id": "ex:label", "@container": "@language"},
+            "steps": {"@id": "ex:steps", "@container": "@list"},
+            "tags": {"@id": "ex:tag", "@container": "@set"},
+            "byIdx": {"@id": "ex:byIdx", "@container": "@index"},
+            "parentOf": {"@reverse": "ex:childOf"},
+        },
+        "@id": "ex:n",
+        "label": {"en": "water", "de": "Wasser"},
+        "steps": ["a", "b"],
+        "tags": ["t1"],
+        "byIdx": {"k1": "v1", "k2": "v2"},
+        "parentOf": [{"@id": "ex:kid"}],
+        "@reverse": {"ex:likes": {"@id": "ex:fan"}},
+    }
+    quads = parse_jsonld(doc)
+    trip = {(s, p.iri, o) for s, p, o, g in quads}
+    n = A.NamedNode("urn:ex:n")
+    assert (n, "urn:ex:label", A.Literal("water", lang="en")) in trip
+    assert (n, "urn:ex:label", A.Literal("Wasser", lang="de")) in trip
+    # list container → rdf:first/rest chain yielding a,b in order
+    first = {s: o for s, p, o, g in quads if p.iri == RDF + "first"}
+    rest = {s: o for s, p, o, g in quads if p.iri == RDF + "rest"}
+    head = next(o for s, p, o, g in quads if p.iri == "urn:ex:steps")
+    walked = []
+    while head != A.NamedNode(RDF + "nil"):
+        walked.append(first[head].lex)
+        head = rest[head]
+    assert walked == ["a", "b"]
+    assert (n, "urn:ex:tag", A.Literal("t1")) in trip
+    assert {o for s, p, o, g in quads if p.iri == "urn:ex:byIdx"} == \
+        {A.Literal("v1"), A.Literal("v2")}
+    # reverse term + node-level @reverse both invert direction
+    assert (A.NamedNode("urn:ex:kid"), "urn:ex:childOf", n) in trip
+    assert (A.NamedNode("urn:ex:fan"), "urn:ex:likes", n) in trip
+
+
+def test_jsonld_compact_matches_expanded():
+    compact = {
+        "@context": {"ex": "urn:ex:", "name": {"@id": "ex:name"}},
+        "@id": "ex:a", "name": "Alice",
+        "ex:child": {"@id": "ex:b", "name": "Bob"},
+    }
+    expanded = [
+        {"@id": "urn:ex:a",
+         "urn:ex:name": [{"@value": "Alice"}],
+         "urn:ex:child": [{"@id": "urn:ex:b",
+                           "urn:ex:name": [{"@value": "Bob"}]}]},
+    ]
+    assert set(map(tuple, parse_jsonld(compact))) == \
+        set(map(tuple, parse_jsonld(expanded)))
 
 
 def test_jsonld_roundtrip_via_spark(spark, tmp_path):
