@@ -172,12 +172,14 @@ MAX_ITERATIONS = 64
 def _one_hop(frontier: DataFrame, edges: DataFrame,
              broadcast_frontier: bool = False) -> DataFrame:
     """One hop over ENCODED relations (sk, dk) — plain 16-byte column
-    equality, no per-round key recomputation."""
+    equality, no per-round key recomputation.  NOT deduplicated: callers
+    chain hops and distinct the round's union once (one shuffle per
+    round instead of three)."""
     f = F.broadcast(frontier) if broadcast_frontier else frontier
     f, e = f.alias("f"), edges.alias("e")
     return f.join(e, F.col("f.dk") == F.col("e.sk")) \
             .select(F.col("f.sk").alias("sk"),
-                    F.col("e.dk").alias("dk")).distinct()
+                    F.col("e.dk").alias("dk"))
 
 
 def _closure(compiler, edges: DataFrame, start: Optional[DataFrame]) -> DataFrame:
@@ -196,10 +198,13 @@ def _closure(compiler, edges: DataFrame, start: Optional[DataFrame]) -> DataFram
     hash expressions.
 
     Per round: two chained hop joins (halves fixpoint driver
-    round-trips), one anti-join against the accumulated paths, one
-    ``localCheckpoint`` of the NEW delta only.  The accumulated path
-    set is a lazy union of checkpointed deltas — never re-shuffled or
-    re-materialized as it grows."""
+    round-trips) deduplicated ONCE, one anti-join against the
+    accumulated paths, one ``localCheckpoint`` of the NEW delta only.
+    The accumulated path set is a lazy union of checkpointed deltas —
+    never re-shuffled or re-materialized as it grows.  The raw edge
+    relation is NOT pre-deduplicated: the store holds unique quads and
+    every downstream consumer (initial frontier, per-round union)
+    distincts anyway, so a global edge shuffle would be pure cost."""
     edges = edges.distinct().localCheckpoint(eager=False)
     # dictionary: one row per distinct endpoint term (one shuffle, once)
     dic = edges.select(F.col("src").alias("term")) \
@@ -222,6 +227,11 @@ def _closure(compiler, edges: DataFrame, start: Optional[DataFrame]) -> DataFram
     bc = start is not None
     for _ in range(MAX_ITERATIONS):
         hop1 = _one_hop(frontier, ek, broadcast_frontier=bc)
+        if not bc:
+            # unseeded frontiers are whole relations: dedup between the
+            # chained hops bounds the intermediate at O(V^2) rows (multi-
+            # predecessor fan-in would otherwise square the join input)
+            hop1 = hop1.distinct()
         stepped = hop1.unionByName(
             _one_hop(hop1, ek, broadcast_frontier=bc)).distinct()
         seen = paths.select(F.col("sk").alias("psk"),
