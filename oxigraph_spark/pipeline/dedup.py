@@ -157,10 +157,14 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     ex = sh.select("id", F.explode("sh").alias("h"))
     sig = ex.groupBy("id").agg(
         *[F.min(_mix(F.col("h"), i)).alias(f"m{i}") for i in range(num_perm)])
-    # the signature table is consumed twice (banding + agreement scoring);
-    # checkpoint materializes it once — at 100 TB this is the table you
-    # persist, with the banded index derived from it
-    sig = sig.localCheckpoint(eager=False)
+    # the signature table is consumed three times (banding + both sides
+    # of agreement scoring): persist computes it once — at 100 TB this is
+    # the table you keep, with the banded index derived from it.  persist,
+    # not localCheckpoint: a lazy checkpoint still runs full physical
+    # planning (toRdd) at BUILD time (~2 s of the op's driver latency),
+    # while persist defers everything to execution and is spill-safe
+    # (MEMORY_AND_DISK)
+    sig = sig.persist()
     buckets = sig.select(
         "id",
         F.explode(F.array(*[
