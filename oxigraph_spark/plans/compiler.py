@@ -664,9 +664,54 @@ class Compiler:
     def _c_LeftJoin(self, n: A.LeftJoin, graph_ctx) -> Compiled:
         # the OPTIONAL-embedded FILTER must be part of the join condition,
         # not a post-filter (SPARQL §8.3; reference GraphPattern::LeftJoin)
+        if n.expr is not None and _find_exists(n.expr):
+            return self._c_leftjoin_exists(n, graph_ctx)
         return self._join(self.compile_pattern(n.left, graph_ctx),
                           self.compile_pattern(n.right, graph_ctx), "left",
                           extra_expr=n.expr)
+
+    def _c_leftjoin_exists(self, n: A.LeftJoin, graph_ctx) -> Compiled:
+        """LeftJoin whose embedded filter contains EXISTS/NOT EXISTS.
+
+        The marker-join decorrelation needs a DataFrame to hang markers
+        on, which a join *condition* does not have, so decompose per the
+        §8.3 definition:  passing = Filter(expr, Join(L, R));  result =
+        passing ∪ { μ1 ∈ L with no passing extension }, the complement
+        via a null-safe anti-join of L against passing on L's variables
+        (bag-correct: identical L rows have identical fates)."""
+        l = self.compile_pattern(n.left, graph_ctx)
+        r = self.compile_pattern(n.right, graph_ctx)
+        joined = self._join(l, r, "inner")
+        inner, env, markers = self._attach_exists(joined, n.expr, graph_ctx)
+        self._set_type_env(inner)
+        df, cond, temps = self.compile_expr_ssa(inner.df, n.expr, env)
+        flag = F.coalesce(K.ebv_typed(cond, self._stype(n.expr)),
+                          F.lit(False))
+        passing = df.where(flag)
+        drop = markers + temps
+        if drop:
+            passing = passing.drop(*drop)
+        allvars = sorted(l.vars | r.vars)
+        passing = passing.select(*allvars)
+        lvars = sorted(l.vars)
+        if lvars:
+            pkeys = passing.select(
+                *[F.col(v).alias(f"{v}__p") for v in lvars]).distinct()
+            conds = [(l.df[v].isNull() & pkeys[f"{v}__p"].isNull())
+                     | (T.join_key(l.df[v]) == T.join_key(pkeys[f"{v}__p"]))
+                     for v in lvars]
+            comp = l.df.join(pkeys, reduce(lambda a, b: a & b, conds),
+                             "leftanti")
+        else:
+            comp = l.df.join(F.broadcast(passing.limit(1)
+                                         .select(F.lit(1).alias("__p"))),
+                             _true(), "leftanti")
+        for v in sorted(r.vars - l.vars):
+            comp = comp.withColumn(v, B.err())
+        out = passing.unionByName(comp.select(*allvars))
+        st = _merge_types(l.vars, l.stypes, r.vars, r.stypes)
+        nt = _merge_types(l.vars, l.ntypes, r.vars, r.ntypes)
+        return Compiled(out, l.vars | r.vars, l.certain, st, nt)
 
     def _c_Minus(self, n: A.Minus, graph_ctx) -> Compiled:
         l = self.compile_pattern(n.left, graph_ctx)

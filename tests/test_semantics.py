@@ -235,3 +235,35 @@ def test_construct_drops_incomplete(store):
         CONSTRUCT {{ ?p <{EX}mail2> ?e }}
         WHERE {{ ?p <{EX}name> ?n . OPTIONAL {{ ?p <{EX}email> ?e }} }}""")
     assert df.count() == 2  # carol's unbound ?e row dropped
+
+
+def test_optional_filter_exists(spark):
+    """EXISTS/NOT EXISTS inside an OPTIONAL's FILTER (§8.3 LeftJoin with
+    an expression the marker-join decorrelation can't attach to a join
+    condition — exercises the decomposed passing ∪ complement path)."""
+    triples = [
+        (iri("a"), iri("p"), integer(1)), (iri("a"), iri("q"), integer(10)),
+        (iri("b"), iri("p"), integer(2)), (iri("b"), iri("q"), integer(20)),
+        (iri("c"), iri("p"), integer(3)),
+        (iri("x"), iri("flag"), integer(10)),
+    ]
+    st = quads_store(spark, triples)
+
+    def run(q):
+        return [(r["s"]["lex"], r["v"]["lex"] if r["v"] else None)
+                for r in st.query(q).orderBy("s.lex").collect()]
+
+    got = run(f"""SELECT ?s ?v WHERE {{ ?s <{EX}p> ?k .
+        OPTIONAL {{ ?s <{EX}q> ?v . FILTER EXISTS {{ ?f <{EX}flag> ?v }} }} }}""")
+    assert got == [(EX + "a", "10"), (EX + "b", None), (EX + "c", None)]
+
+    got = run(f"""SELECT ?s ?v WHERE {{ ?s <{EX}p> ?k .
+        OPTIONAL {{ ?s <{EX}q> ?v .
+                    FILTER NOT EXISTS {{ ?f <{EX}flag> ?v }} }} }}""")
+    assert got == [(EX + "a", None), (EX + "b", "20"), (EX + "c", None)]
+
+    # EXISTS combined with a plain comparison over a LEFT-side variable
+    got = run(f"""SELECT ?s ?v WHERE {{ ?s <{EX}p> ?k .
+        OPTIONAL {{ ?s <{EX}q> ?v .
+                    FILTER(EXISTS {{ ?f <{EX}flag> ?v }} && ?k < 3) }} }}""")
+    assert got == [(EX + "a", "10"), (EX + "b", None), (EX + "c", None)]
