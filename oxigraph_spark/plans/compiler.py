@@ -23,6 +23,7 @@ Scale-critical choices:
 from __future__ import annotations
 
 import itertools
+import re
 import uuid as _uuid
 from dataclasses import dataclass, replace
 from datetime import datetime, timezone
@@ -1344,19 +1345,89 @@ def _template_term_col(t, env: Dict[str, Column], bprefix: str) -> Column:
     return _const_term_col(t)
 
 
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+# typed NULL fragments for the TERM struct fields, in schema order
+_TERM_NULLS = (
+    ("datatype", "CAST(NULL AS STRING)"),
+    ("lang", "CAST(NULL AS STRING)"),
+    ("num", "CAST(NULL AS DECIMAL(38,18))"),
+    ("dbl", "CAST(NULL AS DOUBLE)"),
+    ("ts", "CAST(NULL AS TIMESTAMP)"),
+    ("tz_min", "CAST(NULL AS SMALLINT)"),
+    ("bool", "CAST(NULL AS BOOLEAN)"),
+)
+
+_TZ_RE = re.compile(r"(Z|[+-]\d{2}:\d{2})$")
+
+
 def _const_term_col(t: A.GroundTerm) -> Column:
+    """Ground term → literal TERM struct as ONE ``F.expr`` call.
+
+    Constants are the hottest builder in plan construction (every triple
+    pattern's predicate, every literal in a filter): the generic
+    ``term_struct``/``typed_lit`` path costs ~30 py4j round-trips and a
+    parse-kernel expression tree per constant, all of which Catalyst
+    constant-folds away anyway.  Emitting the folded form directly as a
+    single SQL ``named_struct`` keeps build time and analyzer input
+    small.  Payload SQL mirrors ``typed_lit``'s kernels exactly (same
+    CAST semantics, same XSD INF/NaN cases); durations keep the kernel
+    path — their month/second decomposition lives in JVM expressions."""
+    sql = _const_term_sql(t)
+    if sql is not None:
+        return F.expr(sql)
+    # fallback: duration-typed literals
+    return T.typed_lit(F.lit(t.lex), t.datatype)
+
+
+def _const_term_sql(t: A.GroundTerm) -> Optional[str]:
+    vals = {}
     if isinstance(t, A.NamedNode):
-        return T.iri(F.lit(t.iri))
-    if isinstance(t, A.BlankNode):
-        return T.bnode(F.lit(t.label))
-    if isinstance(t, A.Literal):
+        kind, lex = T.KIND_IRI, t.iri
+    elif isinstance(t, A.BlankNode):
+        kind, lex = T.KIND_BNODE, t.label
+    elif isinstance(t, A.QuotedTriple):
+        kind, lex = T.KIND_TRIPLE, _py_quoted_lex(t)
+    elif isinstance(t, A.Literal):
+        kind, lex = T.KIND_LITERAL, t.lex
+        L = _sql_quote(lex)
         if t.lang:
-            return T.lang_lit(F.lit(t.lex), F.lit(t.lang))
-        dt = t.datatype or T.XSD_STRING
-        return T.typed_lit(F.lit(t.lex), dt)
-    if isinstance(t, A.QuotedTriple):
-        return T.term_struct(T.KIND_TRIPLE, F.lit(_py_quoted_lex(t)))
-    raise TypeError(type(t))
+            vals["datatype"] = _sql_quote(T.RDF_LANGSTRING)
+            vals["lang"] = _sql_quote(t.lang)
+        else:
+            d = t.datatype or T.XSD_STRING
+            if d in T.DURATION_DATATYPES:
+                return None
+            vals["datatype"] = _sql_quote(d)
+            if d in T.INTEGER_DATATYPES or d == T.XSD_DECIMAL:
+                vals["num"] = f"CAST({L} AS DECIMAL(38,18))"
+            elif d in (T.XSD_FLOAT, T.XSD_DOUBLE):
+                vals["dbl"] = (
+                    f"CASE WHEN {L} = 'INF' THEN CAST('Infinity' AS DOUBLE) "
+                    f"WHEN {L} = '-INF' THEN CAST('-Infinity' AS DOUBLE) "
+                    f"WHEN {L} = 'NaN' THEN CAST('NaN' AS DOUBLE) "
+                    f"ELSE CAST({L} AS DOUBLE) END")
+            elif d == T.XSD_BOOLEAN:
+                vals["bool"] = (
+                    f"CASE WHEN {L} IN ('true', '1') THEN true "
+                    f"WHEN {L} IN ('false', '0') THEN false END")
+            elif d in (T.XSD_DATETIME, T.XSD_DATE):
+                vals["ts"] = f"TO_TIMESTAMP({L})"
+                m = _TZ_RE.search(lex)
+                if m:
+                    z = m.group(1)
+                    off = 0 if z == "Z" else (
+                        (-1 if z[0] == "-" else 1)
+                        * (int(z[1:3]) * 60 + int(z[4:6])))
+                    vals["tz_min"] = f"{off}S"
+    else:
+        raise TypeError(type(t))
+    parts = [f"'kind', {kind}Y", f"'lex', {_sql_quote(lex)}"]
+    for name, null_sql in _TERM_NULLS:
+        parts.append(f"'{name}', {vals.get(name, null_sql)}")
+    return f"named_struct({', '.join(parts)})"
 
 
 def _term_to_py(t: Optional[A.GroundTerm]):
