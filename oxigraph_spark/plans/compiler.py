@@ -774,6 +774,12 @@ class Compiler:
 
     def _c_Extend(self, n: A.Extend, graph_ctx) -> Compiled:
         inner = self.compile_pattern(n.inner, graph_ctx)
+        if n.var.name in inner.vars:
+            # SPARQL §10.1/§18.2.1: the BIND / SELECT-expression target
+            # must not already be in scope — a syntax error, not a rebind
+            raise ValueError(
+                f"variable ?{n.var.name} is already in scope and cannot "
+                "be the target of BIND / AS")
         inner, env, markers = self._attach_exists(inner, n.expr, graph_ctx)
         self._set_type_env(inner)
         df, col, temps = self.compile_expr_ssa(inner.df, n.expr, env)
