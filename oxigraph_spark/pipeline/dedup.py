@@ -147,16 +147,6 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     dropped mass is exactly the near-identical boilerplate a pipeline
     handles by exact dedup anyway).  Default off for exactness at test
     scale."""
-    rows = num_perm // bands
-    # signature via explode + per-permutation MIN aggregates: higher-order
-    # functions (transform/array_min) evaluate interpreted per element,
-    # while exploded min-aggs run in whole-stage codegen with map-side
-    # partial aggregation — ~8x faster and the shape that scales
-    sh = spread(df).select(F.col(id_col).alias("id"),
-                           shingle_hashes(F.col(text_col)).alias("sh"))
-    ex = sh.select("id", F.explode("sh").alias("h"))
-    sig = ex.groupBy("id").agg(
-        *[F.min(_mix(F.col("h"), i)).alias(f"m{i}") for i in range(num_perm)])
     # the signature table is consumed three times (banding + both sides
     # of agreement scoring): persist computes it once — at 100 TB this is
     # the table you keep, with the banded index derived from it.  persist,
@@ -164,20 +154,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     # planning (toRdd) at BUILD time (~2 s of the op's driver latency),
     # while persist defers everything to execution and is spill-safe
     # (MEMORY_AND_DISK)
-    sig = sig.persist()
-    buckets = sig.select(
-        "id",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.xxhash64(F.concat_ws(
-                         ",", *[F.col(f"m{b * rows + r}").cast("string")
-                                for r in range(rows)])).alias("bh"))
-            for b in range(bands)])).alias("bucket"))
-    # candidate generation shuffles ONLY ids: the bucket self-join and the
-    # pair-dedup never carry the 32-element signatures (on hot buckets the
-    # wide alternative shuffles sig × bucket² — the round-1 bottleneck);
-    # signatures re-join once per side afterwards to score agreement
-    buckets = buckets.select("id", "bucket.band", "bucket.bh")
+    sig = minhash_signatures(df, text_col, id_col, num_perm).persist()
+    buckets = _band_buckets(sig, num_perm, bands)
     if max_bucket is not None:
         # one map-side-combinable count per bucket; hot buckets never
         # reach the self-join
@@ -186,19 +164,65 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                        .where(F.col("__n") <= max_bucket)
         buckets = buckets.join(sizes.select("band", "bh"), ["band", "bh"],
                                "leftsemi")
+    # candidate generation shuffles ONLY ids: the bucket self-join and the
+    # pair-dedup never carry the 32-element signatures (on hot buckets the
+    # wide alternative shuffles sig × bucket² — the round-1 bottleneck);
+    # signatures re-join once per side afterwards to score agreement
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bh") == F.col("b.bh"))
                    & (F.col("a.id") < F.col("b.id")))
              .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
              .distinct())
-    sigs = sig.select(
+    arrays = _sig_arrays(sig, num_perm)
+    return _score_pairs(cand, arrays, arrays, num_perm, threshold)
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                       num_perm: int = 32) -> DataFrame:
+    """(id, m0..m{n-1}) MinHash signature table — the artifact a corpus
+    pipeline persists (parquet) and feeds to
+    :func:`minhash_lsh_pairs_incremental` for per-batch dedup.
+
+    Signature via explode + per-permutation MIN aggregates: higher-order
+    functions (transform/array_min) evaluate interpreted per element,
+    while exploded min-aggs run in whole-stage codegen with map-side
+    partial aggregation — ~8x faster and the shape that scales."""
+    sh = spread(df).select(F.col(id_col).alias("id"),
+                           shingle_hashes(F.col(text_col)).alias("sh"))
+    ex = sh.select("id", F.explode("sh").alias("h"))
+    return ex.groupBy("id").agg(
+        *[F.min(_mix(F.col("h"), i)).alias(f"m{i}") for i in range(num_perm)])
+
+
+def _band_buckets(sig: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """Signature table → (id, band, bh) LSH bucket index (derived, never
+    persisted: 8 projections of the signature row, map-side only)."""
+    rows = num_perm // bands
+    return sig.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.xxhash64(F.concat_ws(
+                         ",", *[F.col(f"m{b * rows + r}").cast("string")
+                                for r in range(rows)])).alias("bh"))
+            for b in range(bands)])).alias("bucket")) \
+        .select("id", "bucket.band", "bucket.bh")
+
+
+def _sig_arrays(sig: DataFrame, num_perm: int) -> DataFrame:
+    return sig.select(
         "id", F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig"))
+
+
+def _score_pairs(cand: DataFrame, arrays_a: DataFrame, arrays_b: DataFrame,
+                 num_perm: int, threshold: float) -> DataFrame:
+    """(id_a, id_b) candidates → (id_a, id_b, sim) by signature agreement."""
     cand = (cand
-            .join(sigs.select(F.col("id").alias("id_a"),
-                              F.col("sig").alias("sig_a")), "id_a")
-            .join(sigs.select(F.col("id").alias("id_b"),
-                              F.col("sig").alias("sig_b")), "id_b"))
+            .join(arrays_a.select(F.col("id").alias("id_a"),
+                                  F.col("sig").alias("sig_a")), "id_a")
+            .join(arrays_b.select(F.col("id").alias("id_b"),
+                                  F.col("sig").alias("sig_b")), "id_b"))
     agree = F.size(F.filter(
         F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
         lambda v: v))
@@ -206,6 +230,52 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     return (cand.withColumn("sim", sim)
                 .where(F.col("sim") >= threshold)
                 .select("id_a", "id_b", "sim"))
+
+
+def minhash_lsh_pairs_incremental(
+        new_df: DataFrame, corpus_sig: DataFrame, text_col: str,
+        id_col: str, num_perm: int = 32, bands: int = 8,
+        threshold: float = 0.5,
+        max_bucket: Optional[int] = None) -> DataFrame:
+    """Near-dup pairs for a NEW document batch against an EXISTING corpus
+    — the production ingest shape: the corpus is represented ONLY by its
+    persisted :func:`minhash_signatures` table, its text is never read.
+
+    Returns (id_a, id_b, sim) where ``id_a`` is always a new-batch id and
+    ``id_b`` is a corpus id (new-vs-corpus) or a larger new-batch id
+    (within-batch, ``id_a < id_b``).  Per-batch cost is O(batch) plus the
+    corpus bucket rows that actually collide: the corpus side is an
+    8-projection map of its signature table joined on (band, bh) — with a
+    small batch AQE turns this into a broadcast join and the corpus is
+    never shuffled.  ``max_bucket`` caps candidates per corpus bucket
+    (same skew guard as :func:`minhash_lsh_pairs`)."""
+    nsig = minhash_signatures(new_df, text_col, id_col, num_perm).persist()
+    nb = _band_buckets(nsig, num_perm, bands)
+    cb = _band_buckets(corpus_sig, num_perm, bands)
+    if max_bucket is not None:
+        sizes = cb.groupBy("band", "bh") \
+                  .agg(F.count(F.lit(1)).alias("__n")) \
+                  .where(F.col("__n") <= max_bucket)
+        cb = cb.join(sizes.select("band", "bh"), ["band", "bh"], "leftsemi")
+    a, b = nb.alias("a"), cb.alias("b")
+    vs_corpus = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                        & (F.col("a.bh") == F.col("b.bh"))
+                        & (F.col("a.id") != F.col("b.id")))
+                 .select(F.col("a.id").alias("id_a"),
+                         F.col("b.id").alias("id_b"))
+                 .distinct())
+    n2 = nb.alias("b")
+    within = (a.join(n2, (F.col("a.band") == F.col("b.band"))
+                     & (F.col("a.bh") == F.col("b.bh"))
+                     & (F.col("a.id") < F.col("b.id")))
+              .select(F.col("a.id").alias("id_a"),
+                      F.col("b.id").alias("id_b"))
+              .distinct())
+    cand = vs_corpus.unionByName(within).distinct()
+    new_arr = _sig_arrays(nsig, num_perm)
+    all_arr = new_arr.unionByName(_sig_arrays(corpus_sig, num_perm)) \
+                     .dropDuplicates(["id"])
+    return _score_pairs(cand, new_arr, all_arr, num_perm, threshold)
 
 
 def _simhash_from_hashes(hashes: Column, bits: int = 64) -> Column:

@@ -178,3 +178,28 @@ def test_minhash_to_clusters_end_to_end(doubled):
     dups = out.where(F.col("is_duplicate"))
     assert kept.count() == 4 and dups.count() == 4
     assert {r.cluster for r in dups.collect()} == {1, 2, 3, 4}
+
+
+def test_minhash_incremental_vs_corpus(spark):
+    """Incremental dedup: a new batch checked against a persisted corpus
+    SIGNATURE table — exact re-ingests and within-batch dups are both
+    recovered, corpus text never consulted."""
+    from oxigraph_spark.pipeline.dedup import (
+        minhash_lsh_pairs_incremental, minhash_signatures)
+    corpus = spark.createDataFrame(DOCS, "id long, text string")
+    corpus_sig = minhash_signatures(corpus, "text", "id",
+                                    num_perm=16)
+    # the new batch re-ingests docs 1 and 3 (shifted ids), adds one fresh
+    # doc and one within-batch duplicate pair (201/202)
+    new = spark.createDataFrame(
+        [(201, DOCS[0][1]), (202, DOCS[0][1]), (203, DOCS[2][1]),
+         (204, "entirely novel content never seen before by anyone")],
+        "id long, text string")
+    pairs = minhash_lsh_pairs_incremental(
+        new, corpus_sig, "text", "id", num_perm=16, bands=4, threshold=0.5)
+    got = {(r.id_a, r.id_b): r.sim for r in pairs.collect()}
+    assert got.get((201, 1)) == 1.0      # new vs corpus
+    assert got.get((202, 1)) == 1.0
+    assert got.get((203, 3)) == 1.0
+    assert got.get((201, 202)) == 1.0    # within-batch
+    assert all(a in (201, 202, 203) for a, _ in got)  # 204 matches nothing
