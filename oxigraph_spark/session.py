@@ -35,6 +35,12 @@ def configure(spark: SparkSession) -> None:
     (the driver owns the session in ``__spark_entry__``)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # cached/persisted tables (e.g. the MinHash signature table) otherwise
+    # pin their output partitioning and OPT OUT of AQE for every consumer
+    # — losing runtime broadcast conversion and partition coalescing on
+    # exactly the joins that need them
+    spark.conf.set(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     # Spark 4 defaults to ANSI mode (errors throw); SPARQL's three-valued
     # semantics need error-as-NULL for casts/overflow/division-by-zero
     spark.conf.set("spark.sql.ansi.enabled", "false")
