@@ -143,6 +143,44 @@ def winnow_overlap_pairs(df: DataFrame, text_col: str, id_col: str,
     return pairs
 
 
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  bench_text_col: str = "text",
+                  k: int = 8, window: int = 4,
+                  min_shared: int = 3) -> DataFrame:
+    """Flag training documents containing evaluation-set content
+    (benchmark decontamination — the step every training pipeline runs
+    so eval questions don't leak into the corpus).
+
+    Returns ``(id, shared_fps, bench_fp_hits)`` for every CONTAMINATED
+    training doc: ``shared_fps`` = how many distinct benchmark
+    fingerprints it contains, ``bench_fp_hits`` = total benchmark
+    fingerprint occurrences matched.  Filter the corpus with an
+    anti-join on ``id``.
+
+    Built on winnowing fingerprints, NOT whole-document similarity: a
+    100-token eval question pasted into a 10k-token web page moves
+    MinHash Jaccard by ~1% but GUARANTEES a shared winnowing fingerprint
+    for any common substring of length ≥ k + window − 1.
+
+    Scale shape: the benchmark fingerprint set is small (eval sets are
+    thousands of items) — it deduplicates into a broadcast-joinable
+    table, so the corpus-side pass is one scan + fingerprint explode +
+    broadcast semi-join + groupBy.  No corpus self-join, no posting-list
+    caps needed (benchmark fingerprints are the index, not the corpus)."""
+    corpus_fp = winnow_fingerprints(spread(docs), text_col, id_col,
+                                    k, window) \
+        .select("id", F.explode("fps").alias("fp"))
+    bench_fp = winnow_fingerprints(spread(benchmark), bench_text_col,
+                                   benchmark.columns[0], k, window) \
+        .select(F.explode("fps").alias("fp")).distinct()
+    hits = corpus_fp.join(F.broadcast(bench_fp), "fp")
+    return (hits.groupBy("id")
+            .agg(F.count_distinct("fp").alias("shared_fps"),
+                 F.count(F.lit(1)).alias("bench_fp_hits"))
+            .where(F.col("shared_fps") >= min_shared))
+
+
 # ---------------------------------------------------------------------------
 # sequence packing (training-batch construction)
 # ---------------------------------------------------------------------------

@@ -87,3 +87,23 @@ def test_streaming_dedup_batch_mode(spark):
     df = spark.createDataFrame(rows, "id long, ts timestamp, text string")
     out = streaming_exact_dedup(df, "text")
     assert out.count() == 2
+
+
+def test_decontaminate_planted_eval_leak(spark):
+    """A benchmark question pasted verbatim into a long training doc is
+    flagged; clean docs are not."""
+    from oxigraph_spark.pipeline.curation import decontaminate
+    question = "what is the capital of the ancient kingdom of wessex"
+    filler = ("the web page rambles on about travel tips and hotel "
+              "reviews and restaurant menus for many tokens ") * 5
+    docs = spark.createDataFrame(
+        [(1, filler + question + " " + filler),   # contaminated
+         (2, filler + "completely unrelated closing paragraph here"),
+         (3, "short clean document about something else entirely")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame([(100, question)], "qid long, text string")
+    flagged = decontaminate(docs, bench, min_shared=3)
+    ids = {r.id for r in flagged.collect()}
+    assert ids == {1}
+    row = flagged.collect()[0]
+    assert row.shared_fps >= 3 and row.bench_fp_hits >= row.shared_fps
