@@ -963,10 +963,24 @@ class Compiler:
         for v in group_cols:
             kind, lex = gdf[f"__k_{v}_kind"], gdf[f"__k_{v}_lex"]
             dt, lang = gdf[f"__k_{v}_datatype"], gdf[f"__k_{v}_lang"]
+            # statically-known value class → rebuild the payload for that
+            # class only; the full make_typed datatype dispatch is the
+            # single most expensive expression in a GROUP BY plan
+            vc, nt_ = inner.stypes.get(v), inner.ntypes.get(v)
+            if vc == K.VC_STRING:
+                typed = T.term_struct(T.KIND_LITERAL, lex, datatype=dt)
+            elif vc == K.VC_NUMERIC and nt_ == "double":
+                typed = T.term_struct(T.KIND_LITERAL, lex, datatype=dt,
+                                      dbl=T._xsd_double(lex))
+            elif vc == K.VC_NUMERIC and nt_ is not None:
+                typed = T.term_struct(T.KIND_LITERAL, lex, datatype=dt,
+                                      num=lex.cast(T.DECIMAL_T))
+            else:
+                typed = T.make_typed(lex, dt)
             lit = F.when(lang.isNotNull(),
                          T.term_struct(T.KIND_LITERAL, lex, datatype=dt,
                                        lang=lang)) \
-                   .otherwise(T.make_typed(lex, dt))
+                   .otherwise(typed)
             rep = (F.when(kind.isNull(), F.lit(None).cast(T.TERM_SCHEMA))
                     .when(kind == T.KIND_LITERAL, lit)
                     .otherwise(T.term_struct(kind, lex)))
