@@ -1,0 +1,138 @@
+"""Randomized SPARQL-vs-DuckDB differential fuzzing.
+
+Each seed generates ONE plan description and renders it BOTH as a SPARQL
+query (run through the full parser+compiler+Spark stack) and as ANSI SQL
+over the same relational parquet (run in DuckDB).  Value multisets must
+agree.  This catches systematic compiler bugs that the self-differential
+fuzzer (optimized vs unoptimized, `test_fuzz_differential.py`) cannot —
+a bug shared by both compilation modes.
+
+Deterministic: fixed seeds, no LIMIT, doubles rounded to 6 dp."""
+
+import random
+
+import duckdb
+import pytest
+
+from oxigraph_spark.store import Store, to_native
+from oxigraph_spark.sources.direct_mapping import DirectMappingSource
+
+PFX = """PREFIX c: <urn:g:customer#>
+PREFIX n: <urn:g:nation#>
+"""
+
+ATTRS = [("c_name", "str"), ("c_acctbal", "num"), ("c_mktsegment", "str")]
+NUM_OPS = ["<", "<=", ">", ">=", "!="]
+
+
+def gen_case(seed: int):
+    """seed → (sparql, sql, spec) rendered from one plan description."""
+    rng = random.Random(seed)
+
+    if rng.random() < 0.25:                       # aggregate variant
+        having = rng.random() < 0.5
+        flt = (f"FILTER(?m > {rng.randint(-500, 5000)}.0)"
+               if rng.random() < 0.5 else "")
+        sparql = (PFX + "SELECT ?g (COUNT(*) AS ?cnt) (SUM(?m) AS ?sm) "
+                  "WHERE { ?s c:c_mktsegment ?g ; c:c_acctbal ?m . "
+                  + flt + " } GROUP BY ?g"
+                  + (" HAVING(COUNT(*) > 3)" if having else ""))
+        sql_flt = flt.replace("FILTER(?m >", "AND c_acctbal >") \
+                     .rstrip(")") + ("" if not flt else "")
+        sql = ("SELECT c_mktsegment AS g, COUNT(*) AS cnt, "
+               "CAST(SUM(c_acctbal) AS DOUBLE) AS sm FROM customer "
+               "WHERE c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL "
+               + sql_flt + " GROUP BY 1"
+               + (" HAVING COUNT(*) > 3" if having else ""))
+        return sparql, sql, {"g": "str", "cnt": "long", "sm": "double"}
+
+    pats, filters, wheres = [], [], []
+    joins = []
+    proj = []                                      # (var, kind, sql_expr)
+
+    for attr, kind in rng.sample(ATTRS, rng.randint(1, 3)):
+        pats.append(f"?s c:{attr} ?{attr} .")
+        wheres.append(f"c.{attr} IS NOT NULL")
+        proj.append((attr, kind, f"c.{attr}"))
+        if rng.random() < 0.45:
+            if kind == "num":
+                op = rng.choice(NUM_OPS)
+                val = f"{rng.randint(-999, 9999)}.{rng.randint(0, 99):02d}"
+                filters.append(f"FILTER(?{attr} {op} {val})")
+                wheres.append(f"c.{attr} {op} {val}")
+            elif rng.random() < 0.5:
+                ch = rng.choice("aeiou135")
+                filters.append(f'FILTER(CONTAINS(?{attr}, "{ch}"))')
+                wheres.append(f"contains(c.{attr}, '{ch}')")
+            else:
+                op = rng.choice(NUM_OPS)
+                k = rng.randint(5, 25)
+                filters.append(f"FILTER(STRLEN(?{attr}) {op} {k})")
+                wheres.append(f"length(c.{attr}) {op} {k}")
+
+    if rng.random() < 0.5:                         # chain to nation
+        pats += ["?s c:ref_nation ?nat .", "?nat n:n_name ?n_name ."]
+        wheres.append("c.c_nationkey IS NOT NULL")
+        joins.append("JOIN nation n ON n.n_nationkey = c.c_nationkey "
+                     "AND n.n_name IS NOT NULL")
+        proj.append(("n_name", "str", "n.n_name"))
+
+    if rng.random() < 0.35:                        # OPTIONAL + inner filter
+        thr = f"{rng.randint(0, 9000)}.0"
+        pats.append("OPTIONAL { ?s c:c_acctbal ?ob . FILTER(?ob > "
+                    + thr + ") }")
+        joins.append("LEFT JOIN (SELECT c_custkey AS ck, c_acctbal AS ob "
+                     "FROM customer WHERE c_acctbal IS NOT NULL AND "
+                     f"c_acctbal > {thr}) o ON o.ck = c.c_custkey")
+        proj.append(("ob", "num", "o.ob"))
+
+    if rng.random() < 0.3:                         # UNION block (bag!)
+        pats.append('{ { ?s c:c_mktsegment ?seg . '
+                    'FILTER(CONTAINS(?seg, "A")) } UNION '
+                    '{ ?s c:c_mktsegment ?seg . '
+                    'FILTER(CONTAINS(?seg, "U")) } }')
+        joins.append(
+            "JOIN (SELECT c_custkey AS ck2, c_mktsegment AS seg "
+            "FROM customer WHERE c_mktsegment IS NOT NULL "
+            "AND contains(c_mktsegment, 'A') UNION ALL "
+            "SELECT c_custkey, c_mktsegment FROM customer "
+            "WHERE c_mktsegment IS NOT NULL "
+            "AND contains(c_mktsegment, 'U')) u ON u.ck2 = c.c_custkey")
+        proj.append(("seg", "str", "u.seg"))
+
+    picked = rng.sample(proj, k=rng.randint(1, len(proj)))
+    distinct = rng.random() < 0.3
+    spec = {v: ("double" if kind == "num" else "str")
+            for v, kind, _ in picked}
+    sparql = (PFX + "SELECT " + ("DISTINCT " if distinct else "")
+              + " ".join(f"?{v}" for v, _, _ in picked)
+              + " WHERE { " + " ".join(pats + filters) + " }")
+    sql_cols = ", ".join(
+        (f"CAST({e} AS DOUBLE) AS {v}" if kind == "num" else f"{e} AS {v}")
+        for v, kind, e in picked)
+    sql = ("SELECT " + ("DISTINCT " if distinct else "") + sql_cols
+           + " FROM customer c " + " ".join(joins)
+           + " WHERE " + " AND ".join(wheres))
+    return sparql, sql, spec
+
+
+def _norm(rows):
+    out = []
+    for r in rows:
+        out.append(tuple(
+            round(v, 6) if isinstance(v, float) else v for v in r))
+    return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzz_duckdb_oracle(spark, sf_dir, seed):
+    sparql, sql, spec = gen_case(seed)
+    st = Store(spark, DirectMappingSource(spark, sf_dir))
+    got = _norm([tuple(r) for r in
+                 to_native(st.query(sparql), spec).collect()])
+    con = duckdb.connect()
+    for t in ("customer", "nation"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * "
+                    f"FROM '{sf_dir}/{t}.parquet'")
+    want = _norm([tuple(r) for r in con.execute(sql).fetchall()])
+    assert got == want, f"\nSPARQL: {sparql}\nSQL: {sql}"
