@@ -19,6 +19,7 @@ from oxigraph_spark.sources.direct_mapping import DirectMappingSource
 
 PFX = """PREFIX c: <urn:g:customer#>
 PREFIX n: <urn:g:nation#>
+PREFIX o: <urn:g:orders#>
 """
 
 ATTRS = [("c_name", "str"), ("c_acctbal", "num"), ("c_mktsegment", "str")]
@@ -100,6 +101,18 @@ def gen_case(seed: int):
             "AND contains(c_mktsegment, 'U')) u ON u.ck2 = c.c_custkey")
         proj.append(("seg", "str", "u.seg"))
 
+    if rng.random() < 0.35:                        # reverse chain: orders
+        # bag-semantics stress — each customer row multiplies by its
+        # (filtered) orders
+        cap = rng.randint(50, 800)
+        pats += ["?ord o:ref_customer ?s .", "?ord o:o_orderkey ?ok .",
+                 f"FILTER(?ok < {cap})"]
+        joins.append("JOIN orders o2 ON o2.o_custkey = c.c_custkey "
+                     "AND o2.o_custkey IS NOT NULL "
+                     f"AND o2.o_orderkey IS NOT NULL")
+        wheres.append(f"o2.o_orderkey < {cap}")
+        proj.append(("ok", "num", "o2.o_orderkey"))
+
     picked = rng.sample(proj, k=rng.randint(1, len(proj)))
     distinct = rng.random() < 0.3
     spec = {v: ("double" if kind == "num" else "str")
@@ -124,14 +137,14 @@ def _norm(rows):
     return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
 
 
-@pytest.mark.parametrize("seed", range(12))
+@pytest.mark.parametrize("seed", range(16))
 def test_fuzz_duckdb_oracle(spark, sf_dir, seed):
     sparql, sql, spec = gen_case(seed)
     st = Store(spark, DirectMappingSource(spark, sf_dir))
     got = _norm([tuple(r) for r in
                  to_native(st.query(sparql), spec).collect()])
     con = duckdb.connect()
-    for t in ("customer", "nation"):
+    for t in ("customer", "nation", "orders"):
         con.execute(f"CREATE VIEW {t} AS SELECT * "
                     f"FROM '{sf_dir}/{t}.parquet'")
     want = _norm([tuple(r) for r in con.execute(sql).fetchall()])
