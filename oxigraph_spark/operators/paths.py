@@ -205,7 +205,7 @@ def _closure(compiler, edges: DataFrame, start: Optional[DataFrame]) -> DataFram
     relation is NOT pre-deduplicated: the store holds unique quads and
     every downstream consumer (initial frontier, per-round union)
     distincts anyway, so a global edge shuffle would be pure cost."""
-    edges = edges.distinct().localCheckpoint(eager=False)
+    edges = edges.localCheckpoint(eager=False)
     # dictionary: one row per distinct endpoint term (one shuffle, once)
     dic = edges.select(F.col("src").alias("term")) \
                .unionByName(edges.select(F.col("dst").alias("term"))) \

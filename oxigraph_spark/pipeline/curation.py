@@ -152,11 +152,12 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     (benchmark decontamination — the step every training pipeline runs
     so eval questions don't leak into the corpus).
 
-    Returns ``(id, shared_fps, bench_fp_hits)`` for every CONTAMINATED
-    training doc: ``shared_fps`` = how many distinct benchmark
-    fingerprints it contains, ``bench_fp_hits`` = total benchmark
-    fingerprint occurrences matched.  Filter the corpus with an
-    anti-join on ``id``.
+    Returns ``(id, shared_fps)`` for every CONTAMINATED training doc:
+    ``shared_fps`` = how many distinct benchmark fingerprints it
+    contains.  (Occurrence counts would be redundant here: winnowing
+    fingerprints are de-duplicated per doc and the benchmark set is
+    distinct, so each (id, fp) matches at most once.)  Filter the
+    corpus with an anti-join on ``id``.
 
     Built on winnowing fingerprints, NOT whole-document similarity: a
     100-token eval question pasted into a 10k-token web page moves
@@ -176,8 +177,7 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
         .select(F.explode("fps").alias("fp")).distinct()
     hits = corpus_fp.join(F.broadcast(bench_fp), "fp")
     return (hits.groupBy("id")
-            .agg(F.count_distinct("fp").alias("shared_fps"),
-                 F.count(F.lit(1)).alias("bench_fp_hits"))
+            .agg(F.count_distinct("fp").alias("shared_fps"))
             .where(F.col("shared_fps") >= min_shared))
 
 

@@ -27,9 +27,24 @@ def spread(df: DataFrame) -> DataFrame:
     few partitions (e.g. one small parquet file): shingling/hashing are
     CPU-bound per row, and a 2-partition input would use 2 of 32 cores.
     A no-op at scale — inputs that already have enough partitions pass
-    through unshuffled."""
+    through unshuffled.
+
+    Sizing uses ``inputFiles()`` (a file-index lookup), NOT
+    ``df.rdd.getNumPartitions()``: the latter forces full physical
+    planning (toRdd) at plan-BUILD time on every call — measurably ~2 s
+    of driver latency per dedup op locally.  File count underestimates
+    partitions when files are splittable (one 1 GB parquet → many
+    tasks), so the only mis-fire is an extra repartition of an input
+    with few-but-huge files — cheap relative to the CPU-bound work this
+    feeds, and the at-scale shape (many files) passes through
+    untouched.  Non-file inputs (memory relations in tests) report zero
+    files and get spread."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        nfiles = len(df.inputFiles())
+    except Exception:  # pragma: no cover - non-file-backed exotic plans
+        nfiles = 0
+    if nfiles < target:
         return df.repartition(target)
     return df
 
@@ -127,6 +142,22 @@ def minhash_signature(shingle_col: Column, num_perm: int = 32) -> Column:
         F.transform(shingle_col, lambda s: F.xxhash64(s)), num_perm)
 
 
+# Signature tables cached by the two minhash_lsh_pairs entry points.
+# Each call releases the PREVIOUS call's cache, so repeated invocations
+# in one session hold at most one extra table instead of leaking a
+# MEMORY_AND_DISK entry per call (DataFrame persist is never GC-cleaned).
+# A pairs DataFrame from an earlier call stays CORRECT after its cache
+# is released — it just recomputes signatures on next execution.
+_SIG_CACHE: List[DataFrame] = []
+
+
+def _persist_sig(sig: DataFrame) -> DataFrame:
+    while _SIG_CACHE:
+        _SIG_CACHE.pop().unpersist()
+    _SIG_CACHE.append(sig.persist())
+    return sig
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                       num_perm: int = 32, bands: int = 8,
                       threshold: float = 0.5,
@@ -154,7 +185,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     # planning (toRdd) at BUILD time (~2 s of the op's driver latency),
     # while persist defers everything to execution and is spill-safe
     # (MEMORY_AND_DISK)
-    sig = minhash_signatures(df, text_col, id_col, num_perm).persist()
+    sig = _persist_sig(minhash_signatures(df, text_col, id_col, num_perm))
     buckets = _band_buckets(sig, num_perm, bands)
     if max_bucket is not None:
         # one map-side-combinable count per bucket; hot buckets never
@@ -249,7 +280,8 @@ def minhash_lsh_pairs_incremental(
     small batch AQE turns this into a broadcast join and the corpus is
     never shuffled.  ``max_bucket`` caps candidates per corpus bucket
     (same skew guard as :func:`minhash_lsh_pairs`)."""
-    nsig = minhash_signatures(new_df, text_col, id_col, num_perm).persist()
+    nsig = _persist_sig(minhash_signatures(new_df, text_col, id_col,
+                                           num_perm))
     nb = _band_buckets(nsig, num_perm, bands)
     cb = _band_buckets(corpus_sig, num_perm, bands)
     if max_bucket is not None:
@@ -273,8 +305,13 @@ def minhash_lsh_pairs_incremental(
               .distinct())
     cand = vs_corpus.unionByName(within).distinct()
     new_arr = _sig_arrays(nsig, num_perm)
-    all_arr = new_arr.unionByName(_sig_arrays(corpus_sig, num_perm)) \
-                     .dropDuplicates(["id"])
+    # on id collision (re-ingest with changed text) the NEW batch's
+    # signature wins deterministically: anti-join the corpus side against
+    # new ids instead of dropDuplicates over the union, whose pick is
+    # arbitrary and made reported sims nondeterministic
+    corpus_arr = _sig_arrays(corpus_sig, num_perm) \
+        .join(new_arr.select("id"), "id", "leftanti")
+    all_arr = new_arr.unionByName(corpus_arr)
     return _score_pairs(cand, new_arr, all_arr, num_perm, threshold)
 
 
@@ -302,10 +339,21 @@ def simhash(text: Column, bits: int = 64) -> Column:
 
 
 def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
-                  max_hamming: int = 8) -> DataFrame:
+                  max_hamming: int = 8,
+                  max_bucket: Optional[int] = None) -> DataFrame:
     """Near-dup pairs by SimHash banding: fingerprints split into 4
     16-bit chunks; pairs agreeing on ≥1 chunk are candidates (guaranteed
-    to include all pairs with hamming ≤ 3 chunks' worth of differences)."""
+    to include all pairs with hamming ≤ 3 chunks' worth of differences).
+
+    ``max_bucket`` is the 100 TB skew guard (same shape as
+    :func:`minhash_lsh_pairs`): 16-bit chunks give only 65k buckets per
+    band, so a web-scale corpus averages N/65k docs per bucket and a
+    degenerate chunk value (all-identical boilerplate hashes to one
+    bucket) makes N² candidate rows on one key.  Chunk buckets larger
+    than the cap are dropped BEFORE the self-join; a pair survives if
+    ANY of its agreeing chunks is cold, so recall loss is confined to
+    pairs whose every agreeing chunk is boilerplate-hot.  Default off
+    for exactness at test scale."""
     words = F.split(normalize_text(F.col(text_col)), " ")
     hashed = spread(df).select(F.col(id_col).alias("id"),
                                F.transform(words, lambda w: F.xxhash64(w)).alias("h"))
@@ -315,6 +363,12 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
                  F.shiftrightunsigned("fp", i * 16).bitwiseAND(F.lit(0xFFFF))
                  .alias("ch"))
         for i in range(4)])).alias("c")).select("id", "fp", "c.chunk", "c.ch")
+    if max_bucket is not None:
+        cold = chunks.groupBy("chunk", "ch") \
+                     .agg(F.count(F.lit(1)).alias("__n")) \
+                     .where(F.col("__n") <= max_bucket)
+        chunks = chunks.join(cold.select("chunk", "ch"), ["chunk", "ch"],
+                             "leftsemi")
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
                    & (F.col("a.ch") == F.col("b.ch"))
@@ -329,15 +383,33 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
-                        n: int = 3, threshold: float = 0.5) -> DataFrame:
+                        n: int = 3, threshold: float = 0.5,
+                        max_doc_freq: Optional[int] = None) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs (id_a < id_b, sim >= threshold).
 
     No cross product: explode shingles, count co-occurrences per pair via a
     groupBy on the shingle (inverted index), then jaccard from set sizes.
-    """
+
+    ``max_doc_freq`` is the 100 TB skew guard: a shingle shared by N
+    docs (a boilerplate header, an empty-page artifact) contributes N²
+    rows on ONE join key before the pair groupBy.  Shingles with
+    document frequency above the cap are dropped from the inverted
+    index BEFORE the self-join — one map-side-combinable count per
+    shingle.  Set sizes stay exact (computed pre-filter), so reported
+    sims only UNDERcount the intersection by capped shingles: with the
+    cap on, the op trades bounded recall (a pair is found iff it
+    shares at least one sub-cap shingle) for bounded cost, and a pair
+    of docs made entirely of boilerplate is exactly what upstream
+    exact-dedup already collapses.  Default off for exactness at test
+    scale."""
     sh = (spread(df).select(F.col(id_col).alias("id"),
                             F.explode(shingles(F.col(text_col), n)).alias("sh")))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    if max_doc_freq is not None:
+        # shingles() emits per-doc DISTINCT shingles, so count == doc freq
+        cold = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df")) \
+                 .where(F.col("__df") <= max_doc_freq)
+        sh = sh.join(cold.select("sh"), "sh", "leftsemi")
     a, b = sh.alias("a"), sh.alias("b")
     inter = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
                     & (F.col("a.id") < F.col("b.id")))
@@ -355,12 +427,20 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
 
 def embedding_cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
                            threshold: float = 0.95,
-                           planes: int = 12) -> DataFrame:
+                           planes: int = 12,
+                           max_bucket: Optional[int] = None) -> DataFrame:
     """Embedding near-duplicate pairs: random-hyperplane LSH buckets, then
     exact cosine inside buckets.  Hyperplanes are derived from seeded
-    hashes of the dimension index — deterministic, no fitted model."""
-    from .simsearch import cosine, norm
-    dim = None  # derived lazily from data via transform index
+    hashes of the dimension index — deterministic, no fitted model.
+
+    ``max_bucket`` caps in-bucket pair fan-out (same skew guard as
+    :func:`minhash_lsh_pairs`): ``planes=12`` gives 4096 buckets, which
+    is ample until the corpus is huge or the embeddings cluster (near-
+    identical model outputs land in one bucket).  Over-cap buckets are
+    dropped before the self-join; their mass is the near-identical
+    cluster a pipeline should route through exact/MinHash dedup first.
+    Default off for exactness at test scale."""
+    from .simsearch import cosine
     sgn = [
         F.when(F.aggregate(
             F.zip_with(F.col(vec_col),
@@ -372,6 +452,12 @@ def embedding_cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
     bucket = F.concat_ws("", *[s.cast("string") for s in sgn])
     emb = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                     bucket.alias("bkt"))
+    if max_bucket is not None:
+        # bucket sizing on (id, bkt) only — vectors never shuffle here
+        cold = emb.select("id", "bkt").groupBy("bkt") \
+                  .agg(F.count(F.lit(1)).alias("__n")) \
+                  .where(F.col("__n") <= max_bucket)
+        emb = emb.join(cold.select("bkt"), "bkt", "leftsemi")
     a, b = emb.alias("a"), emb.alias("b")
     cand = a.join(b, (F.col("a.bkt") == F.col("b.bkt"))
                   & (F.col("a.id") < F.col("b.id")))

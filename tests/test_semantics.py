@@ -267,3 +267,31 @@ def test_optional_filter_exists(spark):
         OPTIONAL {{ ?s <{EX}q> ?v .
                     FILTER(EXISTS {{ ?f <{EX}flag> ?v }} && ?k < 3) }} }}""")
     assert got == [(EX + "a", "10"), (EX + "b", None), (EX + "c", None)]
+
+
+def test_optional_filter_exists_partial_left_bindings(spark):
+    """Regression: L rows with an UNBOUND shared var feeding an OPTIONAL
+    whose filter contains EXISTS.  The complement must be computed per
+    L-ROW (row id), not by value-projecting ``passing`` back onto L's
+    vars: passing's shared vars are coalesce(l, r)-merged, so the bare
+    L row (?v unbound) and its passing extension (?v bound) project to
+    different tuples and a value anti-join would emit the bare row in
+    addition to the extension."""
+    triples = [
+        (iri("a"), iri("p"), integer(1)),
+        (iri("a"), iri("r"), integer(10)),
+        (iri("a"), iri("q"), integer(10)),
+        (iri("x"), iri("flag"), integer(10)),
+    ]
+    st = quads_store(spark, triples)
+    # L = { ?s p ?k } UNION { ?s p ?k . ?s r ?v }  — two L rows for a:
+    # (a, 1, v=NULL) and (a, 1, v=10).  Both are compatible with the
+    # OPTIONAL's ?s q ?v (v=10), both extensions pass EXISTS, so the
+    # answer is exactly two (a, v=10) rows — no bare (a, NULL) row.
+    df = st.query(f"""SELECT ?s ?v WHERE {{
+        {{ {{ ?s <{EX}p> ?k }} UNION {{ ?s <{EX}p> ?k . ?s <{EX}r> ?v }} }}
+        OPTIONAL {{ ?s <{EX}q> ?v . FILTER EXISTS {{ ?f <{EX}flag> ?v }} }}
+    }}""")
+    got = sorted((r["s"]["lex"], r["v"]["lex"] if r["v"] else None)
+                 for r in df.collect())
+    assert got == [(EX + "a", "10"), (EX + "a", "10")]
