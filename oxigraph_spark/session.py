@@ -15,9 +15,17 @@ from pyspark.sql import SparkSession
 def get_spark(app: str = "oxigraph-spark", shuffle_partitions: int | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     sp = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    # executor-side parsers (turtle_to_ntriples*, mapInPandas decoders)
+    # import this package on python WORKERS, which do not inherit the
+    # driver's sys.path edits — pin the repo root into their PYTHONPATH
+    # so sessions launched outside the repo dir still distribute
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker_pp = repo_root + (
+        ":" + os.environ["PYTHONPATH"] if os.environ.get("PYTHONPATH") else "")
     b = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app)
+        .config("spark.executorEnv.PYTHONPATH", worker_pp)
         .config("spark.sql.shuffle.partitions", str(sp))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import os
 import re
+from functools import reduce
 from typing import List, Optional, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
@@ -116,16 +117,20 @@ def turtle_to_ntriples(spark: SparkSession, in_path: str,
          .write.mode("overwrite").text(out_path)
 
 
-def turtle_text_to_nt_lines(text: str) -> List[str]:
+def turtle_text_to_nt_lines(text: str,
+                            prefixes: Optional[dict] = None) -> List[str]:
     """One Turtle document → canonical N-Triples lines (pure Python —
-    runs on executors inside :func:`turtle_to_ntriples`)."""
+    runs on executors inside :func:`turtle_to_ntriples`).  ``prefixes``
+    supplies externally-known prefix bindings (the chunked path's
+    document header); in-document directives still win."""
     from ..algebra import ast as A
     from ..algebra.parser import Parser
     from ..plans.compiler import _py_token
-    prefixes = dict(_TTL_PREFIX.findall(text))
+    merged = dict(prefixes or {})
+    merged.update(_TTL_PREFIX.findall(text))
     body = _TTL_PREFIX.sub("", text)
     p = Parser("{" + body + "}")
-    p.prefixes.update(prefixes)
+    p.prefixes.update(merged)
     pattern = p._group_graph_pattern()
     out: List[str] = []
     if isinstance(pattern, A.BGP):
@@ -170,17 +175,34 @@ def _read_turtle_small(spark: SparkSession, path: str,
                     "model; only the Turtle-compatible N3 subset is read")
     prefixes = dict(_TTL_PREFIX.findall(text))
     body = _TTL_PREFIX.sub("", text)
+    triples = [(s, p, o, _DEFAULT_G)
+               for s, p, o in _parse_turtle_triples(body, prefixes)]
+    return _quads_df(spark, triples)
+
+
+_DEFAULT_G = (T.KIND_DEFAULT_GRAPH, "", None, None, None, None, None, None,
+              None)
+
+
+def _quads_df(spark: SparkSession, rows: List[Tuple]) -> DataFrame:
+    from pyspark.sql.types import StructField, StructType
+    schema = StructType([StructField(c, T.TERM_SCHEMA)
+                         for c in ("s", "p", "o", "g")])
+    return spark.createDataFrame(rows, schema)
+
+
+def _parse_turtle_triples(body: str, prefixes: dict) -> List[Tuple]:
+    """Turtle statement text (sans @prefix directives) → ``(s, p, o)``
+    py-term tuples.  Reuses the SPARQL triples grammar: a Turtle
+    statement block is the same surface as a BGP with ground terms."""
+    from ..algebra import ast as A
     from ..algebra.parser import Parser
-    # reuse the SPARQL triples grammar: a Turtle statement block is the
-    # same surface as a BGP with ground terms
+    from ..plans.compiler import _term_to_py
     p = Parser("{" + body + "}")
     p.prefixes.update(prefixes)
     pattern = p._group_graph_pattern()
-    from ..algebra import ast as A
     triples: List[Tuple] = []
     if isinstance(pattern, A.BGP):
-        from ..plans.compiler import _term_to_py
-
         def ground(t):
             # the SPARQL grammar surfaces Turtle bnodes as variables;
             # in DATA they are blank node terms
@@ -190,10 +212,300 @@ def _read_turtle_small(spark: SparkSession, path: str,
             if isinstance(tp, A.TriplePattern):
                 triples.append((_term_to_py(ground(tp.s)),
                                 _term_to_py(ground(tp.p)),
-                                _term_to_py(ground(tp.o)),
-                                (T.KIND_DEFAULT_GRAPH, "", None, None, None,
-                                 None, None, None, None)))
-    from pyspark.sql.types import StructField, StructType
-    schema = StructType([StructField(c, T.TERM_SCHEMA)
-                         for c in ("s", "p", "o", "g")])
-    return spark.createDataFrame(triples, schema)
+                                _term_to_py(ground(tp.o))))
+    return triples
+
+
+# -- TriG: Turtle + named-graph blocks (S3) ---------------------------------
+# Reference: lib/oxttl/src/trig.rs · TriGParser/TriGSerializer.  A TriG
+# document is Turtle statements (default graph) plus `[GRAPH] label { … }`
+# blocks; a label may open any number of blocks (their union is the graph),
+# which is what makes the WRITER embarrassingly parallel.
+
+def _skip_string(text: str, i: int) -> int:
+    """Index just past the string literal starting at ``text[i]``
+    (handles ''' / \"\"\" long forms and backslash escapes)."""
+    q = text[i]
+    if text[i:i + 3] == q * 3:
+        j = i + 3
+        while True:
+            j = text.find(q * 3, j)
+            if j < 0:
+                raise ValueError("unterminated long string literal")
+            bs = 0
+            while text[j - 1 - bs] == "\\":
+                bs += 1
+            if bs % 2 == 0:
+                return j + 3
+            j += 1
+    j = i + 1
+    n = len(text)
+    while j < n:
+        if text[j] == "\\":
+            j += 2
+        elif text[j] == q:
+            return j + 1
+        else:
+            j += 1
+    raise ValueError("unterminated string literal")
+
+
+_TRIG_LABEL = re.compile(
+    r"(?:GRAPH\s+)?(<[^>]*>|[A-Za-z][\w.-]*:[\w.-]*|:[\w.-]*|_:[\w.-]+)"
+    r"\s*$", re.IGNORECASE)
+
+
+def _split_trig_blocks(body: str):
+    """TriG body → ``(default_graph_text, [(label_or_None, block_text)])``.
+
+    A scanner, not a grammar: strings, IRIs and comments are opaque;
+    graph blocks are the top-level ``{ … }`` regions (TriG forbids
+    nesting), labeled by the token immediately before ``{`` (optional
+    ``GRAPH`` keyword; no label = default-graph block)."""
+    blocks = []
+    cur: List[str] = []
+    i, n = 0, len(body)
+    while i < n:
+        ch = body[i]
+        if ch in "\"'":
+            j = _skip_string(body, i)
+            cur.append(body[i:j])
+            i = j
+        elif ch == "<":                       # IRIs may contain '#'
+            j = body.find(">", i)
+            j = n if j < 0 else j + 1
+            cur.append(body[i:j])
+            i = j
+        elif ch == "#":
+            j = body.find("\n", i)
+            i = n if j < 0 else j
+        elif ch == "{":
+            pre = "".join(cur)
+            m = _TRIG_LABEL.search(pre)
+            label = None
+            if m:
+                label = m.group(1)
+                pre = pre[:m.start()]
+            j = i + 1
+            while j < n and body[j] != "}":
+                cj = body[j]
+                if cj in "\"'":
+                    j = _skip_string(body, j)
+                elif cj == "<":
+                    k = body.find(">", j)
+                    j = n if k < 0 else k + 1
+                elif cj == "#":
+                    k = body.find("\n", j)
+                    j = n if k < 0 else k
+                elif cj == "{":
+                    raise ValueError("nested {} in TriG graph block")
+                else:
+                    j += 1
+            if j >= n:
+                raise ValueError("unterminated TriG graph block")
+            blocks.append((label, body[i + 1:j]))
+            cur = [pre, " "]
+            i = j + 1
+            # optional block-terminating '.'
+            while i < n and body[i] in " \t\r\n":
+                i += 1
+            if i < n and body[i] == ".":
+                i += 1
+        else:
+            cur.append(ch)
+            i += 1
+    return "".join(cur), blocks
+
+
+def _graph_term_tuple(label: str, prefixes: dict) -> Tuple:
+    from ..algebra import ast as A
+    from ..plans.compiler import _term_to_py
+    if label.startswith("<"):
+        return _term_to_py(A.NamedNode(label[1:-1]))
+    if label.startswith("_:"):
+        return _term_to_py(A.BlankNode(label[2:]))
+    pfx, _, local = label.partition(":")
+    if pfx in prefixes:
+        return _term_to_py(A.NamedNode(prefixes[pfx] + local))
+    raise ValueError(f"unknown prefix in TriG graph label {label!r}")
+
+
+def _read_trig_small(spark: SparkSession, path: str,
+                     max_bytes: int = 64 << 20) -> DataFrame:
+    """Driver-side TriG reader (small files; same grammar subset as
+    :func:`_read_turtle_small` within each block).  Accepts a directory
+    of part files (the output of :func:`write_trig`)."""
+    if os.path.isdir(path):
+        parts = sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if f.startswith("part-") and not f.endswith(".crc"))
+        dfs = [_read_trig_small(spark, f, max_bytes) for f in parts]
+        return reduce(lambda a, b: a.unionByName(b), dfs)
+    size = os.path.getsize(path)
+    if size > max_bytes:
+        raise ValueError(
+            f"trig file {size >> 20} MiB > {max_bytes >> 20} MiB limit: "
+            "convert to N-Quads for the distributed path")
+    text = open(path, encoding="utf-8").read()
+    prefixes = dict(_TTL_PREFIX.findall(text))
+    body = _TTL_PREFIX.sub("", text)
+    default_text, block_list = _split_trig_blocks(body)
+    rows = [(s, p, o, _DEFAULT_G)
+            for s, p, o in _parse_turtle_triples(default_text, prefixes)]
+    for label, btext in block_list:
+        g = (_DEFAULT_G if label is None
+             else _graph_term_tuple(label, prefixes))
+        rows += [(s, p, o, g)
+                 for s, p, o in _parse_turtle_triples(btext, prefixes)]
+    return _quads_df(spark, rows)
+
+
+def write_trig(df: DataFrame, path: str) -> None:
+    """DISTRIBUTED TriG writer: because TriG lets one graph label open
+    any number of blocks, each partition serializes its own rows as
+    self-contained blocks — no global group-by-graph, no driver
+    collect.  A ``repartition`` on the graph token keeps blocks per
+    graph to one per partition holding it (cosmetic at small scale,
+    shuffle-bounded by the id-sized token at large)."""
+    from pyspark.sql import functions as F
+    from .ntriples import format_term
+    toks = df.select(
+        F.concat(format_term(df["s"]), F.lit(" "), format_term(df["p"]),
+                 F.lit(" "), format_term(df["o"]), F.lit(" .")).alias("line"),
+        F.when(df["g"]["kind"] == T.KIND_DEFAULT_GRAPH, F.lit(""))
+         .otherwise(format_term(df["g"])).alias("gtok"))
+    toks = toks.repartition(F.col("gtok"))
+
+    def blocks(batches):
+        import pandas as pd
+        for pdf in batches:
+            vals = []
+            for gtok, grp in pdf.groupby("gtok"):
+                stmts = "\n".join(grp["line"])
+                vals.append(stmts if gtok == ""
+                            else f"{gtok} {{\n{stmts}\n}}")
+            if vals:
+                yield pd.DataFrame({"value": vals})
+
+    toks.mapInPandas(blocks, "value string") \
+        .write.mode("overwrite").text(path)
+
+
+# -- chunked distributed parse of ONE large Turtle document -----------------
+
+def _line_ends_statement(line: str) -> bool:
+    """Heuristic statement-boundary detector used by the chunked path:
+    after removing (line-local) string literals, IRIs and comments, a
+    statement ends where the line ends with '.'.  Line-LOCAL means a
+    triple-quoted literal spanning lines can fool it — see the caveat on
+    :func:`turtle_to_ntriples_chunked`."""
+    s = re.sub(r'"""(?:[^"\\]|\\.|"(?!""))*"""', '""', line)
+    s = re.sub(r"'''(?:[^'\\]|\\.|'(?!''))*'''", "''", s)
+    s = re.sub(r'"(?:[^"\\]|\\.)*"', '""', s)
+    s = re.sub(r"'(?:[^'\\]|\\.)*'", "''", s)
+    s = re.sub(r"<[^>]*>", "<>", s)
+    s = re.sub(r"#.*", "", s)
+    return s.rstrip().endswith(".")
+
+
+def turtle_to_ntriples_chunked(spark: SparkSession, in_path: str,
+                               out_path: str,
+                               max_partition_bytes: Optional[int] = None
+                               ) -> None:
+    """Distributed parse of ONE large Turtle document (SURVEY §2.1 S3's
+    single-200-GB-file gap): newline-split read (line-parallel Hadoop
+    splits), per-partition reassembly of '.'-terminated statements,
+    partition-boundary fragments stitched driver-side (≤ 2 tiny strings
+    per partition).  @prefix directives are read from the document
+    header driver-side and broadcast to every chunk.
+
+    Caveat (documented limitation, detected where cheap): the boundary
+    detector is line-local, so a triple-quoted literal that BOTH spans
+    lines AND contains a line ending in '.' can split a statement
+    mid-literal; such files should use :func:`turtle_to_ntriples` (one
+    task per file).  Blank-node labels are stable across chunks (label
+    identity is preserved verbatim), so cross-chunk bnode references
+    stay intact.
+
+    ``max_partition_bytes`` temporarily overrides
+    ``spark.sql.files.maxPartitionBytes`` for this read — used by tests
+    to force multi-partition chunking on small files; leave None in
+    production (the session default sizes chunks)."""
+    # header prefixes: read up to the first non-directive, non-comment
+    # statement (Turtle prologue); later in-document directives also
+    # apply from their position via turtle_text_to_nt_lines
+    header: List[str] = []
+    with open(in_path, encoding="utf-8") as f:
+        for line in f:
+            if _TTL_PREFIX.search(line) or not line.strip() \
+                    or line.lstrip().startswith("#"):
+                header.append(line)
+            else:
+                break
+    prefixes = dict(_TTL_PREFIX.findall("".join(header)))
+
+    conf_key = "spark.sql.files.maxPartitionBytes"
+    old = spark.conf.get(conf_key)
+    if max_partition_bytes is not None:
+        spark.conf.set(conf_key, str(max_partition_bytes))
+    try:
+        lines = spark.read.text(in_path)
+
+        def seal(idx: int, it):
+            """Yield ('nt', line) for statements fully inside this
+            partition, ('frag', idx, kind, text) for boundary pieces."""
+            buf: List[str] = []
+            seen_boundary = False
+            for row in it:
+                v = row.value
+                buf.append(v)
+                if _line_ends_statement(v):
+                    text = "\n".join(buf)
+                    buf = []
+                    if not seen_boundary:
+                        # may complete the previous partition's tail
+                        seen_boundary = True
+                        yield ("frag", idx, "head", text)
+                    else:
+                        for nt in turtle_text_to_nt_lines(text, prefixes):
+                            yield ("nt", idx, "", nt)
+            tail = "\n".join(buf)
+            if not seen_boundary:
+                # no boundary at all: whole partition is one fragment
+                yield ("frag", idx, "all", tail)
+            elif tail.strip():
+                yield ("frag", idx, "tail", tail)
+
+        rdd = lines.rdd.mapPartitionsWithIndex(seal).persist()
+        frags = sorted(
+            ((idx, kind, text) for tag, idx, kind, text in
+             ((t[0], t[1], t[2], t[3]) for t in
+              rdd.filter(lambda t: t[0] == "frag").collect())),
+            key=lambda t: (t[0], 0 if t[1] in ("head", "all") else 1))
+        stitched_nt: List[str] = []
+        pending = ""
+        for _, kind, text in frags:
+            if kind == "all":
+                pending = pending + "\n" + text
+                continue
+            if kind == "head":
+                piece = pending + "\n" + text
+                pending = ""
+            else:                              # tail
+                piece = pending + "\n" + text  # pending == "" normally
+                pending = piece
+                continue
+            stitched_nt.extend(turtle_text_to_nt_lines(piece, prefixes))
+        if pending.strip():
+            stitched_nt.extend(turtle_text_to_nt_lines(pending, prefixes))
+
+        body_df = rdd.filter(lambda t: t[0] == "nt") \
+                     .map(lambda t: (t[3],)).toDF(["value"])
+        if stitched_nt:
+            extra = spark.createDataFrame([(l,) for l in stitched_nt],
+                                          ["value"])
+            body_df = body_df.unionByName(extra)
+        body_df.write.mode("overwrite").text(out_path)
+        rdd.unpersist()
+    finally:
+        spark.conf.set(conf_key, old)

@@ -362,3 +362,99 @@ def test_n3_formula_raises(spark, tmp_path):
 """)
     with pytest.raises(NotImplementedError, match="formulas"):
         rdf_io.load_rdf(spark, str(n3), "n3")
+
+
+def test_trig_two_graphs(spark, tmp_path):
+    """A 2-graph TriG file parses into the correct ``g`` column: bare
+    `<g> { … }`, `GRAPH <g> { … }`, prefixed labels, and top-level
+    default-graph statements."""
+    path = str(tmp_path / "two.trig")
+    with open(path, "w") as f:
+        f.write("""@prefix ex: <urn:ex:> .
+ex:top ex:p "default" .
+ex:g1 { ex:a ex:p "one" . ex:b ex:p "two" . }
+GRAPH <urn:ex:g2> { ex:c ex:p "three" . }
+{ ex:d ex:p "also-default" . }
+""")
+    df = rdf_io.load_rdf(spark, path)
+    rows = [(r["s"]["lex"], r["o"]["lex"],
+             r["g"]["kind"], r["g"]["lex"]) for r in df.collect()]
+    by_graph = {}
+    for s, o, gk, gl in rows:
+        key = gl if gk == T.KIND_IRI else "<default>"
+        by_graph.setdefault(key, set()).add((s, o))
+    assert by_graph["urn:ex:g1"] == {("urn:ex:a", "one"),
+                                     ("urn:ex:b", "two")}
+    assert by_graph["urn:ex:g2"] == {("urn:ex:c", "three")}
+    assert by_graph["<default>"] == {("urn:ex:top", "default"),
+                                     ("urn:ex:d", "also-default")}
+
+
+def test_trig_write_read_roundtrip(spark, tmp_path):
+    """Distributed TriG writer → reader round-trip preserves graph
+    assignment (writer emits per-partition blocks; same-label blocks
+    union per the TriG spec)."""
+    src = str(tmp_path / "src.trig")
+    with open(src, "w") as f:
+        f.write("""@prefix ex: <urn:ex:> .
+ex:top ex:p "default" .
+ex:g1 { ex:a ex:p "one" . }
+GRAPH ex:g2 { ex:b ex:p "two" . }
+""")
+    df = rdf_io.load_rdf(spark, src)
+    out = str(tmp_path / "out.trig.d")
+    rdf_io.dump_rdf(df, out, fmt="trig")
+    back = rdf_io._read_trig_small(spark, out)
+    def key(d):
+        return {(r["s"]["lex"], r["o"]["lex"],
+                 r["g"]["kind"], r["g"]["lex"]) for r in d.collect()}
+    assert key(back) == key(df)
+
+
+def test_trig_strings_and_comments_opaque(spark, tmp_path):
+    """Braces and '#' inside literals / IRIs must not confuse the block
+    scanner."""
+    path = str(tmp_path / "tricky.trig")
+    with open(path, "w") as f:
+        f.write("""@prefix ex: <urn:ex:> .
+# a comment with { braces } and <angle>
+ex:top ex:p "braces { in } literal # not a comment" .
+ex:g1 { ex:a ex:p <urn:ex:frag#hash> . }
+""")
+    df = rdf_io.load_rdf(spark, path)
+    got = {(r["s"]["lex"], r["o"]["lex"],
+            r["g"]["lex"] if r["g"]["kind"] == T.KIND_IRI else None)
+           for r in df.collect()}
+    assert got == {
+        ("urn:ex:top", "braces { in } literal # not a comment", None),
+        ("urn:ex:a", "urn:ex:frag#hash", "urn:ex:g1")}
+
+
+def test_turtle_chunked_matches_driver_reader(spark, tmp_path):
+    """turtle_to_ntriples_chunked on a multi-partition single .ttl file
+    produces the same triples as the driver-side small reader, including
+    statements that span lines and cross chunk boundaries."""
+    from oxigraph_spark.sources.ntriples import read_ntriples
+    src = str(tmp_path / "big.ttl")
+    lines = ["@prefix ex: <urn:ex:> ."]
+    for i in range(400):
+        if i % 3 == 0:
+            # multi-line statement (object list over two lines)
+            lines.append(f"ex:s{i} ex:p \"v{i}\" ,")
+            lines.append(f"    \"w{i}\" .")
+        else:
+            lines.append(f"ex:s{i} ex:p ex:o{i} .")
+    with open(src, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    out = str(tmp_path / "big.nt.d")
+    # ~1 KB partitions => dozens of chunks over this file
+    rdf_io.turtle_to_ntriples_chunked(spark, src, out,
+                                      max_partition_bytes=1024)
+    chunked = read_ntriples(spark, out)
+    driver = rdf_io._read_turtle_small(spark, src)
+    def key(d):
+        return sorted((r["s"]["lex"], r["p"]["lex"], r["o"]["lex"])
+                      for r in d.select("s", "p", "o").collect())
+    ck, dk = key(chunked), key(driver)
+    assert len(ck) == len(dk) == 400 + 134  # 134 object-list extras
+    assert ck == dk
