@@ -14,6 +14,7 @@ Results JSON/XML Formats and CSV/TSV.  Spark-first split:
 from __future__ import annotations
 
 import json
+import re
 from typing import Dict, List, Optional
 from xml.sax.saxutils import escape as xml_escape
 
@@ -155,3 +156,132 @@ def parse_json_results(doc: str) -> List[Dict[str, dict]]:
     """Results JSON parser (sparesults reader analog; for tests/interop)."""
     data = json.loads(doc)
     return data["results"]["bindings"]
+
+
+# -- results parsers for the other three formats ---------------------------
+# Reference: lib/sparesults/src/{xml,csv}.rs readers — upstream round-trips
+# every format it writes; these close that gap for federation/test interop.
+# All return the Results-JSON binding-dict shape so the four formats
+# compare uniformly ({"type": "uri"|"bnode"|"literal", "value": ...,
+# "xml:lang"? , "datatype"?}).  CSV is lossy BY SPEC (plain lexical
+# forms): its parser returns untyped literal bindings.
+
+_XMLNS = "{http://www.w3.org/2005/sparql-results#}"
+_XML_LANG = "{http://www.w3.org/XML/1998/namespace}lang"
+
+
+def parse_xml_results(doc: str) -> List[Dict[str, dict]]:
+    """SPARQL 1.1 Results XML parser (driver-side; endpoint responses
+    are single bounded documents)."""
+    import xml.etree.ElementTree as ET
+    root = ET.fromstring(doc)
+    out: List[Dict[str, dict]] = []
+    results = root.find(f"{_XMLNS}results")
+    if results is None:
+        return out
+    for res in results.findall(f"{_XMLNS}result"):
+        b: Dict[str, dict] = {}
+        for bind in res.findall(f"{_XMLNS}binding"):
+            name = bind.attrib["name"]
+            uri = bind.find(f"{_XMLNS}uri")
+            bnode = bind.find(f"{_XMLNS}bnode")
+            lit = bind.find(f"{_XMLNS}literal")
+            if uri is not None:
+                b[name] = {"type": "uri", "value": uri.text or ""}
+            elif bnode is not None:
+                b[name] = {"type": "bnode", "value": bnode.text or ""}
+            elif lit is not None:
+                d = {"type": "literal", "value": lit.text or ""}
+                lang = lit.attrib.get(_XML_LANG)
+                dt = lit.attrib.get("datatype")
+                if lang:
+                    d["xml:lang"] = lang
+                elif dt:
+                    d["datatype"] = dt
+                b[name] = d
+        out.append(b)
+    return out
+
+
+def parse_xml_boolean(doc: str) -> Optional[bool]:
+    """ASK-form Results XML → bool (None when the doc is a SELECT form)."""
+    import xml.etree.ElementTree as ET
+    node = ET.fromstring(doc).find(f"{_XMLNS}boolean")
+    return None if node is None else (node.text or "").strip() == "true"
+
+
+_TSV_LIT = re.compile(
+    r'^"((?:[^"\\]|\\.)*)"(?:@([A-Za-z0-9-]+)|\^\^<([^>]*)>)?$')
+
+
+def _nt_unescape(s: str) -> str:
+    out: List[str] = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            n = s[i + 1]
+            out.append({"n": "\n", "r": "\r", "t": "\t"}.get(n, n))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def parse_tsv_term(tok: str) -> Optional[dict]:
+    """One TSV cell (N-Triples-style token) → binding dict; '' = unbound."""
+    if tok == "":
+        return None
+    if tok.startswith("<") and tok.endswith(">"):
+        return {"type": "uri", "value": tok[1:-1]}
+    if tok.startswith("_:"):
+        return {"type": "bnode", "value": tok[2:]}
+    m = _TSV_LIT.match(tok)
+    if m:
+        d = {"type": "literal", "value": _nt_unescape(m.group(1))}
+        if m.group(2):
+            d["xml:lang"] = m.group(2)
+        elif m.group(3) and m.group(3) != T.XSD_STRING:
+            d["datatype"] = m.group(3)
+        return d
+    # bare token: the W3C TSV numeric/boolean shorthand
+    return {"type": "literal", "value": tok}
+
+
+def parse_tsv_results(text: str) -> List[Dict[str, dict]]:
+    """Results TSV parser.  Accepts both W3C-style ``?var`` headers and
+    the bare variable names :func:`write_tsv` emits."""
+    lines = [l for l in text.split("\n") if l != ""]
+    if not lines:
+        return []
+    hdr = [v[1:] if v.startswith("?") else v for v in lines[0].split("\t")]
+    out: List[Dict[str, dict]] = []
+    for line in lines[1:]:
+        cells = line.split("\t")
+        b = {}
+        for var, tok in zip(hdr, cells):
+            term = parse_tsv_term(tok)
+            if term is not None:
+                b[var] = term
+        out.append(b)
+    return out
+
+
+def parse_csv_results(text: str) -> List[Dict[str, dict]]:
+    """Results CSV parser — lossy by spec: every bound value comes back
+    as a plain (untyped) literal binding; empty cells are unbound."""
+    import csv as _csv
+    import io
+    rows = list(_csv.reader(io.StringIO(text)))
+    if not rows:
+        return []
+    hdr = rows[0]
+    out: List[Dict[str, dict]] = []
+    for cells in rows[1:]:
+        b = {}
+        for var, val in zip(hdr, cells):
+            if val != "":
+                b[var] = {"type": "literal", "value": val}
+        out.append(b)
+    return out

@@ -1,6 +1,7 @@
 """I/O layer tests: N-Triples roundtrip, quad store, results formats,
 RDF I/O facade, SERVICE handler."""
 
+import json
 import os
 import tempfile
 
@@ -129,6 +130,52 @@ def test_results_formats(spark, nt_path):
     assert '<literal xml:lang="fr">bonjour</literal>' in xml
     tsv = df.select(results_io.tsv_cell(df["n"]).alias("n")).collect()
     assert tsv[0].n == '"Alice"'
+
+
+def test_results_roundtrip_all_formats(spark, nt_path, tmp_path):
+    """Write→parse→compare for all four result formats (upstream
+    sparesults round-trips every format it writes; S8 parity).  JSON and
+    XML parse to identical binding dicts; TSV round-trips term structure
+    (lang tags, datatypes, IRIs); CSV is lossy by spec (plain lexical
+    forms) but must preserve values and unbound cells."""
+    import glob
+    from oxigraph_spark.operators.update import MutableQuadSource
+    quads = read_ntriples(spark, nt_path)
+    store = Store(spark, MutableQuadSource(spark, quads))
+    df = store.query(
+        "SELECT ?s ?n ?l WHERE { ?s <urn:ex:name> ?n . "
+        "OPTIONAL { ?s <urn:ex:label> ?l } } ORDER BY ?n")
+    expect = results_io.parse_json_results(results_io.to_json_document(df))
+    assert len(expect) > 0 and expect[0]["s"]["type"] == "uri"
+
+    got_xml = results_io.parse_xml_results(results_io.to_xml_document(df))
+    assert got_xml == expect
+
+    tsv_dir = str(tmp_path / "r.tsv.d")
+    results_io.write_tsv(df, tsv_dir)
+    got_tsv = []
+    for part in sorted(glob.glob(tsv_dir + "/part-*")):
+        if part.endswith(".crc"):
+            continue
+        got_tsv += results_io.parse_tsv_results(
+            open(part, encoding="utf-8").read())
+    keyf = lambda b: json.dumps(b, sort_keys=True)
+    assert sorted(map(keyf, got_tsv)) == sorted(map(keyf, expect))
+
+    csv_dir = str(tmp_path / "r.csv.d")
+    results_io.write_csv(df, csv_dir)
+    got_csv = []
+    for part in sorted(glob.glob(csv_dir + "/part-*")):
+        if part.endswith(".crc"):
+            continue
+        got_csv += results_io.parse_csv_results(
+            open(part, encoding="utf-8").read())
+    lossy = sorted(
+        json.dumps({k: v["value"] for k, v in b.items()}, sort_keys=True)
+        for b in expect)
+    assert sorted(
+        json.dumps({k: v["value"] for k, v in b.items()}, sort_keys=True)
+        for b in got_csv) == lossy
 
 
 def test_turtle_small_reader(spark, tmp_path):

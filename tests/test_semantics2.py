@@ -214,3 +214,55 @@ def test_update_template_validation(spark):
               "DELETE WHERE { _:b <urn:ex:p> ?o }"]:
         with pytest.raises(ParseError):
             st.update(q)
+
+
+def test_bnode_canonicalization_isomorphic(spark):
+    """Two isomorphic graphs with distinct bnode labels canonicalize
+    identically; a structurally different graph does not (upstream
+    oxrdf Dataset::canonicalize parity)."""
+    from oxigraph_spark.operators.canonicalize import (
+        canonical_quads, isomorphic)
+    from tests.test_semantics import EX, iri, integer, quads_store
+
+    def g(triples):
+        return quads_store(spark, triples).source.quads()
+
+    import oxigraph_spark.algebra.ast as A
+    # chain: A -p-> _:x -p-> _:y -p-> B   (labels x,y vs u,v)
+    g1 = g([(iri("a"), iri("p"), A.BlankNode("x")),
+            (A.BlankNode("x"), iri("p"), A.BlankNode("y")),
+            (A.BlankNode("y"), iri("p"), iri("b"))])
+    g2 = g([(iri("a"), iri("p"), A.BlankNode("u")),
+            (A.BlankNode("u"), iri("p"), A.BlankNode("v")),
+            (A.BlankNode("v"), iri("p"), iri("b"))])
+    # different structure: chain reversed at the tail
+    g3 = g([(iri("a"), iri("p"), A.BlankNode("u")),
+            (A.BlankNode("u"), iri("p"), A.BlankNode("v")),
+            (iri("b"), iri("p"), A.BlankNode("v"))])
+    assert isomorphic(g1, g2)
+    assert not isomorphic(g1, g3)
+    # canonical labels are identical across isomorphic inputs
+    k1 = {(r["s"]["lex"], r["o"]["lex"])
+          for r in canonical_quads(g1).collect()}
+    k2 = {(r["s"]["lex"], r["o"]["lex"])
+          for r in canonical_quads(g2).collect()}
+    assert k1 == k2
+    # construct-style use: same data, fresh bnode labels per run
+    assert isomorphic(g2, g2)
+
+
+def test_bnode_canonicalization_counts(spark):
+    """Multiset semantics: two interchangeable bnodes collapse to one
+    label but keep their quad COUNT, so a one-bnode graph with the same
+    quad set is still distinguished."""
+    from oxigraph_spark.operators.canonicalize import isomorphic
+    from tests.test_semantics import iri, integer, quads_store
+    import oxigraph_spark.algebra.ast as A
+
+    def g(triples):
+        return quads_store(spark, triples).source.quads()
+
+    two = g([(A.BlankNode("a"), iri("p"), integer(1)),
+             (A.BlankNode("b"), iri("p"), integer(1))])
+    one = g([(A.BlankNode("c"), iri("p"), integer(1))])
+    assert not isomorphic(two, one)
