@@ -1,20 +1,26 @@
 """Benchmark harness: runs headline queries at SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) and prints ONE JSON line.
 
-Times are per-query wall clock (action = count/collect), after one
-warm-up action so JVM/codegen startup isn't attributed to query 1.
+Each query runs N_RUNS times (fresh plan build + action per run) and
+reports the per-query MEDIAN — single-run wall variance on this box is
+±50%, so medians are the minimum credible estimate (bench discipline
+note, README).  ``plan_sec`` is the median driver-side compile/plan
+portion.  One warm-up action absorbs JVM/codegen startup so run 1 of
+query 1 isn't charged for it.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 # headline subset: scan+filter+agg, multi-join, paths/closure, top-k,
 # dedup + simsearch + text + windows extensions
@@ -44,16 +50,21 @@ def main() -> None:
         fn = qs.get(name)
         if fn is None:
             continue
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        t1 = time.time()
-        n = df.count()
-        dt = round(time.time() - t0, 3)
+        walls, plans, rows = [], [], 0
+        for _ in range(N_RUNS):
+            t0 = time.time()
+            df = fn(spark, SF_DIR)
+            t1 = time.time()
+            rows = df.count()
+            walls.append(time.time() - t0)
+            plans.append(t1 - t0)
+        dt = round(statistics.median(walls), 3)
         times[name] = dt
-        compile_times[name] = round(t1 - t0, 3)
+        compile_times[name] = round(statistics.median(plans), 3)
         total += dt
-        print(f"# {name}: {n} rows in {dt}s "
-              f"(plan {compile_times[name]}s)", file=sys.stderr)
+        print(f"# {name}: {rows} rows median {dt}s over n={N_RUNS} "
+              f"(plan {compile_times[name]}s; runs "
+              f"{[round(w, 2) for w in walls]})", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
@@ -62,6 +73,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "plan_sec": compile_times,  # driver-side compile/plan portion
+        "n": N_RUNS,                # per-query runs; values are medians
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 

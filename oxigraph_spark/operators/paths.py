@@ -3,8 +3,13 @@
 Reference: ``lib/spargebra/src/algebra.rs`` · ``PropertyPathExpression``,
 evaluated in ``lib/spareval/src/eval.rs`` by an in-memory BFS with a
 visited set.  Spark-first re-expression: every path is a *relation*
-``(src, dst)`` built from DataFrame ops; the transitive-closure variants
-(``p+``/``p*``) are a semi-naive iterative fixpoint —
+``(src, dst, sk, dk)`` built from DataFrame ops, where ``sk``/``dk`` are
+the endpoints' 128-bit dictionary ids (``terms.join_key`` layout) —
+served straight from parquet when the store persisted them
+(``quad_store.write(with_keys=True)``), computed map-side once
+otherwise.  Every join inside path algebra (sequences, closures) is on
+these fixed-width ids; the transitive-closure variants (``p+``/``p*``)
+are a semi-naive iterative fixpoint —
 
     frontier' = (frontier ⋈ edges) \\ paths
 
@@ -31,17 +36,28 @@ def _key(c: Column) -> Column:
     return T.join_key(c)
 
 
-def _pair_key(df: DataFrame):
-    return _key(df["src"]), _key(df["dst"])
+_POS_KEY = {"s": "s_key", "o": "o_key"}
+
+
+def _with_keys(df: DataFrame, src_pos: str = "s", dst_pos: str = "o"
+               ) -> DataFrame:
+    """Scan → (src, dst, sk, dk), preferring store-persisted key columns
+    over re-hashing the terms (dictionary wiring, SURVEY.md §1.4)."""
+    def k(pos: str) -> Column:
+        name = _POS_KEY[pos]
+        return df[name] if name in df.columns else _key(df[pos])
+    return df.select(df[src_pos].alias("src"), df[dst_pos].alias("dst"),
+                     k(src_pos).alias("sk"), k(dst_pos).alias("dk"))
 
 
 def compile_path(compiler, pp: A.PathPattern, graph_ctx,
                  seeds: "Optional[DataFrame]" = None):
-    """``seeds`` (single TERM column ``src``): restrict closure evaluation
-    to these start nodes — the path analog of the reference's bound-prefix
-    index selection, supplied by the BGP compiler when the subject variable
-    is already bound by an earlier join operand."""
-    from ..plans.compiler import Compiled, _const_term_col
+    """``seeds`` (TERM column ``src``, optionally its key ``sk``):
+    restrict closure evaluation to these start nodes — the path analog of
+    the reference's bound-prefix index selection, supplied by the BGP
+    compiler when the subject variable is already bound by an earlier
+    join operand."""
+    from ..plans.compiler import Compiled, _const_term_col, _idname
 
     path, s, o = pp.path, pp.s, pp.o
 
@@ -59,41 +75,56 @@ def compile_path(compiler, pp: A.PathPattern, graph_ctx,
             rel = _closure(compiler, inv, _const_df(compiler, o))
             if include_zero:
                 rel = rel.unionByName(_zero_len_for(compiler, graph_ctx,
-                                                    _const_df(compiler, o)))
-            rel = rel.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+                                                    _const_df(compiler, o))) \
+                         .dropDuplicates(["sk", "dk"])
+            rel = rel.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst"),
+                             F.col("dk").alias("sk"),
+                             F.col("sk").alias("dk"))
         else:
             rel = _relation(compiler, path, graph_ctx)
     else:
         rel = _relation(compiler, path, graph_ctx)
 
+    kcol = {"src": "sk", "dst": "dk"}
     conds = []
     sel = {}
     for col, term in (("src", s), ("dst", o)):
         if isinstance(term, A.Var):
             if term.name in sel:  # ?x path ?x
-                conds.append(_key(rel[sel[term.name]]) == _key(rel[col]))
+                conds.append(rel[kcol[sel[term.name]]] == rel[kcol[col]])
             else:
                 sel[term.name] = col
         else:
-            conds.append(_key(rel[col]) == _key(_const_term_col(term)))
+            conds.append(rel[kcol[col]] == _key(_const_term_col(term)))
     df = rel
     if conds:
         df = df.where(reduce(lambda a, b: a & b, conds))
+    ids = {}
     if sel:
-        out = df.select(*[df[c].alias(v) for v, c in sel.items()])
+        out_cols = [df[c].alias(v) for v, c in sel.items()]
+        if compiler.use_ids:
+            # endpoints' dictionary ids ride along: the enclosing BGP
+            # joins this relation on them without re-hashing the terms
+            for v, c in sel.items():
+                ids[v] = _idname(v)
+                out_cols.append(df[kcol[c]].alias(ids[v]))
+        out = df.select(*out_cols)
     else:
         out = df.select(F.lit(1).alias("__unit"))
     names = frozenset(sel)
-    return Compiled(out, names, names)
+    return Compiled(out, names, names, None, None, ids)
 
 
 def _const_df(compiler, term) -> DataFrame:
     from ..plans.compiler import _const_term_col
-    return compiler.spark.range(1).select(_const_term_col(term).alias("src"))
+    c = _const_term_col(term)
+    return compiler.spark.range(1).select(c.alias("src"),
+                                          _key(c).alias("sk"))
 
 
 # ---------------------------------------------------------------------------
-# path → relation(src, dst)
+# path → relation(src, dst, sk, dk)
 # ---------------------------------------------------------------------------
 
 def _relation(compiler, path, graph_ctx) -> DataFrame:
@@ -102,26 +133,32 @@ def _relation(compiler, path, graph_ctx) -> DataFrame:
         df = compiler._graph_filter(df, graph_ctx)
         df = df.where((df["p"]["kind"] == T.KIND_IRI)
                       & (df["p"]["lex"] == path.iri))
-        return df.select(df["s"].alias("src"), df["o"].alias("dst"))
+        return _with_keys(df)
     if isinstance(path, A.PInv):
         r = _relation(compiler, path.inner, graph_ctx)
-        return r.select(r["dst"].alias("src"), r["src"].alias("dst"))
+        return r.select(r["dst"].alias("src"), r["src"].alias("dst"),
+                        r["dk"].alias("sk"), r["sk"].alias("dk"))
     if isinstance(path, A.PSeq):
         l = _relation(compiler, path.left, graph_ctx).alias("l")
         r = _relation(compiler, path.right, graph_ctx).alias("r")
-        return l.join(r, _key(F.col("l.dst")) == _key(F.col("r.src"))) \
-                .select(F.col("l.src").alias("src"), F.col("r.dst").alias("dst"))
+        return l.join(r, F.col("l.dk") == F.col("r.sk")) \
+                .select(F.col("l.src").alias("src"),
+                        F.col("r.dst").alias("dst"),
+                        F.col("l.sk").alias("sk"),
+                        F.col("r.dk").alias("dk"))
     if isinstance(path, A.PAlt):
         return _relation(compiler, path.left, graph_ctx).unionByName(
             _relation(compiler, path.right, graph_ctx))
     if isinstance(path, A.PZeroOrOne):
         return _relation(compiler, path.inner, graph_ctx).unionByName(
-            _zero_len_for(compiler, graph_ctx, None)).distinct()
+            _zero_len_for(compiler, graph_ctx, None)) \
+            .dropDuplicates(["sk", "dk"])
     if isinstance(path, A.POneOrMore):
         return _closure(compiler, _relation(compiler, path.inner, graph_ctx), None)
     if isinstance(path, A.PZeroOrMore):
         closed = _closure(compiler, _relation(compiler, path.inner, graph_ctx), None)
-        return closed.unionByName(_zero_len_for(compiler, graph_ctx, None)).distinct()
+        return closed.unionByName(_zero_len_for(compiler, graph_ctx, None)) \
+                     .dropDuplicates(["sk", "dk"])
     if isinstance(path, A.PNeg):
         df = compiler._graph_filter(compiler.source.scan(), graph_ctx)
         parts = []
@@ -129,34 +166,36 @@ def _relation(compiler, path, graph_ctx) -> DataFrame:
             fwd = df.where(df["p"]["kind"] == T.KIND_IRI)
             if path.forward:
                 fwd = fwd.where(~df["p"]["lex"].isin(*path.forward))
-            parts.append(fwd.select(df["s"].alias("src"), df["o"].alias("dst")))
+            parts.append(_with_keys(fwd))
         if path.inverse:
             inv = df.where(df["p"]["kind"] == T.KIND_IRI)
             inv = inv.where(~df["p"]["lex"].isin(*path.inverse))
-            parts.append(inv.select(df["o"].alias("src"), df["s"].alias("dst")))
+            parts.append(_with_keys(inv, src_pos="o", dst_pos="s"))
         return reduce(lambda a, b: a.unionByName(b), parts)
     raise NotImplementedError(f"path {type(path).__name__}")
 
 
-def _nodes(compiler, graph_ctx) -> DataFrame:
-    """Zero-length path domain: every term occurring in the active graph
-    as subject or object (§9.3 — subtle, see SURVEY.md PP7)."""
-    df = compiler._graph_filter(compiler.source.scan(), graph_ctx)
-    return df.select(df["s"].alias("node")).unionByName(
-        df.select(df["o"].alias("node"))).distinct()
-
-
 def _zero_len_for(compiler, graph_ctx, seeds: Optional[DataFrame]) -> DataFrame:
+    """Zero-length path rows (node, node): every term occurring in the
+    active graph as subject or object (§9.3 — subtle, see SURVEY.md PP7),
+    optionally restricted to the seed set."""
     df = compiler._graph_filter(compiler.source.scan(), graph_ctx)
-    both = df.select(df["s"].alias("node")).unionByName(
-        df.select(df["o"].alias("node")))
+
+    def part(pos: str) -> DataFrame:
+        name = _POS_KEY[pos]
+        k = df[name] if name in df.columns else _key(df[pos])
+        return df.select(df[pos].alias("node"), k.alias("k"))
+
+    both = part("s").unionByName(part("o"))
     if seeds is not None:
         # membership test only: broadcast-semi BEFORE the distinct, so the
         # full term domain is never deduplicated (a full-graph shuffle)
-        both = both.join(F.broadcast(seeds),
-                         _key(both["node"]) == _key(seeds["src"]), "leftsemi")
-    nodes = both.distinct()
-    return nodes.select(nodes["node"].alias("src"), nodes["node"].alias("dst"))
+        sk = seeds["sk"] if "sk" in seeds.columns else _key(seeds["src"])
+        both = both.join(F.broadcast(seeds.select(sk.alias("__sk"))),
+                         both["k"] == F.col("__sk"), "leftsemi")
+    nodes = both.dropDuplicates(["k"])
+    return nodes.select(nodes["node"].alias("src"), nodes["node"].alias("dst"),
+                        nodes["k"].alias("sk"), nodes["k"].alias("dk"))
 
 
 # ---------------------------------------------------------------------------
@@ -187,15 +226,15 @@ def _closure(compiler, edges: DataFrame, start: Optional[DataFrame]) -> DataFram
     (late materialization — the reference's ``EncodedTerm`` id-space
     evaluation, ``storage/numeric_encoder.rs``, as a Spark plan shape).
 
-    The fixpoint never touches TERM structs: edges encode once to
-    16-byte content-hash pairs ``(sk, dk)`` plus a ``(k, term)``
-    dictionary; every round's join / distinct / anti-join shuffles two
-    fixed-width binaries per row, and the accumulated closure decodes
-    back to terms through TWO dictionary joins at the very end.  At
-    100 TB the difference per round is shuffling 32 B/row versus two
-    full term structs (lex strings included); locally it also keeps the
-    per-round Catalyst plan small — key equality instead of rebuilt
-    hash expressions.
+    The fixpoint never touches TERM structs: the relation arrives already
+    carrying 16-byte content-hash ids ``(sk, dk)`` (from parquet when the
+    store persisted them) plus its terms; every round's join / distinct /
+    anti-join shuffles two fixed-width binaries per row, and the
+    accumulated closure decodes back to terms through TWO dictionary
+    joins at the very end.  At 100 TB the difference per round is
+    shuffling 32 B/row versus two full term structs (lex strings
+    included); locally it also keeps the per-round Catalyst plan small —
+    key equality instead of rebuilt hash expressions.
 
     Per round: two chained hop joins (halves fixpoint driver
     round-trips) deduplicated ONCE, one anti-join against the
@@ -207,14 +246,14 @@ def _closure(compiler, edges: DataFrame, start: Optional[DataFrame]) -> DataFram
     distincts anyway, so a global edge shuffle would be pure cost."""
     edges = edges.localCheckpoint(eager=False)
     # dictionary: one row per distinct endpoint term (one shuffle, once)
-    dic = edges.select(F.col("src").alias("term")) \
-               .unionByName(edges.select(F.col("dst").alias("term"))) \
-               .select(_key(F.col("term")).alias("k"), "term") \
+    dic = edges.select(F.col("sk").alias("k"), F.col("src").alias("term")) \
+               .unionByName(edges.select(F.col("dk").alias("k"),
+                                         F.col("dst").alias("term"))) \
                .dropDuplicates(["k"]).localCheckpoint(eager=False)
-    ek = edges.select(_key(edges["src"]).alias("sk"),
-                      _key(edges["dst"]).alias("dk"))
+    ek = edges.select("sk", "dk")
     if start is not None:
-        sk0 = start.select(_key(start["src"]).alias("k")).distinct()
+        sk = start["sk"] if "sk" in start.columns else _key(start["src"])
+        sk0 = start.select(sk.alias("k")).distinct()
         paths = ek.join(F.broadcast(sk0), ek["sk"] == sk0["k"], "leftsemi")
     else:
         paths = ek
@@ -254,13 +293,13 @@ def _closure(compiler, edges: DataFrame, start: Optional[DataFrame]) -> DataFram
 
 
 def _decode_pairs(pairs: DataFrame, dic: DataFrame) -> DataFrame:
-    """(sk, dk) key pairs → (src, dst) terms via two dictionary joins —
+    """(sk, dk) key pairs → (src, dst, sk, dk) via two dictionary joins —
     the LATE materialization step, run once after the fixpoint."""
     ds = dic.select(F.col("k").alias("__sk"), F.col("term").alias("src"))
     dd = dic.select(F.col("k").alias("__dk"), F.col("term").alias("dst"))
     return pairs.join(ds, pairs["sk"] == ds["__sk"]) \
                 .join(dd, pairs["dk"] == dd["__dk"]) \
-                .select("src", "dst")
+                .select("src", "dst", "sk", "dk")
 
 
 def _seeded_closure(compiler, inner_path, graph_ctx, seeds: DataFrame,
@@ -269,5 +308,5 @@ def _seeded_closure(compiler, inner_path, graph_ctx, seeds: DataFrame,
     out = _closure(compiler, edges, seeds)
     if include_zero:
         out = out.unionByName(_zero_len_for(compiler, graph_ctx, seeds)) \
-                 .distinct()
+                 .dropDuplicates(["sk", "dk"])
     return out

@@ -50,12 +50,21 @@ class Compiled:
     # propagated through joins/unions/extends
     stypes: "dict" = None
     ntypes: "dict" = None   # numeric subtype per var where guaranteed
+    # var → name of a hidden sidecar column holding the term's 128-bit
+    # content-hash identity key (terms.join_key layout), materialized ONCE
+    # when the var was first bound and carried through joins/unions — the
+    # dictionary-encoded id wiring (SURVEY.md §1.4 M7+; the reference's
+    # ``EncodedTerm``/``StrHash`` ids, storage/numeric_encoder.rs).
+    # Invariant: the id column is NULL iff the term column is NULL.
+    ids: "dict" = None
 
     def __post_init__(self):
         if self.stypes is None:
             object.__setattr__(self, "stypes", {})
         if self.ntypes is None:
             object.__setattr__(self, "ntypes", {})
+        if self.ids is None:
+            object.__setattr__(self, "ids", {})
 
 
 # -- static value-class inference (SURVEY.md §4.2.3, port of the idea in
@@ -208,6 +217,30 @@ class _Precompiled:
         self.compiled = compiled
 
 
+# Spark DDL type of the sidecar identity-key columns (terms.join_key layout)
+ID_KEY_T = "struct<h1:bigint,h2:bigint>"
+
+
+def _idname(v: str) -> str:
+    return f"__jk_{v}"
+
+
+def _key_col(term_col: Column, id_col: Optional[Column]) -> Column:
+    """Identity key for a term column, safe to EMIT into an output row
+    (NULL iff the term is NULL — required so downstream null-tolerant
+    compatibility checks can test the key instead of the term).  Reuses a
+    materialized sidecar column when given; otherwise computes it guarded
+    (join_key of an all-NULL struct is a non-NULL constant, so the guard
+    is what preserves the invariant)."""
+    if id_col is not None:
+        return id_col
+    return F.when(term_col.isNotNull(), T.join_key(term_col))
+
+
+def _out_id(c: "Compiled", v: str) -> Column:
+    return _key_col(c.df[v], c.df[c.ids[v]] if v in c.ids else None)
+
+
 def _merge_types(lv, lt, rv, rt) -> dict:
     """Merge per-var type dicts across a join/union: a guarantee survives
     only if every side that can bind the var gives the same class."""
@@ -287,6 +320,9 @@ class Compiler:
         self.spark = spark
         self.source = source  # exposes .scan(p_lex) -> DataFrame(s,p,o,g)
         self.optimize = optimize
+        # sidecar identity-key columns (Compiled.ids); disabled only when a
+        # query's own variable names could collide with the __jk_ prefix
+        self.use_ids = True
         self.now = datetime.now(timezone.utc)  # NOW() fixed per query (§2.7)
         self._counter = itertools.count()
         self._exists_markers: Dict[int, str] = {}
@@ -312,8 +348,14 @@ class Compiler:
         # what's listed (spec §13.2) — _graph_filter consults these
         self._from_graphs = tuple(getattr(q, "from_graphs", ()) or ())
         self._from_named = tuple(getattr(q, "from_named", ()) or ())
+        pat = getattr(q, "pattern", None)
+        if pat is not None and any(
+                v.startswith("__jk_") for v in A.pattern_vars(pat)):
+            self.use_ids = False  # ?__jk_* is a legal SPARQL variable name
         if isinstance(q, A.SelectQuery):
-            return self.compile_pattern(q.pattern).df
+            c = self.compile_pattern(q.pattern)
+            drop = [n for n in c.ids.values() if n in c.df.columns]
+            return c.df.drop(*drop) if drop else c.df
         if isinstance(q, A.AskQuery):
             inner = self.compile_pattern(q.pattern).df.limit(1)
             return inner.select(F.lit(True).alias("ask")).limit(1)
@@ -355,6 +397,7 @@ class Compiler:
 
         conds: List[Column] = []
         sel: Dict[str, Column] = {}
+        pos_of: Dict[str, str] = {}
         for pos, term in (("s", tp.s), ("p", tp.p), ("o", tp.o)):
             col = df[pos]
             if isinstance(term, A.Var):
@@ -362,6 +405,7 @@ class Compiler:
                     conds.append(T.same_term(sel[term.name], col))
                 else:
                     sel[term.name] = col
+                    pos_of[term.name] = pos
             elif isinstance(term, A.NamedNode):
                 if pos != "p" or p_lex is None:
                     conds.append((col["kind"] == T.KIND_IRI)
@@ -373,12 +417,28 @@ class Compiler:
                     f"{type(term).__name__} in triple pattern (bnodes are "
                     "replaced by variables during parsing)")
         if isinstance(graph_ctx, A.Var):
-            sel.setdefault(graph_ctx.name, df["g"])
+            if graph_ctx.name not in sel:
+                sel[graph_ctx.name] = df["g"]
+                pos_of[graph_ctx.name] = "g"
         if conds:
             df = df.where(reduce(lambda a, b: a & b, conds))
         # all-concrete pattern: one (empty) solution per matching quad
-        out = df.select(*[c.alias(v) for v, c in sel.items()]) if sel \
-            else df.select(F.lit(1).alias("__unit"))
+        ids: Dict[str, str] = {}
+        id_cols: List[Column] = []
+        if sel and self.use_ids:
+            # materialize each var's identity key ONCE at the scan — reused
+            # by every downstream join/distinct/minus/exists instead of
+            # re-hashing the term per operator.  A store that persisted
+            # dictionary keys at ingest (quad_store write_with_ids) serves
+            # them straight from parquet; otherwise they're a map-side
+            # 2×xxhash64 that Catalyst prunes when unused.
+            for v, pos in pos_of.items():
+                kc = df[f"{pos}_key"] if f"{pos}_key" in df.columns \
+                    else T.join_key(df[pos])
+                ids[v] = _idname(v)
+                id_cols.append(kc.alias(ids[v]))
+        out = df.select(*[c.alias(v) for v, c in sel.items()], *id_cols) \
+            if sel else df.select(F.lit(1).alias("__unit"))
         names = frozenset(sel)
         st: Dict[str, int] = {}
         nt: Dict[str, str] = {}
@@ -396,7 +456,7 @@ class Compiler:
                     st[tp.o.name] = vc
                 if nsub is not None:
                     nt[tp.o.name] = nsub
-        return Compiled(out, names, names, st, nt)
+        return Compiled(out, names, names, st, nt, ids)
 
     def _graph_filter(self, df: DataFrame, graph_ctx) -> DataFrame:
         from_g = getattr(self, "_from_graphs", ())
@@ -489,8 +549,10 @@ class Compiler:
                     and isinstance(u.s, A.Var) and u.s.name in acc.vars
                     and u.s.name in acc.certain):
                 from ..operators.paths import compile_path
-                seeds = acc.df.select(
-                    acc.df[u.s.name].alias("src")).distinct()
+                seed_cols = [acc.df[u.s.name].alias("src")]
+                if u.s.name in acc.ids:  # ship the materialized key too
+                    seed_cols.append(acc.df[acc.ids[u.s.name]].alias("sk"))
+                seeds = acc.df.select(*seed_cols).distinct()
                 c = compile_path(self, u, graph_ctx, seeds=seeds)
                 acc = self._join(acc, c, "inner")
             else:
@@ -552,6 +614,12 @@ class Compiler:
                 continue
             sel = [df["s"].alias(svar)] + [
                 df[f"o{i}"].alias(v) for i, v in enumerate(ovars)]
+            ids: Dict[str, str] = {}
+            if self.use_ids:
+                for v, c in [(svar, df["s"])] + [
+                        (vv, df[f"o{i}"]) for i, vv in enumerate(ovars)]:
+                    ids[v] = _idname(v)
+                    sel.append(T.join_key(c).alias(ids[v]))
             names = frozenset([svar] + ovars)
             st: Dict[str, int] = {svar: K.VC_NONLIT}
             nt: Dict[str, str] = {}
@@ -563,7 +631,8 @@ class Compiler:
                         st[tp.o.name] = vc
                     if nsub is not None:
                         nt[tp.o.name] = nsub
-            compiled.append(Compiled(df.select(*sel), names, names, st, nt))
+            compiled.append(Compiled(df.select(*sel), names, names, st, nt,
+                                     ids))
         return compiled, loose
 
     def _apply_conjuncts(self, c: Compiled,
@@ -612,17 +681,24 @@ class Compiler:
         shared = sorted(l.vars & r.vars)
         rdf = r.df
         ren = {v: f"{v}__r" for v in shared}
+        ren_id = {v: f"{_idname(v)}__r" for v in shared if v in r.ids}
         for v, rv in ren.items():
             rdf = rdf.withColumnRenamed(v, rv)
+        for v, rv in ren_id.items():
+            rdf = rdf.withColumnRenamed(r.ids[v], rv)
 
         conds: List[Column] = []
         for v in shared:
             lc, rc = l.df[v], rdf[ren[v]]
+            # join on the materialized identity key when a side carries
+            # one (computed once at its scan) instead of re-hashing the
+            # term per join — the dictionary-encoded id path (§1.4 M7+)
+            lk = l.df[l.ids[v]] if v in l.ids else T.join_key(lc)
+            rk = rdf[ren_id[v]] if v in r.ids else T.join_key(rc)
             if v in l.certain and v in r.certain:
-                conds.append(T.join_key(lc) == T.join_key(rc))
+                conds.append(lk == rk)
             else:
-                conds.append(lc.isNull() | rc.isNull()
-                             | (T.join_key(lc) == T.join_key(rc)))
+                conds.append(lc.isNull() | rc.isNull() | (lk == rk))
 
         # merged-view environment for expressions scoping over both sides
         env: Dict[str, Column] = {}
@@ -642,11 +718,32 @@ class Compiler:
         joined = l.df.join(rdf, cond, how)
 
         if how in ("leftsemi", "leftanti"):
-            return Compiled(joined, l.vars, l.certain, l.stypes, l.ntypes)
+            return Compiled(joined, l.vars, l.certain, l.stypes, l.ntypes,
+                            l.ids)
 
         out_cols = [env[v].alias(v) for v in sorted(l.vars | r.vars)]
         if not out_cols:
             out_cols = [F.lit(1).alias("__unit")]
+        # propagate identity keys: merged for shared vars (null iff the
+        # merged term is null), passthrough for one-sided vars
+        out_ids: Dict[str, str] = {}
+        for v in sorted(l.vars | r.vars):
+            if v in shared:
+                if v not in l.ids and v not in r.ids:
+                    continue
+                lkg = _key_col(l.df[v],
+                               l.df[l.ids[v]] if v in l.ids else None)
+                rkg = _key_col(rdf[ren[v]],
+                               rdf[ren_id[v]] if v in r.ids else None)
+                key = F.coalesce(lkg, rkg)
+            elif v in l.ids:
+                key = l.df[l.ids[v]]
+            elif v in r.ids:
+                key = rdf[r.ids[v]]
+            else:
+                continue
+            out_ids[v] = _idname(v)
+            out_cols.append(key.alias(out_ids[v]))
         out = joined.select(*out_cols)
         if how == "inner":
             certain = l.certain | r.certain
@@ -656,7 +753,7 @@ class Compiler:
             certain = frozenset()
         st = _merge_types(l.vars, l.stypes, r.vars, r.stypes)
         nt = _merge_types(l.vars, l.ntypes, r.vars, r.ntypes)
-        return Compiled(out, l.vars | r.vars, certain, st, nt)
+        return Compiled(out, l.vars | r.vars, certain, st, nt, out_ids)
 
     def _c_Join(self, n: A.Join, graph_ctx) -> Compiled:
         return self._join(self.compile_pattern(n.left, graph_ctx),
@@ -694,7 +791,7 @@ class Compiler:
         ldf = l0.df.withColumn(rid, F.monotonically_increasing_id()) \
                    .localCheckpoint(eager=False)
         l = Compiled(ldf, l0.vars | {rid}, l0.certain | {rid},
-                     l0.stypes, l0.ntypes)
+                     l0.stypes, l0.ntypes, l0.ids)
         joined = self._join(l, r, "inner")
         inner, env, markers = self._attach_exists(joined, n.expr, graph_ctx)
         self._set_type_env(inner)
@@ -724,22 +821,25 @@ class Compiler:
         if not shared:
             # disjoint domains: MINUS removes nothing (spec §8.3.3)
             return l
-        rdf = r.df
-        ren = {v: f"{v}__r" for v in shared}
-        for v, rv in ren.items():
-            rdf = rdf.withColumnRenamed(v, rv)
+        # the anti-join only needs the right side's term IDENTITIES:
+        # project to 16-byte keys before the distinct, so the exchange
+        # ships fixed-width keys instead of full term structs (lex
+        # strings included) — the dictionary-encoded id path (§1.4 M7+).
+        # Key NULL ⟺ term NULL (the _out_id invariant), so the
+        # compatibility null-checks can test the key directly.
+        rkeys = r.df.select(
+            *[_out_id(r, v).alias(f"__mk_{v}") for v in shared]).distinct()
         compat = []
         overlap = []
         for v in shared:
-            lc, rc = l.df[v], rdf[ren[v]]
-            compat.append(lc.isNull() | rc.isNull()
-                          | (T.join_key(lc) == T.join_key(rc)))
-            overlap.append(lc.isNotNull() & rc.isNotNull())
+            lc, rk = l.df[v], rkeys[f"__mk_{v}"]
+            lk = l.df[l.ids[v]] if v in l.ids else T.join_key(lc)
+            compat.append(lc.isNull() | rk.isNull() | (lk == rk))
+            overlap.append(lc.isNotNull() & rk.isNotNull())
         cond = reduce(lambda a, b: a & b, compat) \
             & reduce(lambda a, b: a | b, overlap)
-        out = l.df.join(rdf.select(*[ren[v] for v in shared]).distinct(),
-                        cond, "leftanti")
-        return Compiled(out, l.vars, l.certain, l.stypes, l.ntypes)
+        out = l.df.join(rkeys, cond, "leftanti")
+        return Compiled(out, l.vars, l.certain, l.stypes, l.ntypes, l.ids)
 
     def _c_Union_(self, n: A.Union_, graph_ctx) -> Compiled:
         l = self.compile_pattern(n.left, graph_ctx)
@@ -750,11 +850,27 @@ class Compiler:
             ldf = ldf.withColumn(v, B.err())
         for v in sorted(lv - rv):
             rdf = rdf.withColumn(v, B.err())
+        # identity keys survive a union when every branch supplies them:
+        # passthrough where materialized, guarded compute where the branch
+        # binds the var without a key, typed-NULL where it pads
+        id_vars = sorted(set(l.ids) | set(r.ids))
+        for v in id_vars:
+            if v not in l.ids:
+                ldf = ldf.withColumn(
+                    _idname(v),
+                    _key_col(ldf[v], None) if v in lv
+                    else F.lit(None).cast(ID_KEY_T))
+            if v not in r.ids:
+                rdf = rdf.withColumn(
+                    _idname(v),
+                    _key_col(rdf[v], None) if v in rv
+                    else F.lit(None).cast(ID_KEY_T))
         out = ldf.unionByName(rdf.select(*ldf.columns))
         certain = (l.certain & r.certain)
         st = _merge_types(lv, l.stypes, rv, r.stypes)
         nt = _merge_types(lv, l.ntypes, rv, r.ntypes)
-        return Compiled(out, lv | rv, certain, st, nt)
+        return Compiled(out, lv | rv, certain, st, nt,
+                        {v: _idname(v) for v in id_vars})
 
     # -- unary operators -----------------------------------------------
 
@@ -773,7 +889,7 @@ class Compiler:
         if drop:
             df = df.drop(*drop)
         return Compiled(df, inner.vars, inner.certain,
-                        inner.stypes, inner.ntypes)
+                        inner.stypes, inner.ntypes, inner.ids)
 
     def _c_Extend(self, n: A.Extend, graph_ctx) -> Compiled:
         inner = self.compile_pattern(n.inner, graph_ctx)
@@ -800,7 +916,8 @@ class Compiler:
         vn = self._ntype(n.expr)
         if vn is not None:
             nt[n.var.name] = vn
-        return Compiled(df, inner.vars | {n.var.name}, inner.certain, st, nt)
+        return Compiled(df, inner.vars | {n.var.name}, inner.certain, st, nt,
+                        inner.ids)
 
     def _c_Values(self, n: A.Values, graph_ctx) -> Compiled:
         from pyspark.sql.types import StructField, StructType
@@ -873,10 +990,15 @@ class Compiler:
         cols = [(inner.df[v.name] if v.name in inner.vars else B.err())
                 .alias(v.name) for v in n.vars]
         names = frozenset(v.name for v in n.vars)
+        # keep the projected vars' identity keys alive across the
+        # projection (a subselect's output often joins right back)
+        keep_ids = {v: inner.ids[v] for v in names if v in inner.ids}
+        cols.extend(inner.df[c] for c in keep_ids.values())
         return Compiled(inner.df.select(*cols), names,
                         inner.certain & names,
                         {k: v for k, v in inner.stypes.items() if k in names},
-                        {k: v for k, v in inner.ntypes.items() if k in names})
+                        {k: v for k, v in inner.ntypes.items() if k in names},
+                        keep_ids)
 
     def _c_Distinct(self, n: A.Distinct, graph_ctx) -> Compiled:
         inner = self.compile_pattern(n.inner, graph_ctx)
@@ -1026,32 +1148,62 @@ class Compiler:
             sub = self.compile_pattern(node.pattern, graph_ctx)
             shared = sorted(frozenset(inner.vars) & sub.vars)
             marker = self._fresh("ex")
-            sdf = sub.df.select(
-                *[sub.df[v].alias(f"{v}__e{marker}") for v in shared],
-                F.lit(True).alias(marker))
             if shared:
-                sdf = sdf.distinct()
-                conds = []
-                for v in shared:
-                    lc, rc = df[v], sdf[f"{v}__e{marker}"]
-                    if v in inner.certain and v in sub.certain:
-                        conds.append(T.join_key(lc) == T.join_key(rc))
-                    else:
-                        conds.append(lc.isNull() | rc.isNull()
-                                     | (T.join_key(lc) == T.join_key(rc)))
-                df = df.join(sdf, reduce(lambda a, b: a & b, conds), "left")
+                # the marker join only needs the subpattern's term
+                # IDENTITIES: ship 16-byte keys, not term structs (§1.4)
+                kn = {v: f"{v}__e{marker}" for v in shared}
+                sdf = sub.df.select(
+                    *[_out_id(sub, v).alias(kn[v]) for v in shared]) \
+                    .distinct() \
+                    .withColumn(marker, F.lit(True))
+
+                def cond_for(ldf: DataFrame) -> Column:
+                    conds = []
+                    for v in shared:
+                        lc = ldf[v]
+                        lk = ldf[inner.ids[v]] if v in inner.ids \
+                            else T.join_key(lc)
+                        rk = sdf[kn[v]]
+                        if v in inner.certain and v in sub.certain:
+                            conds.append(lk == rk)
+                        else:
+                            conds.append(lc.isNull() | rk.isNull()
+                                         | (lk == rk))
+                    return reduce(lambda a, b: a & b, conds)
+
+                if all(v in inner.certain and v in sub.certain
+                       for v in shared):
+                    # strict equality against a distinct key set matches
+                    # ≤1 sdf row per input row: safe as a plain left join
+                    df = df.join(sdf, cond_for(df), "left") \
+                           .drop(*kn.values())
+                else:
+                    # null-tolerant compatibility: an UNBOUND shared var
+                    # is compatible with EVERY key row, so a plain left
+                    # join would duplicate the input row once per match —
+                    # a solution-multiplicity bug.  Pin a row id, detect
+                    # hits with a semi-join, re-attach the marker 1:1.
+                    rid = self._fresh("exrow")
+                    df = df.withColumn(
+                        rid, F.monotonically_increasing_id()) \
+                        .localCheckpoint(eager=False)
+                    hits = df.join(sdf, cond_for(df), "leftsemi") \
+                             .select(F.col(rid).alias(f"{rid}__h"),
+                                     F.lit(True).alias(marker))
+                    df = df.join(hits, df[rid] == hits[f"{rid}__h"],
+                                 "left").drop(f"{rid}__h", rid)
             else:
                 # uncorrelated EXISTS: one-row broadcast flag (true iff the
                 # subpattern has any solution; agg over empty input → NULL)
-                flag = sdf.agg(F.max(F.col(marker)).alias(marker))
+                flag = sub.df.select(F.lit(True).alias(marker)) \
+                    .agg(F.max(F.col(marker)).alias(marker))
                 df = df.crossJoin(F.broadcast(flag))
-            df = df.drop(*[f"{v}__e{marker}" for v in shared])
             self._exists_markers[id(node)] = marker
             markers.append(marker)
         for v in inner.vars:
             env[v] = df[v]
         return Compiled(df, inner.vars, inner.certain,
-                        inner.stypes, inner.ntypes), env, markers
+                        inner.stypes, inner.ntypes, inner.ids), env, markers
 
     # ------------------------------------------------------------------
     # expressions

@@ -1,16 +1,27 @@
 """Dictionary-encoded term storage (SURVEY.md §1.4 / M7+ optimization).
 
-The reference interns every term to a fixed-size ``EncodedTerm`` with an
-``id2str`` dictionary (``storage/numeric_encoder.rs``).  The Spark analog:
-a ``terms(id BIGINT, term TERM)`` dictionary plus ``quads_ids(s_id, p_id,
-o_id, g_id)`` — joins/distinct/closures then shuffle 8-byte longs instead
-of 4-field structs.  ids are content hashes (xxhash64 of the term key), so
-encoding needs NO global coordination (no monotonically-increasing ids, no
-driver round-trip) — the property that matters at 100 TB ingest.
+The reference interns every term to a fixed-size ``EncodedTerm`` whose
+string payloads are 128-bit content hashes with an ``id2str`` side table
+(``storage/numeric_encoder.rs`` · ``StrHash``).  The Spark analog: a
+``terms(id, term)`` dictionary plus ``quads_ids(s_id, p_id, o_id, g_id)``
+— joins/distinct/closures then shuffle 16-byte keys instead of full term
+structs.  Ids are content hashes (two independently-seeded xxhash64
+halves over the term-identity 4-tuple, :func:`model.terms.join_key`), so
+encoding needs NO global coordination (no monotonically-increasing ids,
+no driver round-trip) — the property that matters at 100 TB ingest.
 
-This module is self-contained (encode/decode/verify); wiring the compiler
-to join on ids end-to-end is the planned M7+ step — the measured win only
-appears when shuffle volume dominates, i.e. beyond local test scale.
+Why 128-bit and not 64: at N distinct terms the collision odds are
+≈ N²/2¹²⁹.  A 100 TB corpus can hold ~10¹² distinct terms, where 64-bit
+ids expect hundreds of colliding pairs (N²/2⁶⁵ ≈ 3·10²) — silent wrong
+joins — while 128-bit stays at ~10⁻¹⁵.  Same sizing call as upstream's
+``StrHash``.
+
+The compiler consumes this encoding two ways:
+- ``plans/compiler.py`` materializes the same key once per variable at
+  every pattern scan (``Compiled.ids`` sidecar columns) and joins on it;
+- :class:`quad_store.ParquetQuadStore` persists the four key columns at
+  ingest so scans serve them straight from parquet (zero query-time
+  hashing).
 """
 
 from __future__ import annotations
@@ -21,24 +32,18 @@ from ..model import terms as T
 
 
 def term_id(t: Column) -> Column:
-    """Deterministic 64-bit id = hash of the term identity 4-tuple.
-    Collision probability over N distinct terms ≈ N²/2⁶⁵ (≈ 3e-7 at one
-    billion terms) — acceptable for analytics; a 128-bit variant (two
-    xxhash64 seeds) is the belt-and-braces option."""
-    # per-field null sentinels: Spark hash functions skip null inputs,
-    # which would conflate (lex, null, lang) with (lex, lang, null) —
-    # same scheme as model.terms.join_key
-    return F.xxhash64(t["kind"],
-                      F.coalesce(t["lex"], F.lit("\x00L")),
-                      F.coalesce(t["datatype"], F.lit("\x00D")),
-                      F.coalesce(t["lang"], F.lit("\x00G")))
+    """Deterministic 128-bit id (struct<h1,h2>) = content hash of the term
+    identity 4-tuple — exactly :func:`model.terms.join_key`, re-exported
+    here as the dictionary's id function so store/compiler/dictionary all
+    share one key layout."""
+    return T.join_key(t)
 
 
 def encode(quads: DataFrame) -> tuple[DataFrame, DataFrame]:
     """quads(s,p,o,g) → (terms(id, term), quads_ids(s_id,p_id,o_id,g_id)).
 
     One pass for ids (map-side hashing, no shuffle); the dictionary is a
-    distinct over the exploded terms (one shuffle on the 8-byte id)."""
+    distinct over the exploded terms (one shuffle on the 16-byte id)."""
     ids = quads.select(
         term_id(quads["s"]).alias("s_id"), term_id(quads["p"]).alias("p_id"),
         term_id(quads["o"]).alias("o_id"), term_id(quads["g"]).alias("g_id"))

@@ -37,14 +37,25 @@ class ParquetQuadStore:
 
     @staticmethod
     def write(df: DataFrame, path: str,
-              sort_in_partition: bool = True) -> None:
+              sort_in_partition: bool = True,
+              with_keys: bool = True) -> None:
         """Write quads (s,p,o,g) partitioned by predicate.
 
         At 100 TB you run this once per ingest batch; repartitioning by
         the partition column co-locates each predicate's quads so every
         output partition dir is a small number of large files (no
         small-file explosion), and the in-partition sort gives parquet
-        row-group min/max stats on s.lex/o.lex for index-like pruning."""
+        row-group min/max stats on s.lex/o.lex for index-like pruning.
+
+        ``with_keys`` additionally persists the 128-bit dictionary id of
+        each position (``s_key``/``p_key``/``o_key``/``g_key``,
+        :func:`dictionary.term_id` = ``terms.join_key`` layout).  The
+        query compiler joins on these ids (``Compiled.ids``); persisting
+        them at ingest means pattern scans serve join keys straight from
+        parquet — zero query-time hashing, computed once per quad ever.
+        Cost: 4×16 bytes per row before parquet encoding (keys of
+        repeated terms dictionary-encode well)."""
+        from . import dictionary as D
         keyed = df.withColumn(
             "p_part",
             F.concat(
@@ -52,6 +63,10 @@ class ParquetQuadStore:
                                  "[^A-Za-z0-9_]+", "_"),
                 F.lit("_"),
                 F.substring(F.sha1(F.encode(F.col("p.lex"), "UTF-8")), 1, 8)))
+        if with_keys:
+            for pos in ("s", "p", "o", "g"):
+                keyed = keyed.withColumn(f"{pos}_key",
+                                         D.term_id(F.col(pos)))
         out = keyed.repartition(F.col("p_part"))
         if sort_in_partition:
             out = out.sortWithinPartitions("p_part", F.col("s.lex"),
@@ -69,7 +84,16 @@ class ParquetQuadStore:
             # partition pruning on p_part + exact check on p.lex
             df = df.where((F.col("p_part") == self._part_value(p_lex))
                           & (F.col("p.lex") == p_lex))
-        return df.select("s", "p", "o", "g")
+        # serve persisted dictionary keys alongside the terms when the
+        # dataset was written with_keys — the compiler's pattern scan
+        # (`_c_TriplePattern`) picks them up as the join-id sidecar
+        # instead of re-hashing; column pruning drops unused ones
+        cols = ["s", "p", "o", "g"] + [
+            k for k in ("s_key", "p_key", "o_key", "g_key")
+            if k in df.columns]
+        return df.select(*cols)
 
     def quads(self) -> DataFrame:
-        return self.scan()
+        # plain quad schema (no key sidecars): update ops and exporters
+        # union this with freshly instantiated quads
+        return self.scan().select("s", "p", "o", "g")

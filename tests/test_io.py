@@ -306,3 +306,29 @@ def test_dictionary_encode_roundtrip(spark, nt_path):
         T.term_key(df["s"]).alias("a"), T.term_key(df["p"]).alias("b"),
         T.term_key(df["o"]).alias("c")).collect()))
     assert k(back) == k(quads)
+
+
+def test_quad_store_persisted_dictionary_keys(spark, nt_path, tmp_path):
+    """write(with_keys=True) persists 128-bit dictionary ids per position
+    (SURVEY.md §1.4): scans serve them, they agree with a fresh
+    join_key computation, and a self-join query over the store uses them
+    instead of re-hashing terms (zero xxhash64 in the optimized plan)."""
+    df = read_ntriples(spark, nt_path)
+    path = str(tmp_path / "qstore_keys")
+    ParquetQuadStore.write(df, path)
+    store = ParquetQuadStore(spark, path)
+    scan = store.scan("urn:ex:name")
+    assert {"s_key", "p_key", "o_key", "g_key"} <= set(scan.columns)
+    ok = scan.select(
+        (scan["s_key"] == T.join_key(scan["s"])).alias("s_ok"),
+        (scan["o_key"] == T.join_key(scan["o"])).alias("o_ok")).collect()
+    assert all(r.s_ok and r.o_ok for r in ok)
+    # quads() stays plain (update/export schema)
+    assert store.quads().columns == ["s", "p", "o", "g"]
+
+    st = Store(spark, store)
+    q = st.query("""SELECT ?u ?w WHERE {
+        ?u <urn:ex:p> ?v . ?v <urn:ex:p> ?w . }""")
+    assert [(r.u.lex, r.w.lex) for r in q.collect()] == [("b1", "urn:ex:b")]
+    plan = q._jdf.queryExecution().optimizedPlan().toString()
+    assert "xxhash64" not in plan  # join keys come straight from parquet

@@ -266,3 +266,25 @@ def test_bnode_canonicalization_counts(spark):
              (A.BlankNode("b"), iri("p"), integer(1))])
     one = g([(A.BlankNode("c"), iri("p"), integer(1))])
     assert not isomorphic(two, one)
+
+
+def test_exists_unbound_shared_var_multiplicity(store):
+    """FILTER EXISTS sharing a var that is UNBOUND in the outer solution:
+    the unbound var is compatible with every subpattern solution, so the
+    row passes — but must appear exactly ONCE (a naive compatibility
+    left-join against the subpattern's distinct bindings duplicates it
+    once per distinct value)."""
+    q = f"""
+        SELECT ?s ?v WHERE {{
+          ?s <{EX}label> ?l .
+          OPTIONAL {{ ?s <{EX}v> ?v }}
+          FILTER EXISTS {{ ?a <{EX}v> ?v }}
+        }}"""
+    df = store.query(q)
+    got = sorted(r.s.lex[-2:] for r in df.collect())
+    # s1..s5 carry labels and never bind ?v; EXISTS {?a v ?v} with ?v
+    # free is satisfiable → each row passes exactly once
+    assert got == ["s1", "s2", "s3", "s4", "s5"]
+    # and the complement: NOT EXISTS drops all of them
+    df2 = store.query(q.replace("FILTER EXISTS", "FILTER NOT EXISTS"))
+    assert df2.count() == 0
