@@ -636,9 +636,6 @@ class Parser:
             p = A.NamedNode(self._iri())
         o = self._graph_node(out)
         self.eat_op(">>")
-        if isinstance(s, A.QuotedTriple):
-            raise ParseError("quoted triple nested in subject position is "
-                             "not supported (v1 restriction)")
         if all(not isinstance(x, A.Var) for x in (s, p, o)):
             return A.QuotedTriple(s, p, o)
         if self._template_depth:

@@ -11,16 +11,20 @@ fixed-width (no recursive schema — Spark cannot express one), makes
 quoted-triple identity plain term identity (kind + lex), and lets every
 accessor be a pure JVM regex/substring expression:
 
-- subject and predicate tokens never contain spaces (see restriction),
-  so ``^(\\S+) (\\S+) (.*)$`` splits the components exactly;
+- a plain (IRI/bnode) subject token never contains spaces, so
+  ``^(\\S+) `` splits it off directly; a NESTED quoted-triple subject
+  token (``<<…>>``, which may contain spaces at any depth) is split off
+  by an exact char-scan (``aggregate`` over the characters tracking
+  quote-nesting depth, string state, and IRI state — still a pure JVM
+  expression, no UDF);
+- the predicate token (always an IRI) is the next ``\\S+``;
 - the object token (which may contain spaces: literals, nested quoted
   triples) is the remainder, re-parsed by the shared N-Triples token
   parser, which rebuilds the full typed payload for literals.
 
-v1 restriction (documented; mirrors the regex-parseable subset): the
-SUBJECT of a quoted triple must be an IRI or blank node — quoted triples
-nested in subject position are rejected by TRIPLE() (error→NULL) and the
-parser.  Nesting in OBJECT position is unrestricted.
+TRIPLE()/SUBJECT/PREDICATE/OBJECT are exact at ANY nesting depth.  Only
+the N-Triples LINE reader bounds nesting (``ntriples.QT_DEPTH``, regex
+unrolling — see there).
 """
 
 from __future__ import annotations
@@ -39,8 +43,9 @@ def quoted_lex(s: Column, p: Column, o: Column) -> Column:
 
 def fn_triple(s: Column, p: Column, o: Column) -> Column:
     """TRIPLE(s, p, o) → quoted-triple term (SPARQL 1.2 §17).
-    Errors (NULL) unless s is IRI/bnode, p is IRI, o is any RDF term."""
-    ok = (s["kind"].isin(T.KIND_IRI, T.KIND_BNODE)
+    Errors (NULL) unless s is IRI/bnode/quoted triple, p is IRI, o is any
+    RDF term."""
+    ok = (s["kind"].isin(T.KIND_IRI, T.KIND_BNODE, T.KIND_TRIPLE)
           & (p["kind"] == T.KIND_IRI)
           & o["kind"].isin(T.KIND_IRI, T.KIND_BNODE, T.KIND_LITERAL,
                            T.KIND_TRIPLE))
@@ -48,14 +53,72 @@ def fn_triple(s: Column, p: Column, o: Column) -> Column:
             .otherwise(err())
 
 
+def _subject_token_len(lex: Column) -> Column:
+    """Length of a NESTED quoted-triple subject token at the start of
+    ``lex`` (which begins with ``<<``).  Exact one-pass char scan as a
+    JVM ``aggregate`` over the characters after the opening ``<<``:
+    ``<<``/``>>`` pairs adjust depth, but only OUTSIDE literal strings
+    (escape-aware) and OUTSIDE ``<…>`` IRI tokens (whose ``>`` must not
+    pair with a following ``>``).  Returns the 1-based position of the
+    closing ``>`` — the subject token is ``substr(lex, 1, len)``."""
+    chars = F.split(lex.substr(F.lit(3), F.length(lex)), "")
+    init = F.struct(
+        F.lit(1).alias("d"), F.lit(2).alias("i"),
+        F.lit(False).alias("instr"), F.lit(False).alias("esc"),
+        F.lit(False).alias("iniri"), F.lit("").alias("prev"),
+        F.lit(0).alias("fin"))
+
+    def step(a: Column, c: Column) -> Column:
+        i2 = a["i"] + F.lit(1)
+        at_top = (~a["instr"]) & (~a["iniri"])
+        pend_lt = at_top & (a["prev"] == F.lit("<"))
+        pend_gt = at_top & (a["prev"] == F.lit(">"))
+        open_ = pend_lt & (c == F.lit("<"))          # "<<" quote-open
+        close = pend_gt & (c == F.lit(">"))          # ">>" quote-close
+        iri_start = pend_lt & (c != F.lit("<")) & (c != F.lit(">"))
+        empty_iri = pend_lt & (c == F.lit(">"))      # "<>"
+        d2 = F.when(open_, a["d"] + 1).when(close, a["d"] - 1) \
+              .otherwise(a["d"])
+        fin2 = F.when(close & (d2 == F.lit(0)), i2).otherwise(F.lit(0))
+        instr2 = F.when(a["instr"], ~((c == F.lit('"')) & (~a["esc"]))) \
+                  .otherwise(at_top & (~pend_lt) & (c == F.lit('"')))
+        esc2 = a["instr"] & (c == F.lit("\\")) & (~a["esc"])
+        iniri2 = (F.when(a["instr"], F.lit(False))
+                   .when(a["iniri"], c != F.lit(">"))
+                   .otherwise(iri_start))
+        prev2 = (F.when(a["instr"] | a["iniri"] | open_ | close
+                        | iri_start | empty_iri | instr2, F.lit(""))
+                  .when(c == F.lit("<"), F.lit("<"))
+                  .when(c == F.lit(">"), F.lit(">"))
+                  .otherwise(F.lit("")))
+        upd = F.struct(d2.alias("d"), i2.alias("i"), instr2.alias("instr"),
+                       esc2.alias("esc"), iniri2.alias("iniri"),
+                       prev2.alias("prev"), fin2.alias("fin"))
+        return F.when(a["fin"] > F.lit(0), a).otherwise(upd)
+
+    return F.aggregate(chars, init, step)["fin"]
+
+
 def _component(t: Column, which: str) -> Column:
     lex = t["lex"]
+    nested_subj = lex.startswith("<<")
     if which == "s":
-        tok = F.regexp_extract(lex, r"^(\S+) ", 1)
-    elif which == "p":
-        tok = F.regexp_extract(lex, r"^\S+ (\S+) ", 1)
+        tok = F.when(nested_subj,
+                     T.let1(_subject_token_len(lex),
+                            lambda n: lex.substr(F.lit(1), n))) \
+               .otherwise(F.regexp_extract(lex, r"^(\S+) ", 1))
     else:
-        tok = F.regexp_extract(lex, r"^\S+ \S+ (.*)$", 1)
+        # strip the subject token (+ the separating space), then the
+        # predicate is the next \S+ and the object the remainder
+        rest = F.when(nested_subj,
+                      T.let1(_subject_token_len(lex),
+                             lambda n: lex.substr(n + F.lit(2),
+                                                  F.length(lex)))) \
+                .otherwise(F.regexp_extract(lex, r"^\S+ (.*)$", 1))
+        if which == "p":
+            tok = F.regexp_extract(rest, r"^(\S+)", 1)
+        else:
+            tok = F.regexp_extract(rest, r"^\S+ (.*)$", 1)
     # let-bind the extracted token so parse_token's many references see a
     # leaf lambda var, not a duplicated regexp_extract subtree
     return F.when(t["kind"] == T.KIND_TRIPLE, T.let1(tok, parse_token)) \

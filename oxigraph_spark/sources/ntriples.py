@@ -23,10 +23,28 @@ from ..model import terms as T
 _T_IRI = r"<[^>]*>"
 _T_BN = r"_:\S+"
 _T_LIT = r"\"(?:[^\"\\]|\\.)*\"(?:@[A-Za-z0-9-]+|\^\^<[^>]*>)?"
-# RDF-star quoted triple token (one nesting level — regex cannot count;
-# deeper nesting is handled only through the TRIPLE() constructor path)
-_T_QT = (rf"<<\s*(?:{_T_IRI}|{_T_BN})\s+{_T_IRI}\s+"
-         rf"(?:{_T_IRI}|{_T_BN}|{_T_LIT})\s*>>")
+
+# RDF-star quoted triple token.  Regex cannot count, so nesting is
+# unrolled to a BOUNDED depth (subject and object positions may each hold
+# a quoted triple of the next-lower depth, per the RDF-star grammar).
+# Deeper documents drop those lines in the lenient reader; the TRIPLE()
+# constructor and SUBJECT/PREDICATE/OBJECT accessors are exact at ANY
+# depth (the accessors use a char-scan, not this regex).
+QT_DEPTH = 4
+
+
+def _qt_pattern(depth: int) -> str:
+    s_alt = [_T_IRI, _T_BN]
+    o_alt = [_T_IRI, _T_BN, _T_LIT]
+    if depth > 0:
+        inner = _qt_pattern(depth - 1)
+        s_alt.append(inner)
+        o_alt.append(inner)
+    return (rf"<<\s*(?:{'|'.join(s_alt)})\s+{_T_IRI}\s+"
+            rf"(?:{'|'.join(o_alt)})\s*>>")
+
+
+_T_QT = _qt_pattern(QT_DEPTH)
 
 # subject: IRI/bnode/quoted triple; predicate: IRI; object adds literals;
 # optional graph label (N-Quads); trailing dot.  NB: the quoted-triple
@@ -137,18 +155,38 @@ def _parse_term(raw: Column, canonicalize_qt: bool = False) -> Column:
                       datatype=F.lit(T.RDF_LANGSTRING), lang=lang))
         .otherwise(T.make_typed(lex, dt)))
     if canonicalize_qt:
-        inner = F.trim(raw.substr(F.lit(3), F.length(raw) - 4))
-        qs = F.regexp_extract(inner, rf"^({_T_IRI}|{_T_BN})", 1)
-        qp = F.regexp_extract(inner, rf"^(?:{_T_IRI}|{_T_BN})\s+({_T_IRI})", 1)
-        qo = F.regexp_extract(
-            inner, rf"^(?:{_T_IRI}|{_T_BN})\s+{_T_IRI}\s+(.*?)\s*$", 1)
-        qt_lex = F.concat_ws(" ", qs, qp, qo)
+        qt_lex = _norm_qt_body(raw, QT_DEPTH)
     else:
         qt_lex = F.trim(raw.substr(F.lit(3), F.length(raw) - 4))
     return (F.when(is_qt, T.term_struct(T.KIND_TRIPLE, qt_lex))
              .when(is_iri, T.iri(lex_iri))
              .when(is_bnode, T.bnode(raw.substr(F.lit(3), F.length(raw))))
              .otherwise(lit))
+
+
+def _norm_qt_body(tok: Column, depth: int) -> Column:
+    """Quoted-triple TOKEN (``<<…>>``) → canonical space-separated
+    component body (the term's ``lex``), recursively normalizing the
+    spacing of NESTED quoted-triple tokens in subject/object position so
+    identity matches what the TRIPLE() constructor and the writer
+    produce.  Bounded by ``depth`` — matching the reader's token regex;
+    a level-k component can only hold a depth-(k-1) token, so the
+    embedded patterns SHRINK with recursion (expression stays small)."""
+    inner = F.trim(tok.substr(F.lit(3), F.length(tok) - 4))
+    comp = _qt_pattern(depth - 1) if depth > 0 else None
+    s_pat = rf"{comp}|{_T_IRI}|{_T_BN}" if comp else rf"{_T_IRI}|{_T_BN}"
+    qs = F.regexp_extract(inner, rf"^({s_pat})", 1)
+    qp = F.regexp_extract(inner, rf"^(?:{s_pat})\s+({_T_IRI})", 1)
+    qo = F.regexp_extract(
+        inner, rf"^(?:{s_pat})\s+{_T_IRI}\s+(.*?)\s*$", 1)
+    if depth > 0:
+        def norm(c: Column) -> Column:
+            return F.when(
+                c.startswith("<<"),
+                F.concat(F.lit("<<"), _norm_qt_body(c, depth - 1),
+                         F.lit(">>"))).otherwise(c)
+        qs, qo = norm(qs), norm(qo)
+    return F.concat_ws(" ", qs, qp, qo)
 
 
 def parse_token(raw: Column) -> Column:

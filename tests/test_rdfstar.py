@@ -94,14 +94,52 @@ def test_star_roundtrip(spark, star_store, tmp_path):
     assert key(quads) == key(again)
 
 
-def test_nested_subject_rejected(star_store):
-    from oxigraph_spark.algebra.parser import ParseError
-    store, _ = star_store
-    with pytest.raises(ParseError):
-        store.query("""
-            SELECT ?c WHERE {
-              << << <urn:a> <urn:p> 1 >> <urn:q> 2 >> <urn:certainty> ?c .
-            }""")
+def test_nested_subject_quoted_triple(spark, tmp_path):
+    """Quoted triples nested in SUBJECT position: reader (bounded-depth
+    token regex + recursive spacing canonicalization), ground pattern
+    matching, and exact accessors (char-scan subject split)."""
+    nt = tmp_path / "nested.nt"
+    # human spacing in the file; constants/writer emit tight spacing —
+    # identity must hold across both (canonicalization)
+    nt.write_text(
+        '<< << <urn:a> <urn:p> "x y" >> <urn:q> <urn:o> >> '
+        '<urn:certainty> "0.8"^^<http://www.w3.org/2001/XMLSchema#double> .\n')
+    quads = read_ntriples(spark, str(nt))
+    rows = quads.collect()
+    assert len(rows) == 1 and rows[0].s.kind == T.KIND_TRIPLE
+    store = Store(spark, MutableQuadSource(spark, quads))
+    # ground nested-subject constant matches the parsed data (identity
+    # through the canonicalized lex)
+    got = store.query("""
+        SELECT ?c WHERE {
+          << << <urn:a> <urn:p> "x y" >> <urn:q> <urn:o> >>
+              <urn:certainty> ?c . }""").collect()
+    assert len(got) == 1 and abs(got[0].c.dbl - 0.8) < 1e-9
+    # accessors peel the nesting exactly (subject token contains spaces)
+    got = store.query("""
+        SELECT ?innerS ?innerO ?innerP ?outerP ?outerO WHERE {
+          ?t <urn:certainty> ?c .
+          BIND(SUBJECT(?t) AS ?outerS)
+          BIND(PREDICATE(?t) AS ?outerP)
+          BIND(OBJECT(?t) AS ?outerO)
+          BIND(SUBJECT(?outerS) AS ?innerS)
+          BIND(PREDICATE(?outerS) AS ?innerP)
+          BIND(OBJECT(?outerS) AS ?innerO)
+        }""").collect()
+    # outer accessors run the char-scan path (subject token has spaces)
+    assert got[0].outerP.lex == "urn:q"
+    assert got[0].outerO.lex == "urn:o"
+    # inner accessors peel the second level
+    assert got[0].innerS.lex == "urn:a"
+    assert got[0].innerP.lex == "urn:p"
+    assert got[0].innerO.lex == "x y"
+    # TRIPLE() accepts a quoted-triple subject and reproduces identity
+    got = store.query("""
+        SELECT ?match WHERE {
+          ?t <urn:certainty> ?c .
+          BIND(SAMETERM(TRIPLE(SUBJECT(?t), <urn:q>, <urn:o>), ?t)
+               AS ?match) }""").collect()
+    assert got[0].match.bool is True
 
 
 def test_construct_quoted_triple_template(star_store):
