@@ -393,19 +393,80 @@ def write_trig(df: DataFrame, path: str) -> None:
 
 # -- chunked distributed parse of ONE large Turtle document -----------------
 
-def _line_ends_statement(line: str) -> bool:
-    """Heuristic statement-boundary detector used by the chunked path:
-    after removing (line-local) string literals, IRIs and comments, a
-    statement ends where the line ends with '.'.  Line-LOCAL means a
-    triple-quoted literal spanning lines can fool it — see the caveat on
-    :func:`turtle_to_ntriples_chunked`."""
-    s = re.sub(r'"""(?:[^"\\]|\\.|"(?!""))*"""', '""', line)
-    s = re.sub(r"'''(?:[^'\\]|\\.|'(?!''))*'''", "''", s)
-    s = re.sub(r'"(?:[^"\\]|\\.)*"', '""', s)
-    s = re.sub(r"'(?:[^'\\]|\\.)*'", "''", s)
-    s = re.sub(r"<[^>]*>", "<>", s)
-    s = re.sub(r"#.*", "", s)
-    return s.rstrip().endswith(".")
+def _scan_line(line: str, state: str) -> tuple:
+    """Exact statement-boundary scanner for the chunked path.
+
+    ``state`` is the long-string context the line STARTS in: ``''``
+    (outside), ``'"'`` (inside a \"\"\"-literal), ``\"'\"`` (inside a
+    '''-literal).  Returns ``(state_after_line, ends_statement)`` where
+    ``ends_statement`` is True when the line's last significant character
+    OUTSIDE strings/IRIs/comments is '.' and the line ends outside any
+    long literal.  Short strings, IRIs and comments are line-local per
+    the Turtle grammar; only long (triple-quoted) literals carry state
+    across lines — which is exactly what ``state`` tracks.  Quote RUNS
+    follow longest-match (''\"\"\"\"'' inside a literal = one content
+    quote + closer)."""
+    i, n = 0, len(line)
+    last_sig = ""
+    while i < n:
+        c = line[i]
+        if state in ('"', "'"):
+            q = state
+            if c == "\\":
+                i += 2
+                continue
+            if c == q:
+                r = 1
+                while i + r < n and line[i + r] == q:
+                    r += 1
+                if r >= 3:          # content quotes (r-3) then the closer
+                    state = ""
+                    last_sig = q
+                i += r
+                continue
+            i += 1
+            continue
+        if c == "#":
+            break
+        if c in ('"', "'"):
+            r = 1
+            while i + r < n and line[i + r] == c:
+                r += 1
+            if r >= 3:
+                # long-literal open (3) + trailing content quotes; a run
+                # of >= 6 is open + immediate close (empty long literal)
+                state = "" if r >= 6 else c
+                i += r
+                if state == "":
+                    last_sig = c
+                continue
+            if r == 2:              # empty short string
+                i += 2
+                last_sig = c
+                continue
+            i += 1                  # short string: line-local scan
+            while i < n:
+                if line[i] == "\\":
+                    i += 2
+                    continue
+                if line[i] == c:
+                    break
+                i += 1
+            i += 1
+            last_sig = c
+            continue
+        if c == "<":
+            j = line.find(">", i + 1)
+            i = (j + 1) if j >= 0 else n
+            last_sig = ">"
+            continue
+        if not c.isspace():
+            last_sig = c
+        i += 1
+    return state, (state == "" and last_sig == ".")
+
+
+_LS_STATES = ("", '"', "'")
 
 
 def turtle_to_ntriples_chunked(spark: SparkSession, in_path: str,
@@ -419,13 +480,18 @@ def turtle_to_ntriples_chunked(spark: SparkSession, in_path: str,
     per partition).  @prefix directives are read from the document
     header driver-side and broadcast to every chunk.
 
-    Caveat (documented limitation, detected where cheap): the boundary
-    detector is line-local, so a triple-quoted literal that BOTH spans
-    lines AND contains a line ending in '.' can split a statement
-    mid-literal; such files should use :func:`turtle_to_ntriples` (one
-    task per file).  Blank-node labels are stable across chunks (label
-    identity is preserved verbatim), so cross-chunk bnode references
-    stay intact.
+    Multi-line (triple-quoted) literals are handled EXACTLY via a
+    two-pass state composition (the standard distributed-parse move for
+    formats with cross-line state): pass 1 computes, per partition, the
+    long-string-state transition function (simulating all 3 possible
+    start states in one scan); the driver composes those functions in
+    partition order to learn each partition's true start state (one tiny
+    row per partition); pass 2 seals statements with the exact state, so
+    a '.'-ending line INSIDE a long literal is never mistaken for a
+    statement boundary.  The file is read twice — both reads are
+    line-parallel and the first is a pure scan.  Blank-node labels are
+    stable across chunks (label identity is preserved verbatim), so
+    cross-chunk bnode references stay intact.
 
     ``max_partition_bytes`` temporarily overrides
     ``spark.sql.files.maxPartitionBytes`` for this read — used by tests
@@ -451,15 +517,34 @@ def turtle_to_ntriples_chunked(spark: SparkSession, in_path: str,
     try:
         lines = spark.read.text(in_path)
 
+        # pass 1: per-partition long-string-state transition function
+        # (start state → end state), simulated for all 3 start states
+        def transitions(idx: int, it):
+            cur = {s: s for s in _LS_STATES}
+            for row in it:
+                cur = {s0: _scan_line(row.value, s1)[0]
+                       for s0, s1 in cur.items()}
+            yield (idx, cur)
+
+        trans = dict(lines.rdd.mapPartitionsWithIndex(transitions).collect())
+        start_states = {}
+        st = ""
+        for i in range(lines.rdd.getNumPartitions()):
+            start_states[i] = st
+            st = trans.get(i, {s: s for s in _LS_STATES})[st]
+        bstart = spark.sparkContext.broadcast(start_states)
+
         def seal(idx: int, it):
             """Yield ('nt', line) for statements fully inside this
             partition, ('frag', idx, kind, text) for boundary pieces."""
+            st = bstart.value.get(idx, "")
             buf: List[str] = []
             seen_boundary = False
             for row in it:
                 v = row.value
                 buf.append(v)
-                if _line_ends_statement(v):
+                st, ends = _scan_line(v, st)
+                if ends:
                     text = "\n".join(buf)
                     buf = []
                     if not seen_boundary:

@@ -458,3 +458,41 @@ def test_turtle_chunked_matches_driver_reader(spark, tmp_path):
     ck, dk = key(chunked), key(driver)
     assert len(ck) == len(dk) == 400 + 134  # 134 object-list extras
     assert ck == dk
+
+
+def test_turtle_chunked_multiline_long_literals(spark, tmp_path):
+    """Long (triple-quoted) literals spanning lines — including lines
+    that END IN '.' inside the literal — across many tiny partitions.
+    The two-pass state composition must never split a statement
+    mid-literal or take an in-literal '.' as a statement boundary."""
+    from oxigraph_spark.sources.ntriples import read_ntriples
+    src = str(tmp_path / "long.ttl")
+    lines = ["@prefix ex: <urn:ex:> ."]
+    for i in range(120):
+        if i % 4 == 0:
+            # adversarial: in-literal lines ending with '.', plus a
+            # quote run and a '#' that must not read as a comment
+            lines.append(f'ex:s{i} ex:note """first line {i}.')
+            lines.append("not a # comment, ends with a dot.")
+            lines.append('middle "quoted" part.')
+            lines.append(f'last line {i}""" .')
+        else:
+            lines.append(f"ex:s{i} ex:p ex:o{i} .")
+    with open(src, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    out = str(tmp_path / "long.nt.d")
+    rdf_io.turtle_to_ntriples_chunked(spark, src, out,
+                                      max_partition_bytes=256)
+    chunked = read_ntriples(spark, out)
+    driver = rdf_io._read_turtle_small(spark, src)
+
+    def key(d):
+        return sorted((r["s"]["lex"], r["p"]["lex"], r["o"]["lex"])
+                      for r in d.select("s", "p", "o").collect())
+    ck, dk = key(chunked), key(driver)
+    assert len(ck) == len(dk) == 120
+    assert ck == dk
+    # and the literal content survived intact, newlines included
+    note = [o for s, p, o in ck if p == "urn:ex:note" and s == "urn:ex:s0"]
+    assert note == ["first line 0.\nnot a # comment, ends with a dot.\n"
+                    'middle "quoted" part.\nlast line 0']
