@@ -257,7 +257,9 @@ def _closure(compiler, edges: DataFrame, start: Optional[DataFrame]) -> DataFram
         paths = ek.join(F.broadcast(sk0), ek["sk"] == sk0["k"], "leftsemi")
     else:
         paths = ek
-    frontier = paths.distinct().localCheckpoint()
+    # lazy: materialized by round 1's count() together with everything
+    # else — an eager checkpoint here would cost one extra driver sync
+    frontier = paths.distinct().localCheckpoint(eager=False)
     paths = frontier
     # seeded closures keep a bounded frontier (reachable set of the seed
     # nodes): broadcasting it turns each round's join into a map-side
