@@ -182,6 +182,111 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
 
 
 # ---------------------------------------------------------------------------
+# exact-substring duplicate spans (Lee et al., arXiv:2107.06499)
+# ---------------------------------------------------------------------------
+
+def shared_substring_spans(df: DataFrame, text_col: str, id_col: str,
+                           k: int = 8, min_len: int = 16,
+                           max_posting: int = 64) -> DataFrame:
+    """Maximal exact-duplicated WORD spans across document pairs →
+    ``(id_a, id_b, start_a, start_b, span_words)``: every run of
+    ≥ ``min_len`` consecutive words that appears verbatim in both
+    documents, with its start word offset in each.
+
+    This is the *exact-substring* dedup signal of "Deduplicating
+    Training Data Makes Language Models Better" (Lee et al.,
+    arXiv:2107.06499), which builds a suffix array — inherently
+    single-machine.  The distributed re-expression: anchor on word
+    ``k``-gram rolling hashes with positions, join anchors on the hash,
+    then merge DIAGONAL runs (consecutive positions in both docs) with
+    a gaps-and-islands window.  A shared span of ``L ≥ k`` words yields
+    ``L−k+1`` consecutive anchors on one diagonal, so every span of
+    length ≥ ``max(k, min_len)`` is found exactly — no recall loss
+    against the suffix array for spans above the threshold.
+
+    Scale shape: anchors explode to one row per word (same mass as
+    tokenization); the ONLY pairwise step is the anchor self-join,
+    bounded by ``max_posting`` (a k-gram shared by more than that many
+    docs is boilerplate/stopword mass — the same IDF-style cap as
+    :func:`winnow_overlap_pairs`, idiom at ``dedup.py`` MinHash); the
+    island merge is windowed per (id_a, id_b, diagonal) — keys no hotter
+    than the longest single overlap.  Zero Python UDFs."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    base = spread(df).select(F.col(id_col).alias("id"),
+                             words.alias("__w"))
+    grams = base.select(
+        "id",
+        F.posexplode(F.when(
+            F.size("__w") >= k,
+            F.transform(F.sequence(F.lit(1), F.size("__w") - k + 1),
+                        lambda i: F.xxhash64(
+                            F.concat_ws(" ", F.slice("__w", i, k))))
+        ).otherwise(F.array().cast("array<long>"))).alias("pos0", "h"))
+    # 1-based word offsets (posexplode is 0-based; mask_shared_spans and
+    # humans both count words from 1)
+    grams = grams.select("id", (F.col("pos0") + 1).alias("pos"), "h")
+    # IDF-style hot-anchor cap BEFORE the self-join
+    grams = grams.withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy("h"))) \
+        .where(F.col("__n") <= max_posting).drop("__n")
+    a, b = grams.alias("a"), grams.alias("b")
+    hits = (a.join(b, (F.col("a.h") == F.col("b.h"))
+                   & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"),
+                     F.col("a.pos").alias("pos_a"),
+                     F.col("b.pos").alias("pos_b"))
+             .withColumn("diag", F.col("pos_a") - F.col("pos_b"))
+             .dropDuplicates(["id_a", "id_b", "pos_a", "pos_b"]))
+    # gaps-and-islands on each diagonal: consecutive pos_a = one span
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    spans = (hits.withColumn("__isl",
+                             F.col("pos_a") - F.row_number().over(w))
+                 .groupBy("id_a", "id_b", "diag", "__isl")
+                 .agg(F.min("pos_a").alias("start_a"),
+                      F.min("pos_b").alias("start_b"),
+                      (F.max("pos_a") - F.min("pos_a") + k)
+                      .alias("span_words")))
+    return (spans.where(F.col("span_words") >= max(k, min_len))
+                 .select("id_a", "id_b", "start_a", "start_b",
+                         "span_words"))
+
+
+def mask_shared_spans(df: DataFrame, spans: DataFrame, text_col: str,
+                      id_col: str) -> DataFrame:
+    """Cut every duplicated span (the ``id_b``/higher-id side of
+    :func:`shared_substring_spans` output) out of its document →
+    original columns with ``text_col`` rewritten, plus
+    ``n_cut_words``.  Docs with no spans pass through untouched.
+
+    The per-doc span list arrives as a grouped array (one row per doc
+    after the aggregate), and the cut is a word-level higher-order
+    filter — a mapper over the joined rows, no Python."""
+    cuts = (spans.groupBy(F.col("id_b").alias("__cid"))
+                 .agg(F.collect_list(
+                     F.struct(F.col("start_b").alias("s"),
+                              (F.col("start_b") + F.col("span_words"))
+                              .alias("e"))).alias("__spans")))
+    d = df.join(cuts, df[id_col] == cuts["__cid"], "left").drop("__cid")
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    sp = F.coalesce(F.col("__spans"),
+                    F.array().cast("array<struct<s:int,e:int>>"))
+    kept = F.filter(
+        F.transform(words, lambda w, i: F.struct(w.alias("w"),
+                                                 (i + 1).alias("p"))),
+        lambda x: ~F.exists(sp, lambda r: (x["p"] >= r["s"])
+                            & (x["p"] < r["e"])))
+    out_text = F.concat_ws(" ", F.transform(kept, lambda x: x["w"]))
+    n_cut = F.size(words) - F.size(kept)
+    cols = [c for c in df.columns if c != text_col]
+    return d.select(*cols,
+                    F.when(F.col("__spans").isNotNull(), out_text)
+                     .otherwise(F.col(text_col)).alias(text_col),
+                    F.when(F.col("__spans").isNotNull(), n_cut)
+                     .otherwise(F.lit(0)).alias("n_cut_words"))
+
+
+# ---------------------------------------------------------------------------
 # sequence packing (training-batch construction)
 # ---------------------------------------------------------------------------
 
