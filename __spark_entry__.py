@@ -190,9 +190,18 @@ def q_o1_order_slice(spark, sf):
 
 
 def q_o4_distinct(spark, sf):
-    return _q(spark, sf, PFX + """
+    """DISTINCT + REDUCED in one entry (merged with r2's O5_reduced for
+    the 50-entry gate budget): two projection-dedup queries unioned
+    under a tag column."""
+    d = _q(spark, sf, PFX + """
         SELECT DISTINCT ?seg WHERE { ?c c:c_mktsegment ?seg }
     """, {"seg": "str"})
+    r = _q(spark, sf, PFX + """
+        SELECT REDUCED ?prio WHERE { ?o o:o_orderpriority ?prio }
+    """, {"prio": "str"})
+    return d.select(F.lit("seg").alias("kind"), F.col("seg").alias("val")) \
+            .unionByName(r.select(F.lit("prio").alias("kind"),
+                                  F.col("prio").alias("val")))
 
 
 def q_o6_union(spark, sf):
@@ -359,29 +368,19 @@ def q_f_rdfstar(spark, sf):
     """, {"qs": "str", "name": "str", "istr": "bool"})
 
 
-def q_o5_reduced(spark, sf):
-    return _q(spark, sf, PFX + """
-        SELECT REDUCED ?prio WHERE { ?o o:o_orderpriority ?prio }
-    """, {"prio": "str"})
-
-
 def q_f_regex(spark, sf):
+    """REGEX filter + STRBEFORE/STRAFTER + boolean REGEX bind in ONE
+    query (merged with r2's F_strbefore_after for the 50-entry gate
+    budget; both unfiltered shapes stay pytest-covered)."""
     return _q(spark, sf, PFX + """
-        SELECT ?name WHERE {
-          ?c c:c_name ?name .
-          FILTER(REGEX(?name, "customer#0*1[0-9]$", "i"))
-        }
-    """, {"name": "str"})
-
-
-def q_f_strbefore_after(spark, sf):
-    return _q(spark, sf, PFX + """
-        SELECT ?name ?before ?after WHERE {
+        SELECT ?name ?before ?after ?rx WHERE {
           ?c c:c_name ?name .
           BIND(STRBEFORE(?name, "#") AS ?before)
           BIND(STRAFTER(?name, "#") AS ?after)
+          BIND(REGEX(?name, "customer#0*1[0-9]$", "i") AS ?rx)
+          FILTER(REGEX(?name, "[02468]$"))
         }
-    """, {"name": "str", "before": "str", "after": "str"})
+    """, {"name": "str", "before": "str", "after": "str", "rx": "bool"})
 
 
 def q_q4_describe(spark, sf):
@@ -419,26 +418,31 @@ def q_pp8_negated(spark, sf):
     """, {"o": "str"})
 
 
-def q_e_events_sparql(spark, sf):
-    """SPARQL over the direct-mapped events table: temporal window filter
-    + aggregation — the stream table queried relationally."""
-    return _q(spark, sf, PFX + """
+def q_ed_direct_sparql(spark, sf):
+    """SPARQL over BOTH auxiliary direct-mapped tables in one entry
+    (merged from r2's E_events_sparql + D_documents_sparql for the
+    50-entry gate budget): a temporal window aggregate over events and
+    a text-analysis aggregate over documents, unioned under a tagged
+    key."""
+    e = _q(spark, sf, PFX + """
         SELECT ?type (COUNT(*) AS ?cnt) WHERE {
           ?e e:event_type ?type ; e:ts ?t .
           FILTER(?t >= "2024-01-02T00:00:00"^^xsd:dateTime &&
                  ?t < "2024-01-03T00:00:00"^^xsd:dateTime)
         } GROUP BY ?type
     """, {"type": "str", "cnt": "long"})
-
-
-def q_d_documents_sparql(spark, sf):
-    """SPARQL text analysis over direct-mapped documents."""
-    return _q(spark, sf, PFX + """
+    d = _q(spark, sf, PFX + """
         SELECT ?lang (COUNT(*) AS ?cnt) (MAX(?n) AS ?max_chars) WHERE {
           ?d d:lang ?lang ; d:n_chars ?n ; d:text ?txt .
           FILTER(CONTAINS(LCASE(?txt), "the"))
         } GROUP BY ?lang
     """, {"lang": "str", "cnt": "long", "max_chars": "long"})
+    return e.select(F.concat(F.lit("event:"), F.col("type")).alias("k"),
+                    F.col("cnt"),
+                    F.lit(None).cast("long").alias("max_chars")) \
+            .unionByName(d.select(
+                F.concat(F.lit("doc:"), F.col("lang")).alias("k"),
+                F.col("cnt"), F.col("max_chars")))
 
 
 _MORE_ORACLES = {
@@ -450,30 +454,28 @@ _MORE_ORACLES = {
         SELECT CAST(n_regionkey AS VARCHAR) AS o FROM nation WHERE n_nationkey = 3
         UNION ALL
         SELECT 'urn:g:region/' || n_regionkey FROM nation WHERE n_nationkey = 3""",
-    "E_events_sparql": """
-        SELECT event_type AS type, COUNT(*) AS cnt FROM events
+    "ED_direct_sparql": """
+        SELECT 'event:' || event_type AS k, COUNT(*) AS cnt,
+               CAST(NULL AS BIGINT) AS max_chars FROM events
         WHERE ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-03'
-        GROUP BY 1""",
-    "D_documents_sparql": """
-        SELECT lang, COUNT(*) AS cnt, MAX(n_chars) AS max_chars
+        GROUP BY 1
+        UNION ALL
+        SELECT 'doc:' || lang, COUNT(*), MAX(n_chars)
         FROM documents WHERE contains(lower(text), 'the') GROUP BY 1""",
     "F_rdfstar": """
         SELECT 'urn:g:region/' || r_regionkey AS qs, r_name AS name,
                TRUE AS istr
         FROM region""",
-    "O5_reduced": "SELECT DISTINCT o_orderpriority AS prio FROM orders",
     "F_regex": r"""
-        SELECT c_name AS name FROM customer
-        WHERE regexp_matches(c_name, 'customer#0*1[0-9]$', 'i')""",
-    "F_strbefore_after": """
         SELECT c_name AS name,
                CASE WHEN contains(c_name, '#')
                     THEN substring(c_name, 1, strpos(c_name, '#') - 1)
                     ELSE '' END AS before,
                CASE WHEN contains(c_name, '#')
                     THEN substring(c_name, strpos(c_name, '#') + 1)
-                    ELSE '' END AS after
-        FROM customer""",
+                    ELSE '' END AS after,
+               regexp_matches(c_name, 'customer#0*1[0-9]$', 'i') AS rx
+        FROM customer WHERE regexp_matches(c_name, '[02468]$')""",
     "Q4_describe": """
         SELECT 'urn:g:region/1' AS subj, p AS pred, o AS obj FROM (
           SELECT 'urn:g:region#r_regionkey' AS p, CAST(r_regionkey AS VARCHAR) AS o
@@ -645,6 +647,61 @@ def q_x_stateful_sum(spark, sf):
     return stateful_running_sum(load_table(spark, sf, "events"))
 
 
+def q_x_url_norm(spark, sf):
+    """URL normalization + registrable-domain extraction + URL-level
+    dedup (pipeline/urls.py), gated by a CONSTRUCTIVE oracle: messy
+    URLs are synthesized from doc_id with a known canonical form
+    (uppercase scheme/host, www, default port, tracking params,
+    unsorted query, fragment, trailing slash), so DuckDB can state the
+    normalizer's exact output without re-implementing the regexes.
+    doc_id % 100 determines % 25 and % 5, so dedup groups are exactly
+    the doc_id % 100 classes with min-id representative."""
+    from oxigraph_spark.pipeline.urls import domain_of, url_dedup
+    urls = _docs(spark, sf).select("doc_id", F.format_string(
+        "HTTPS://WWW.Site%d.Example.COM:443/p/%d/?utm_source=x&b=%d&a=1#f",
+        F.col("doc_id") % 25, F.col("doc_id") % 100,
+        F.col("doc_id") % 5).alias("u"))
+    dd = url_dedup(urls, "u", "doc_id")
+    return dd.select("norm_url", "id",
+                     domain_of(F.col("norm_url")).alias("domain"))
+
+
+def q_x_quality(spark, sf):
+    """Gopher-style quality flags + n-gram repetition signals
+    (pipeline/quality.py) over the documents table — every column is a
+    deterministic text statistic DuckDB can replicate with list
+    lambdas.  Line/bullet/ellipsis flags are pytest-covered (the
+    synthetic docs are single-line)."""
+    from oxigraph_spark.pipeline.quality import (gopher_quality_flags,
+                                                 ngram_repetition_stats)
+    d = _docs(spark, sf).select("doc_id", "text")
+    flags = gopher_quality_flags(d, "text", "doc_id", min_words=20) \
+        .select("id", "word_count_ok", "mean_word_len_ok",
+                "alpha_word_frac_ok", "stopword_ok")
+    ng = ngram_repetition_stats(d, "text", "doc_id",
+                                top_ns=[2], dup_ns=[5])
+    return flags.join(ng, "id")
+
+
+def q_x_substring_spans(spark, sf):
+    """Exact-substring duplicate spans (pipeline/curation.py,
+    Lee et al. arXiv:2107.06499 re-expressed as k-gram anchor diagonals),
+    planted-duplicate property oracle: every doc duplicated at
+    id+1000000 MUST yield one full-document span starting at word 1 of
+    both copies with span_words = the doc's word count — DuckDB states
+    the expected spans constructively.  Natural cross-doc overlaps are
+    projected out (id distance filter); unfiltered output is
+    pytest-covered."""
+    from oxigraph_spark.pipeline.curation import shared_substring_spans
+    d = _docs(spark, sf).select("doc_id", "text")
+    both = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1000000))
+    spans = shared_substring_spans(both, "text", "doc_id",
+                                   k=8, min_len=16, max_posting=512)
+    return spans.where((F.col("id_b") == F.col("id_a") + 1000000)
+                       & (F.col("start_a") == 1)
+                       & (F.col("start_b") == 1))
+
+
 _NORM = ("trim(regexp_replace(regexp_replace(lower(text), "
          "'[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g'))")
 
@@ -653,6 +710,60 @@ _SQL_STOPWORDS = ("'the','and','of','to','in','is','that','for',"
                   "'a','an','it','on','as','with'")
 
 _X_ORACLES = {
+    "X_url_norm": """
+        SELECT 'https://site' || (m % 25) || '.example.com/p/' || m
+                 || '?a=1&b=' || (m % 5) AS norm_url,
+               MIN(doc_id) AS id, 'example.com' AS domain
+        FROM (SELECT doc_id, doc_id % 100 AS m FROM documents)
+        GROUP BY m""",
+    "X_quality": f"""
+        WITH d AS (SELECT doc_id AS id, text, {_NORM} AS t FROM documents),
+        w AS (SELECT id, text, t, string_split(t, ' ') AS ws,
+                     CASE WHEN length(t) = 0 THEN 0
+                          ELSE len(string_split(t, ' ')) END AS nw,
+                     length(text) AS chars
+              FROM d),
+        flags AS (SELECT id, chars, ws,
+               nw >= 20 AND nw <= 100000 AS word_count_ok,
+               (CASE WHEN nw > 0 THEN (length(t) - (nw - 1)) * 1.0 / nw
+                     ELSE 0.0 END) BETWEEN 3.0 AND 10.0 AS mean_word_len_ok,
+               len(list_filter(ws, x -> regexp_matches(x, '\\p{{L}}')))
+                 * 1.0 / GREATEST(nw, 1) >= 0.8 AS alpha_word_frac_ok,
+               len(list_filter(ws, x -> x IN ({_SQL_STOPWORDS}))) >= 2
+                 AS stopword_ok
+               FROM w),
+        g2 AS (SELECT id, chars, unnest(list_filter(list_transform(ws,
+                 (x, i) -> CASE WHEN i + 1 <= len(ws)
+                                THEN ws[i] || ' ' || ws[i+1] END),
+                 x -> x IS NOT NULL)) AS g FROM w),
+        c2 AS (SELECT id, chars, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2, 3),
+        t2 AS (SELECT id, MAX(CASE WHEN c > 1 THEN c * length(g)
+                                   ELSE 0 END) * 1.0
+                          / GREATEST(chars, 1) AS f
+               FROM c2 GROUP BY id, chars),
+        g5 AS (SELECT id, chars, unnest(list_filter(list_transform(ws,
+                 (x, i) -> CASE WHEN i + 4 <= len(ws)
+                                THEN ws[i] || ' ' || ws[i+1] || ' '
+                                     || ws[i+2] || ' ' || ws[i+3] || ' '
+                                     || ws[i+4] END),
+                 x -> x IS NOT NULL)) AS g FROM w),
+        c5 AS (SELECT id, chars, g, COUNT(*) AS c FROM g5 GROUP BY 1, 2, 3),
+        t5 AS (SELECT id, SUM(CASE WHEN c > 1 THEN c * length(g)
+                                   ELSE 0 END) * 1.0
+                          / GREATEST(chars, 1) AS f
+               FROM c5 GROUP BY id, chars)
+        SELECT f.id, word_count_ok, mean_word_len_ok, alpha_word_frac_ok,
+               stopword_ok,
+               ROUND(LEAST(COALESCE(t2.f, 0.0), 1.0), 6) AS top2_char_frac,
+               ROUND(LEAST(COALESCE(t5.f, 0.0), 1.0), 6) AS dup5_char_frac
+        FROM flags f LEFT JOIN t2 USING (id) LEFT JOIN t5 USING (id)""",
+    "X_substring_spans": f"""
+        WITH n AS (SELECT doc_id, {_NORM} AS t FROM documents)
+        SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+               CAST(1 AS INTEGER) AS start_a, CAST(1 AS INTEGER) AS start_b,
+               CAST(len(string_split(t, ' ')) AS INTEGER) AS span_words
+        FROM n WHERE length(t) > 0
+          AND len(string_split(t, ' ')) >= 16""",
     "X_dedup_minhash": """
         SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
                CAST(1.0 AS DOUBLE) AS sim
@@ -869,7 +980,11 @@ _ORACLES: dict[str, str] = {
         SELECT o_orderkey AS ok, o_totalprice AS tp FROM orders
         ORDER BY tp DESC, ok LIMIT 20 OFFSET 5""",
     "O4_distinct": """
-        SELECT DISTINCT c_mktsegment AS seg FROM customer""",
+        SELECT 'seg' AS kind, seg AS val
+        FROM (SELECT DISTINCT c_mktsegment AS seg FROM customer)
+        UNION ALL
+        SELECT 'prio' AS kind, prio AS val
+        FROM (SELECT DISTINCT o_orderpriority AS prio FROM orders)""",
     "O6_union": """
         SELECT s_name AS name, 'supplier' AS kind FROM supplier
         UNION ALL
@@ -988,21 +1103,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "F_temporal": q_f_temporal,
         "F_hash": q_f_hash,
         "F_conditional": q_f_conditional,
-        "O5_reduced": q_o5_reduced,
         "F_rdfstar": q_f_rdfstar,
         "F_regex": q_f_regex,
-        "F_strbefore_after": q_f_strbefore_after,
         "Q4_describe": q_q4_describe,
         "U_update": q_u_update,
         "PP5_zero_or_one": q_pp5_zero_or_one,
         "PP8_negated": q_pp8_negated,
-        "E_events_sparql": q_e_events_sparql,
-        "D_documents_sparql": q_d_documents_sparql,
+        "ED_direct_sparql": q_ed_direct_sparql,
         # LLM-data-pipeline extensions (§2.11); heaviest entries last so a
         # driver time budget cuts cheap entries never
         "X_dedup_exact": q_x_dedup_exact,
         "X_text_stats": q_x_text_stats,
         "X_fingerprint": q_x_fingerprint,
+        "X_url_norm": q_x_url_norm,
+        "X_quality": q_x_quality,
+        "X_substring_spans": q_x_substring_spans,
         "X_simsearch_topk": q_x_simsearch_topk,
         "X_simsearch_lsh": q_x_simsearch_lsh,
         "X_embed_dedup": q_x_embed_dedup,
