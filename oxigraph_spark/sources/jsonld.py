@@ -446,6 +446,156 @@ def jsonld_to_ntriples(spark, in_path: str, out_path: str) -> None:
          .write.mode("overwrite").text(out_path)
 
 
+def _scan_json_line(s: str, depth: int) -> Tuple[int, List[int]]:
+    """Scan one line of a JSON document given the absolute brace/bracket
+    ``depth`` at line start → ``(end_depth, cuts)`` where ``cuts`` are
+    character offsets just after a top-level object closes (a ``}``
+    bringing the depth back to 1 — the root array's level).
+
+    JSON strings cannot contain raw newlines, so a line NEVER starts
+    inside a string: the in-string flag starts False and the scan is
+    exact with no state simulation (unlike Turtle's long literals)."""
+    cuts: List[int] = []
+    in_str = esc = False
+    for i, ch in enumerate(s):
+        if in_str:
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == '"':
+                in_str = False
+            continue
+        if ch == '"':
+            in_str = True
+        elif ch in "{[":
+            depth += 1
+        elif ch in "}]":
+            depth -= 1
+            if depth == 1 and ch == "}":
+                cuts.append(i + 1)
+    return depth, cuts
+
+
+def _chunk_to_nt(text: str) -> List[str]:
+    """One top-level-object chunk (with stray ``[`` ``,`` ``]``
+    separators from the cut) → N-Quads lines."""
+    t = text.strip()
+    while t[:1] in ("[", ","):
+        t = t[1:].lstrip()
+    while t[-1:] in ("]", ","):
+        t = t[:-1].rstrip()
+    if not t:
+        return []
+    return jsonld_text_to_nt_lines(t)
+
+
+def jsonld_to_ntriples_chunked(spark, in_path: str, out_path: str,
+                               max_partition_bytes: Optional[int] = None
+                               ) -> None:
+    """Distributed parse of ONE large JSON-LD document (the
+    single-200-GB-file gap, closing SURVEY §2.1 S6's per-file-task
+    limitation; mirrors ``rdf_io.turtle_to_ntriples_chunked``).
+
+    Works on documents whose root is a top-level ARRAY of node objects
+    spread across lines (the shape pretty-printers and NDJSON-LD-style
+    exporters produce).  Scheme: newline-split read (line-parallel
+    Hadoop splits); pass 1 computes each partition's brace-depth delta
+    (one number per partition — JSON strings cannot span lines, so the
+    per-line scan needs no start-state simulation); the driver
+    prefix-sums deltas to learn each partition's absolute start depth;
+    pass 2 cuts complete top-level objects where a ``}`` returns to
+    depth 1 and parses them in place.  Partition-boundary fragments are
+    stitched driver-side (≤2 tiny strings per partition).  Bnode labels
+    are chunk-content-hashed (`jsonld_text_to_nt_lines`), so anonymous
+    nodes never collide across chunks; document-given ``_:labels`` are
+    preserved verbatim, so cross-object references stay intact.
+
+    A root-OBJECT document (e.g. ``{"@context":…,"@graph":[…]}``) never
+    returns to depth 1, so the whole file degrades to one driver-side
+    fragment — correct but not distributed; expand such documents (or
+    lift the ``@graph`` array to the root) first.
+
+    ``max_partition_bytes`` temporarily overrides
+    ``spark.sql.files.maxPartitionBytes`` for this read — used by tests
+    to force multi-partition chunking on small files."""
+    conf_key = "spark.sql.files.maxPartitionBytes"
+    old = spark.conf.get(conf_key)
+    if max_partition_bytes is not None:
+        spark.conf.set(conf_key, str(max_partition_bytes))
+    try:
+        lines = spark.read.text(in_path)
+
+        def deltas(idx: int, it):
+            d = 0
+            for row in it:
+                d, _ = _scan_json_line(row.value, d)
+            yield (idx, d)
+
+        delta = dict(lines.rdd.mapPartitionsWithIndex(deltas).collect())
+        start_depth, d = {}, 0
+        for i in range(lines.rdd.getNumPartitions()):
+            start_depth[i] = d
+            d += delta.get(i, 0)
+        bstart = spark.sparkContext.broadcast(start_depth)
+
+        def seal(idx: int, it):
+            depth = bstart.value.get(idx, 0)
+            buf: List[str] = []
+            seen_boundary = False
+            for row in it:
+                v = row.value
+                depth, cuts = _scan_json_line(v, depth)
+                last = 0
+                for c in cuts:
+                    buf.append(v[last:c])
+                    text = "\n".join(buf)
+                    buf = []
+                    last = c
+                    if not seen_boundary:
+                        seen_boundary = True
+                        yield ("frag", idx, "head", text)
+                    else:
+                        for nt in _chunk_to_nt(text):
+                            yield ("nt", idx, "", nt)
+                buf.append(v[last:])
+            tail = "\n".join(buf)
+            if not seen_boundary:
+                yield ("frag", idx, "all", tail)
+            elif tail.strip().strip("],").strip():
+                yield ("frag", idx, "tail", tail)
+
+        rdd = lines.rdd.mapPartitionsWithIndex(seal).persist()
+        frags = sorted(
+            ((t[1], t[2], t[3]) for t in
+             rdd.filter(lambda t: t[0] == "frag").collect()),
+            key=lambda t: (t[0], 0 if t[1] in ("head", "all") else 1))
+        stitched: List[str] = []
+        pending = ""
+        for _, kind, text in frags:
+            if kind == "all":
+                pending = pending + "\n" + text
+                continue
+            if kind == "head":
+                stitched.extend(_chunk_to_nt(pending + "\n" + text))
+                pending = ""
+            else:                              # tail
+                pending = pending + "\n" + text
+        if pending.strip().strip("],").strip():
+            stitched.extend(_chunk_to_nt(pending))
+
+        body_df = rdd.filter(lambda t: t[0] == "nt") \
+                     .map(lambda t: (t[3],)).toDF(["value"])
+        if stitched:
+            extra = spark.createDataFrame([(l,) for l in stitched],
+                                          ["value"])
+            body_df = body_df.unionByName(extra)
+        body_df.write.mode("overwrite").text(out_path)
+        rdd.unpersist()
+    finally:
+        spark.conf.set(conf_key, old)
+
+
 def read_jsonld_small(spark, path: str, max_bytes: int = 64 << 20):
     """Driver-side reader for ONE small expanded JSON-LD document →
     quads DataFrame; corpora go through :func:`jsonld_to_ntriples`."""

@@ -13,11 +13,16 @@ Reference: ``lib/oxrdfio/src/{format,parser,serializer}.rs`` ·
   driver-side small reader, distributed block writer (TriG allows a
   graph label to open multiple blocks, so partitions write
   independently);
-- ``rdfxml`` (S5): driver-side small reader + writer; distributed path
-  :func:`rdfxml.rdfxml_to_ntriples` (one task per file);
-- ``jsonld`` (S6): expanded form only (compacted docs must be expanded
-  by a JSON-LD processor first — @context raises); same small/driver +
-  per-file distributed split;
+- ``rdfxml`` (S5): driver-side small reader + writer; distributed
+  paths :func:`rdfxml.rdfxml_to_ntriples` (one task per file) and
+  :func:`rdfxml.rdfxml_to_ntriples_chunked` for ONE large document
+  (top-level elements split across line-parallel partitions via a
+  12-state scanner transition composition);
+- ``jsonld`` (S6): driver-side small reader (expanded + inline-context
+  compact); distributed per-file :func:`jsonld.jsonld_to_ntriples` and
+  :func:`jsonld.jsonld_to_ntriples_chunked` for ONE large root-array
+  document (brace-depth chunking — JSON strings cannot span lines, so
+  the per-partition scan composes with a single depth delta);
 - ``n3`` (S4): the Turtle-compatible subset (no formulas/rules — those
   have no RDF data model to map onto; a ``{`` formula raises).
 """

@@ -496,3 +496,81 @@ def test_turtle_chunked_multiline_long_literals(spark, tmp_path):
     note = [o for s, p, o in ck if p == "urn:ex:note" and s == "urn:ex:s0"]
     assert note == ["first line 0.\nnot a # comment, ends with a dot.\n"
                     'middle "quoted" part.\nlast line 0']
+
+
+def test_jsonld_chunked_matches_driver_reader(spark, tmp_path):
+    """jsonld_to_ntriples_chunked on a multi-partition single .jsonld
+    file (pretty-printed root array) matches the driver-side reader,
+    including objects spanning lines and chunk boundaries, nested
+    objects/arrays, and braces inside string values."""
+    import json as _json
+    from oxigraph_spark.sources import jsonld as JL
+    from oxigraph_spark.sources.ntriples import read_ntriples
+    docs = []
+    for i in range(120):
+        node = {
+            "@id": f"urn:ex:s{i}",
+            "urn:ex:p": [{"@value": f'v "{i}" with {{braces}} and [x]'}],
+        }
+        if i % 3 == 0:
+            node["urn:ex:q"] = [{"@id": f"urn:ex:o{i}"},
+                                {"@value": i, "@type":
+                                 "http://www.w3.org/2001/XMLSchema#integer"}]
+        docs.append(node)
+    src = str(tmp_path / "big.jsonld")
+    with open(src, "w") as f:
+        f.write(_json.dumps(docs, indent=1))
+    out = str(tmp_path / "big.nq.d")
+    JL.jsonld_to_ntriples_chunked(spark, src, out,
+                                  max_partition_bytes=512)
+    chunked = read_ntriples(spark, out, quads=True)
+    driver = JL.read_jsonld_small(spark, src)
+
+    def key(d):
+        return sorted((r["s"]["lex"], r["p"]["lex"], r["o"]["lex"])
+                      for r in d.select("s", "p", "o").collect())
+    ck, dk = key(chunked), key(driver)
+    assert len(ck) == len(dk) == 120 + 2 * 40
+    assert ck == dk
+
+
+def test_rdfxml_chunked_matches_driver_reader(spark, tmp_path):
+    """rdfxml_to_ntriples_chunked on a multi-partition single .rdf file
+    matches the driver-side reader: root-level namespace scoping, typed
+    nodes, nested property elements, attribute values containing '>',
+    comments, and self-closing top-level elements."""
+    from oxigraph_spark.sources import rdfxml as RX
+    from oxigraph_spark.sources.ntriples import read_ntriples
+    parts = ['<?xml version="1.0"?>',
+             '<!-- header comment with < inside -->',
+             '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"',
+             '         xmlns:ex="urn:ex:">']
+    for i in range(100):
+        if i % 4 == 0:
+            parts.append(f'  <ex:Thing rdf:about="urn:ex:s{i}" '
+                         f'ex:tag="a&gt;b"/>')
+        else:
+            parts.append(f'  <rdf:Description rdf:about="urn:ex:s{i}">')
+            parts.append(f'    <ex:p>value {i}</ex:p>')
+            parts.append('    <ex:nested>')
+            parts.append(f'      <rdf:Description rdf:about="urn:ex:n{i}">')
+            parts.append(f'        <ex:q rdf:resource="urn:ex:o{i}"/>')
+            parts.append('      </rdf:Description>')
+            parts.append('    </ex:nested>')
+            parts.append('  </rdf:Description>')
+    parts.append('</rdf:RDF>')
+    src = str(tmp_path / "big.rdf")
+    with open(src, "w") as f:
+        f.write("\n".join(parts) + "\n")
+    out = str(tmp_path / "big.nt.d")
+    RX.rdfxml_to_ntriples_chunked(spark, src, out,
+                                  max_partition_bytes=512)
+    chunked = read_ntriples(spark, out)
+    driver = RX.read_rdfxml_small(spark, src)
+
+    def key(d):
+        return sorted((r["s"]["lex"], r["p"]["lex"], r["o"]["lex"])
+                      for r in d.select("s", "p", "o").collect())
+    ck, dk = key(chunked), key(driver)
+    assert ck == dk
+    assert len(ck) == 25 * 2 + 75 * 3  # typed nodes: type+tag; others: p,nested,q
