@@ -123,6 +123,72 @@ def ivf_topk(index: DataFrame, query: Sequence[float], k: int = 10,
     return out.orderBy(F.col("sim").desc(), F.col("id")).limit(k)
 
 
+def l2_normalize(df: DataFrame, vec_col: str) -> DataFrame:
+    """Unit-normalize the embedding column in place (after this, dot
+    product IS cosine — one multiply-add per dimension instead of three
+    aggregates per pair downstream).  Zero vectors pass through as
+    zeros.  Pure mapper."""
+    v = F.col(vec_col).cast("array<double>")
+    n = norm(v)
+    unit = F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(v)
+    return df.withColumn(vec_col, unit)
+
+
+def quantize_int8(df: DataFrame, vec_col: str,
+                  out_col: str = "vec_q8",
+                  scale_col: str = "vec_scale") -> DataFrame:
+    """Symmetric int8 quantization: per-vector scale = max|x|/127 →
+    ``out_col array<tinyint>`` + ``scale_col double``.  4× smaller
+    shuffle/storage footprint for ANN candidate stages; dequantize with
+    :func:`dequantize_int8`.  Pure mapper, no UDFs."""
+    v = F.col(vec_col).cast("array<double>")
+    amax = F.aggregate(F.transform(v, lambda x: F.abs(x)), F.lit(0.0),
+                       lambda a, x: F.greatest(a, x))
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+    q = F.transform(v, lambda x: F.round(x / scale).cast("tinyint"))
+    return df.withColumn(out_col, q).withColumn(scale_col, scale)
+
+
+def dequantize_int8(df: DataFrame, q_col: str = "vec_q8",
+                    scale_col: str = "vec_scale",
+                    out_col: str = "vec") -> DataFrame:
+    s = F.col(scale_col)
+    return df.withColumn(
+        out_col, F.transform(F.col(q_col), lambda x: x.cast("double") * s))
+
+
+def knn_join(df: DataFrame, vec_col: str, id_col: str, k: int = 5,
+             planes: int = 6,
+             max_bucket: Optional[int] = None) -> DataFrame:
+    """Approximate k-nearest-neighbors SELF-join: for every document,
+    its top-``k`` most cosine-similar neighbors among documents sharing
+    its LSH bucket → ``(id, nbr, sim, rk)``.
+
+    The all-pairs version of :func:`lsh_topk` (one query vs corpus →
+    every row vs corpus).  Candidates are generated per bucket, so the
+    pair volume is Σ bucket² — never n²; fewer ``planes`` ⇒ bigger
+    buckets ⇒ higher recall and cost (the recall knob).  ``max_bucket``
+    is the standard hot-bucket skew cap (embedding clusters: a bucket
+    holding a fraction f of the corpus contributes (f·n)² pairs).
+    The per-id top-k is a window over the candidate pairs — keyed by
+    doc id, no global sort."""
+    idx = lsh_index(df, vec_col, id_col, planes)
+    if max_bucket is not None:
+        sizes = idx.groupBy("bucket") \
+                   .agg(F.count(F.lit(1)).alias("__n")) \
+                   .where(F.col("__n") <= max_bucket)
+        idx = idx.join(sizes.select("bucket"), "bucket", "leftsemi")
+    a, b = idx.alias("a"), idx.alias("b")
+    cand = (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.id") != F.col("b.id")))
+             .select(F.col("a.id").alias("id"),
+                     F.col("b.id").alias("nbr"),
+                     cosine(F.col("a.vec"), F.col("b.vec")).alias("sim")))
+    w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("nbr"))
+    return (cand.withColumn("rk", F.row_number().over(w))
+                .where(F.col("rk") <= k))
+
+
 def lsh_topk(index: DataFrame, query: Sequence[float], k: int = 10,
              planes: int = 8, multiprobe: int = 1) -> DataFrame:
     """ANN top-k: search the query's bucket plus all buckets within

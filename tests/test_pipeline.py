@@ -279,3 +279,46 @@ def test_minhash_incremental_id_collision_prefers_new(spark):
     # and both new docs match corpus doc 1 (unchanged text) exactly
     assert got.get((2, 1)) == 1.0
     assert got.get((300, 1)) == 1.0
+
+
+def test_l2_normalize_and_quantize(spark):
+    from pyspark.sql import Row, functions as F
+    from oxigraph_spark.pipeline.simsearch import (dequantize_int8,
+                                                   l2_normalize, norm,
+                                                   quantize_int8)
+    df = spark.createDataFrame([Row(id=1, vec=[3.0, 4.0]),
+                                Row(id=2, vec=[0.0, 0.0])])
+    normed = l2_normalize(df, "vec").collect()
+    v1 = [r for r in normed if r["id"] == 1][0]["vec"]
+    assert abs(v1[0] - 0.6) < 1e-9 and abs(v1[1] - 0.8) < 1e-9
+    assert [r for r in normed if r["id"] == 2][0]["vec"] == [0.0, 0.0]
+    q = quantize_int8(df, "vec")
+    rows = {r["id"]: r for r in q.collect()}
+    assert rows[1]["vec_q8"] == [95, 127]  # 3/ (4/127) = 95.25 -> 95
+    back = dequantize_int8(q, out_col="vec2").collect()
+    r1 = [r for r in back if r["id"] == 1][0]
+    assert abs(r1["vec2"][1] - 4.0) < 1e-6
+
+
+def test_knn_join_planted_neighbors(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from oxigraph_spark.pipeline.simsearch import knn_join
+    from oxigraph_spark.sources.tables import load_table
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .select("vec_id", "embedding").limit(200)
+    both = emb.unionByName(
+        emb.withColumn("vec_id", F.col("vec_id") + 1000000))
+    out = knn_join(both, "embedding", "vec_id", k=3, planes=4).cache()
+    # identical planted vector must be every doc's rank-1 neighbor
+    top1 = out.where(F.col("rk") == 1)
+    planted = top1.where(
+        (F.col("nbr") == F.col("id") + 1000000)
+        | (F.col("id") == F.col("nbr") + 1000000))
+    n_ids = both.count()
+    assert top1.count() == n_ids
+    assert planted.count() == n_ids
+    assert planted.where(F.col("sim") < 0.999999).count() == 0
+    # hot-bucket cap bounds the candidate volume
+    capped = knn_join(both, "embedding", "vec_id", k=3, planes=1,
+                      max_bucket=10)
+    assert capped.count() == 0 or capped.count() < out.count()
