@@ -190,3 +190,47 @@ def test_hot_anchor_cap_bounds_pairs(spark):
     uncapped = shared_substring_spans(df, "text", "doc_id",
                                       k=8, min_len=8, max_posting=1000)
     assert uncapped.count() == 40 * 39 / 2
+
+
+def test_shared_spans_differential_bruteforce(spark):
+    """Seeded random docs over a tiny vocabulary (lots of natural
+    repeats) — shared_substring_spans must match a brute-force diagonal
+    scan computing islands of consecutive matching k-grams."""
+    import random
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = {i: [rng.choice(vocab) for _ in range(rng.randint(10, 60))]
+            for i in range(30)}
+    K, MIN = 4, 6
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(ws)) for i, ws in docs.items()])
+    got = sorted(
+        (r["id_a"], r["id_b"], r["start_a"], r["start_b"], r["span_words"])
+        for r in shared_substring_spans(df, "text", "doc_id", k=K,
+                                        min_len=MIN,
+                                        max_posting=10**6).collect())
+
+    def grams(ws):
+        return [" ".join(ws[i:i + K]) for i in range(len(ws) - K + 1)]
+
+    expected = []
+    ids = sorted(docs)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            ga, gb = grams(docs[a]), grams(docs[b])
+            for d in range(-len(gb) + 1, len(ga)):
+                run = 0
+                for i in range(len(ga) + 1):
+                    j = i - d
+                    hit = (i < len(ga) and 0 <= j < len(gb)
+                           and ga[i] == gb[j])
+                    if hit:
+                        run += 1
+                    else:
+                        if run and run + K - 1 >= max(K, MIN):
+                            expected.append(
+                                (a, b, i - run + 1, i - run - d + 1,
+                                 run + K - 1))
+                        run = 0
+    assert got == sorted(expected)
