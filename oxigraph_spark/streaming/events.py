@@ -99,6 +99,77 @@ def _duration_seconds(s: str) -> int:
     return int(n) * mult
 
 
+def correlate_events(left: DataFrame, right: DataFrame,
+                     within: str = "10 minutes",
+                     watermark: str = "10 minutes") -> DataFrame:
+    """Stream-stream event correlation: pair every left event with the
+    same user's right events that happen within ``within`` AFTER it →
+    ``(user_id, left_id, right_id, left_type, right_type, lag_seconds)``.
+
+    The canonical funnel/attribution join.  Under streaming both sides
+    are watermarked and the join carries the event-time range condition,
+    so Spark bounds the buffered state to the watermark horizon (no
+    unbounded state); in batch mode the identical expression is a plain
+    range join, so the DuckDB oracle and the stream agree row-for-row."""
+    a = with_watermark(left, watermark).alias("a")
+    b = with_watermark(right, watermark).alias("b")
+    secs = _duration_seconds(within)
+    cond = ((F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_id") != F.col("b.event_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts")
+               + F.expr(f"INTERVAL {secs} SECONDS")))
+    return a.join(b, cond).select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.event_id").alias("left_id"),
+        F.col("b.event_id").alias("right_id"),
+        F.col("a.event_type").alias("left_type"),
+        F.col("b.event_type").alias("right_type"),
+        ((F.unix_micros(F.col("b.ts")) - F.unix_micros(F.col("a.ts")))
+         / 1e6).alias("lag_seconds"))
+
+
+def stream_documents(spark: SparkSession, sf_dir: str,
+                     max_files_per_trigger: int = 1) -> DataFrame:
+    """documents.parquet replayed as a file-source stream (ingest-shape
+    testing for the incremental dedup sink)."""
+    schema = spark.read.option("pathGlobFilter", "documents.parquet") \
+        .parquet(sf_dir).schema
+    return (spark.readStream
+            .schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(sf_dir))
+
+
+def incremental_dedup_stream(docs: DataFrame, corpus_sig: DataFrame,
+                             out_path: str,
+                             text_col: str = "text",
+                             id_col: str = "doc_id",
+                             num_perm: int = 16, bands: int = 4,
+                             threshold: float = 0.5):
+    """Streaming ingest dedup: every micro-batch of new documents is
+    MinHash-checked against the persisted corpus signature table via
+    ``foreachBatch``, and near-dup pairs append to ``out_path`` as
+    parquet.  This is the production ingest shape — per batch the
+    corpus text is never read, only its signature table
+    (``pipeline/dedup.py`` ``minhash_lsh_pairs_incremental``), and the
+    batch side is broadcast-sized so the corpus never shuffles.
+
+    Returns the started StreamingQuery; callers own ``awaitTermination``
+    / ``stop``."""
+    from ..pipeline.dedup import minhash_lsh_pairs_incremental
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        pairs = minhash_lsh_pairs_incremental(
+            batch_df, corpus_sig, text_col, id_col,
+            num_perm=num_perm, bands=bands, threshold=threshold)
+        pairs.write.mode("append").parquet(out_path)
+
+    return (docs.writeStream.foreachBatch(process)
+            .trigger(availableNow=True).start())
+
+
 OUT_SCHEMA = StructType([StructField("user_id", LongType()),
                          StructField("running_sum", DoubleType()),
                          StructField("n", LongType())])

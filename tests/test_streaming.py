@@ -58,3 +58,44 @@ def test_stateful_stream_runs(spark):
                  load_table(spark, SF, "events")).collect()}
     streamed = {r.user_id: (r.running_sum, r.n) for r in rows}
     assert streamed == batch
+
+
+def test_stream_stream_join_equals_batch(spark):
+    """correlate_events under two real watermarked streams matches the
+    identical batch range join."""
+    from oxigraph_spark.streaming.events import correlate_events
+    ev = load_table(spark, SF, "events")
+    clicks_b = ev.where(F.col("event_type") == "click")
+    views_b = ev.where(F.col("event_type") == "view")
+    batch = correlate_events(clicks_b, views_b, "2 hours")
+    expected = {(r.left_id, r.right_id) for r in batch.collect()}
+    assert expected  # fixture must actually produce pairs
+
+    sa = stream_events(spark, SF).where(F.col("event_type") == "click")
+    sb = stream_events(spark, SF).where(F.col("event_type") == "view")
+    stream = correlate_events(sa, sb, "2 hours")
+    assert stream.isStreaming
+    q = (stream.writeStream.format("memory").queryName("corr_t")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r.left_id, r.right_id) for r in spark.table("corr_t").collect()}
+    assert got == expected
+
+
+def test_incremental_dedup_stream(spark, tmp_path):
+    """foreachBatch ingest dedup: streamed new docs vs a persisted
+    corpus signature table recovers every planted duplicate."""
+    from oxigraph_spark.pipeline.dedup import minhash_signatures
+    from oxigraph_spark.streaming.events import (incremental_dedup_stream,
+                                                 stream_documents)
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    corpus = docs.withColumn("doc_id", F.col("doc_id") + 1000000)
+    sig = minhash_signatures(corpus, "text", "doc_id", num_perm=16)
+    out = str(tmp_path / "pairs.parquet")
+    q = incremental_dedup_stream(stream_documents(spark, SF), sig, out,
+                                 num_perm=16, bands=4, threshold=0.5)
+    q.awaitTermination(180)
+    pairs = spark.read.parquet(out)
+    planted = pairs.where((F.col("id_b") == F.col("id_a") + 1000000)
+                          & (F.col("sim") >= 0.999))
+    assert planted.count() == docs.count()
