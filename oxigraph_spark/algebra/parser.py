@@ -1028,9 +1028,25 @@ class Parser:
                          U.QuadTemplate(q.s, q.p, q.o, with_graph)
                          for q in quads)
 
-        def where(pattern):
-            return pattern if with_graph is None \
-                else A.Graph(with_graph, pattern)
+        def using_clauses():
+            """USING / USING NAMED* before WHERE (§3.1.5.3 — the WHERE
+            clause's dataset, like FROM/FROM NAMED for queries)."""
+            using, named = [], []
+            while self.at_kw("USING"):
+                self.next()
+                if self.at_kw("NAMED"):
+                    self.next()
+                    named.append(self._iri())
+                else:
+                    using.append(self._iri())
+            return tuple(using), tuple(named)
+
+        def where(pattern, has_using):
+            # a USING dataset overrides WITH for the WHERE clause (WITH
+            # still scopes the templates, handled by tmpl())
+            if with_graph is None or has_using:
+                return pattern
+            return A.Graph(with_graph, pattern)
 
         if self.at_kw("INSERT"):
             self.next()
@@ -1040,8 +1056,11 @@ class Parser:
                     self._quad_data(), "INSERT DATA",
                     vars_ok=False, bnodes_ok=True)))
             t = tmpl(self._quad_data())
+            ug, un = using_clauses()
             self.eat_kw("WHERE")
-            return U.DeleteInsert((), t, where(self._group_graph_pattern()))
+            return U.DeleteInsert(
+                (), t, where(self._group_graph_pattern(), bool(ug or un)),
+                using=ug, using_named=un)
         if self.at_kw("DELETE"):
             self.next()
             if self.at_kw("DATA"):
@@ -1061,9 +1080,12 @@ class Parser:
             if self.at_kw("INSERT"):
                 self.next()
                 ins_t = tmpl(self._quad_data())
+            ug, un = using_clauses()
             self.eat_kw("WHERE")
-            return U.DeleteInsert(del_t, ins_t,
-                                  where(self._group_graph_pattern()))
+            return U.DeleteInsert(
+                del_t, ins_t,
+                where(self._group_graph_pattern(), bool(ug or un)),
+                using=ug, using_named=un)
         if self.at_kw("CLEAR", "DROP"):
             kind = self.eat_kw("CLEAR", "DROP")
             if self.at_kw("SILENT"):

@@ -48,6 +48,10 @@ class DeleteInsert:
     delete: Tuple[QuadTemplate, ...]
     insert: Tuple[QuadTemplate, ...]
     pattern: Optional[A.GraphPattern]  # None → DELETE WHERE shorthand
+    # USING / USING NAMED (§3.1.5.3): the WHERE clause's dataset, exactly
+    # like FROM / FROM NAMED for queries; overrides WITH for the WHERE
+    using: Tuple[str, ...] = ()
+    using_named: Tuple[str, ...] = ()
 
 
 @dataclass(frozen=True)
@@ -254,6 +258,11 @@ class MutableQuadSource:
             if lowerings:
                 pattern = apply_qt_lowerings(pattern, lowerings)
         compiler = Compiler(self.spark, self)
+        # USING / USING NAMED define the WHERE clause's active dataset —
+        # same semantics as FROM / FROM NAMED (_graph_filter consults
+        # these attributes)
+        compiler._from_graphs = tuple(getattr(op, "using", ()) or ())
+        compiler._from_named = tuple(getattr(op, "using_named", ()) or ())
         sol = compiler.compile_pattern(pattern)
         # both template sets instantiate against the ORIGINAL store state
         to_delete = self._instantiate(op.delete, sol.df, sol.vars) \

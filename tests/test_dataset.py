@@ -59,3 +59,39 @@ def test_graph_iri_outside_from_named_is_empty(ds_store):
         SELECT ?o FROM NAMED <urn:graph:1>
         WHERE { GRAPH <urn:graph:2> { ?s <urn:p> ?o } }""")
     assert df.count() == 0
+
+
+def test_update_using_clause(spark):
+    """USING <g> restricts the WHERE clause's default graph to the
+    listed graph (§3.1.5.3); USING NAMED scopes GRAPH patterns."""
+    from tests.test_semantics import iri, lit, quads_store
+    st = quads_store(spark, [(iri("a"), iri("p"), lit("base"))])
+    st = st.update("""
+        PREFIX ex: <urn:ex:>
+        INSERT DATA { GRAPH ex:g1 { ex:b ex:p "one" }
+                      GRAPH ex:g2 { ex:c ex:p "two" } }""")
+    # USING ex:g1: WHERE sees only g1 as the default graph
+    st2 = st.update("""
+        PREFIX ex: <urn:ex:>
+        INSERT { ?s ex:copied ?o } USING ex:g1 WHERE { ?s ex:p ?o }""")
+    got = {(r["s"]["lex"], r["o"]["lex"]) for r in st2.query(
+        "PREFIX ex: <urn:ex:> SELECT ?s ?o WHERE { ?s ex:copied ?o }"
+    ).collect()}
+    assert got == {("urn:ex:b", "one")}
+    # without USING the default graph is the real default graph
+    st3 = st.update("""
+        PREFIX ex: <urn:ex:>
+        INSERT { ?s ex:copied ?o } WHERE { ?s ex:p ?o }""")
+    got3 = {(r["s"]["lex"], r["o"]["lex"]) for r in st3.query(
+        "PREFIX ex: <urn:ex:> SELECT ?s ?o WHERE { ?s ex:copied ?o }"
+    ).collect()}
+    assert got3 == {("urn:ex:a", "base")}
+    # USING NAMED: GRAPH ?g ranges over the listed named graphs only
+    st4 = st.update("""
+        PREFIX ex: <urn:ex:>
+        INSERT { ?s ex:copied ?o } USING NAMED ex:g2
+        WHERE { GRAPH ?g { ?s ex:p ?o } }""")
+    got4 = {(r["s"]["lex"], r["o"]["lex"]) for r in st4.query(
+        "PREFIX ex: <urn:ex:> SELECT ?s ?o WHERE { ?s ex:copied ?o }"
+    ).collect()}
+    assert got4 == {("urn:ex:c", "two")}
