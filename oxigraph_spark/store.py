@@ -41,6 +41,19 @@ class Store:
         compiler = Compiler(self.spark, self.source, optimize=self.optimize)
         return compiler.compile_query(ast)
 
+    def explain(self, sparql: str, mode: str = "formatted") -> str:
+        """Compile a SPARQL query and return its execution explanation:
+        the parsed algebra tree followed by the Spark plan in the given
+        ``mode`` ('simple' | 'extended' | 'formatted' | 'cost' |
+        'codegen').  The profiling surface for the Catalyst story —
+        check ``ReadSchema``/``PushedFilters`` on bound-predicate scans
+        and ``Exchange`` placement without running the query."""
+        ast = parse_query(sparql)
+        df = self.query(sparql)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), mode)
+        return f"== SPARQL algebra ==\n{ast!r}\n\n{plan}"
+
     def ask(self, sparql: str) -> bool:
         # take(1) bounds work even on engines that don't push the limit
         # (compile_query already emits limit(1) for ASK)

@@ -136,3 +136,13 @@ def _find(node, cls):
         if isinstance(n, A.BGP):
             stack.extend(n.patterns)
     raise AssertionError(f"no {cls.__name__} found")
+
+
+def test_store_explain(spark):
+    """explain() returns algebra + Spark plan without executing."""
+    from tests.test_semantics import iri, lit, quads_store
+    st = quads_store(spark, [(iri("a"), iri("p"), lit("v"))])
+    out = st.explain(
+        "SELECT ?o WHERE { <urn:ex:a> <urn:ex:p> ?o }", "formatted")
+    assert "SPARQL algebra" in out
+    assert "Physical Plan" in out or "Exchange" in out or "Scan" in out
