@@ -453,7 +453,10 @@ _MORE_ORACLES = {
     "PP8_negated": """
         SELECT CAST(n_regionkey AS VARCHAR) AS o FROM nation WHERE n_nationkey = 3
         UNION ALL
-        SELECT 'urn:g:region/' || n_regionkey FROM nation WHERE n_nationkey = 3""",
+        SELECT 'urn:g:region/' || n_regionkey FROM nation WHERE n_nationkey = 3
+        UNION ALL
+        -- rdf:type edge (W3C direct mapping) is outside the negated set
+        SELECT 'urn:g:nation' FROM nation WHERE n_nationkey = 3""",
     "ED_direct_sparql": """
         SELECT 'event:' || event_type AS k, COUNT(*) AS cnt,
                CAST(NULL AS BIGINT) AS max_chars FROM events
@@ -482,6 +485,10 @@ _MORE_ORACLES = {
           FROM region WHERE r_regionkey = 1
           UNION ALL
           SELECT 'urn:g:region#r_name', r_name FROM region WHERE r_regionkey = 1
+          UNION ALL
+          SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                 'urn:g:region'
+          FROM region WHERE r_regionkey = 1
         )""",
     "U_update": """
         SELECT CASE WHEN c_acctbal < 0.0 THEN 'DEBTOR' ELSE c_mktsegment END

@@ -28,6 +28,7 @@ from ..model import terms as T
 from .tables import load_table
 
 G = "urn:g:"  # base namespace for the direct mapping
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
 
 def table_iri_base(table: str) -> str:
@@ -148,9 +149,17 @@ class DirectMappingSource:
     def _build(self) -> None:
         g = T.default_graph()
         self._pred_info: Dict[str, Tuple[str, str, Optional[str]]] = {}
+        type_frames = []
         for t, df in self._raw.items():
             pk, fks = TABLE_DEFS[t]
             subj = _subject(t, df, pk)
+            # W3C Direct Mapping: every row gets `<row> rdf:type <table>`
+            # (the class partition `?x a ?t` queries and VoID
+            # class_partition read)
+            type_frames.append(df.select(
+                subj.alias("s"), T.iri(F.lit(RDF_TYPE)).alias("p"),
+                T.iri(F.lit(table_iri_base(t).rstrip("/"))).alias("o"),
+                g.alias("g")))
             for col in df.columns:
                 obj = _object_literal(df, col)
                 if obj is not None:
@@ -168,6 +177,10 @@ class DirectMappingSource:
                     subj.alias("s"), T.iri(F.lit(p)).alias("p"),
                     obj.alias("o"), g.alias("g"))
                 self._pred_info[p] = (t, col, target)
+        if type_frames:
+            from functools import reduce
+            self._frames[RDF_TYPE] = reduce(
+                lambda a, b: a.unionByName(b), type_frames)
 
     # -- QuadSource interface ----------------------------------------------
 

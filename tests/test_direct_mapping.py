@@ -44,10 +44,24 @@ def test_fk_object_is_subject_iri(spark, sf_dir):
 def test_unbound_predicate_scan_unions_all(spark, sf_dir):
     src = DirectMappingSource(spark, sf_dir, tables=["region", "nation"])
     n = src.scan().count()
-    # region: 2 cols * 5 rows; nation: 3 cols * 25 + 25 fk rows
-    assert n == 10 + 75 + 25
+    # region: 2 cols * 5 rows; nation: 3 cols * 25 + 25 fk rows; plus one
+    # rdf:type triple per row (W3C direct mapping): 5 + 25
+    assert n == 10 + 75 + 25 + 30
 
 
 def test_missing_predicate_scan_empty(spark, sf_dir):
     src = DirectMappingSource(spark, sf_dir, tables=["region"])
     assert src.scan("urn:g:nope#x").count() == 0
+
+
+def test_rdf_type_triples(spark, sf_dir):
+    """W3C direct mapping: every row gets `<row> a <table>` — `?x a ?t`
+    and the VoID class partition read these."""
+    from oxigraph_spark.store import Store
+    st = Store.from_tables(spark, sf_dir, tables=["region", "nation"])
+    rows = st.query(
+        "SELECT ?t (COUNT(*) AS ?n) WHERE { ?x a ?t } GROUP BY ?t"
+    ).collect()
+    got = {r["t"]["lex"]: r["n"]["num"] for r in rows}
+    assert {k: int(v) for k, v in got.items()} == {
+        "urn:g:region": 5, "urn:g:nation": 25}
