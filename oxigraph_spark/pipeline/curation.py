@@ -182,6 +182,61 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
 
 
 # ---------------------------------------------------------------------------
+# training-mix construction (token-budget sampling per source)
+# ---------------------------------------------------------------------------
+
+def sample_to_token_budget(df: DataFrame, token_col: str, strata_col: str,
+                           budget_tokens: int,
+                           weights: Optional[Dict] = None,
+                           seed: int = 42) -> DataFrame:
+    """Build a training mix: sample each stratum (source/domain/language)
+    so the total token count approaches ``budget_tokens`` split by
+    ``weights`` (relative shares, default: proportional to the corpus).
+    Strata needing MORE than their corpus has are upsampled: whole
+    copies via a small crossJoin-on-literal-range (no data skew — each
+    copy is a map-side pass) plus a Bernoulli remainder, the standard
+    data-mixing shape (e.g. up-weighting Wikipedia against web crawl).
+
+    One tiny count aggregate (strata cardinality is driver-sized:
+    sources, not arbitrary keys), then map-side ``sampleBy``/unions —
+    the corpus is never shuffled.  Deterministic under ``seed``.
+    Returns the original columns."""
+    totals = {r["k"]: r["t"] for r in
+              df.groupBy(F.col(strata_col).alias("k"))
+                .agg(F.sum(token_col).alias("t")).collect()}
+    if not totals:
+        return df.limit(0)
+    if weights is None:
+        weights = dict(totals)
+    wsum = float(sum(weights.get(k, 0.0) for k in totals))
+    out = None
+    for k, have in totals.items():
+        w = float(weights.get(k, 0.0))
+        if w <= 0 or not have:
+            continue
+        want = budget_tokens * w / wsum
+        ratio = want / float(have)
+        part = df.where(F.col(strata_col) == k)
+        whole, frac = int(ratio), ratio - int(ratio)
+        pieces = []
+        if whole:
+            # n whole copies: range-literal crossJoin is a broadcast of
+            # `whole` rows — each copy is one map-side pass of the stratum
+            copies = part.crossJoin(
+                df.sparkSession.range(whole).select(
+                    F.col("id").alias("__copy"))).drop("__copy")
+            pieces.append(copies)
+        if frac > 1e-9:
+            pieces.append(part.sample(fraction=min(frac, 1.0), seed=seed))
+        if not pieces:
+            continue
+        piece = pieces[0] if len(pieces) == 1 \
+            else pieces[0].unionByName(pieces[1])
+        out = piece if out is None else out.unionByName(piece)
+    return out if out is not None else df.limit(0)
+
+
+# ---------------------------------------------------------------------------
 # exact-substring duplicate spans (Lee et al., arXiv:2107.06499)
 # ---------------------------------------------------------------------------
 

@@ -107,3 +107,33 @@ def test_decontaminate_planted_eval_leak(spark):
     assert ids == {1}
     row = flagged.collect()[0]
     assert row.shared_fps >= 3
+
+
+def test_sample_to_token_budget(spark):
+    from pyspark.sql import Row, functions as F
+    from oxigraph_spark.pipeline.curation import sample_to_token_budget
+    rows = ([Row(doc_id=i, src="web", n_tok=100) for i in range(1000)]
+            + [Row(doc_id=10_000 + i, src="wiki", n_tok=100)
+               for i in range(50)])
+    df = spark.createDataFrame(rows)
+    # 50/50 weights with a 40k budget: web wants 20k of its 100k
+    # (downsample ~0.2), wiki wants 20k of its 5k (upsample 4x exactly)
+    out = sample_to_token_budget(df, "n_tok", "src", 40_000,
+                                 weights={"web": 1.0, "wiki": 1.0},
+                                 seed=7).cache()
+    got = {r["src"]: r["t"] for r in
+           out.groupBy("src").agg(F.sum("n_tok").alias("t")).collect()}
+    assert got["wiki"] == 20_000          # exact 4 whole copies
+    assert 14_000 < got["web"] < 26_000   # Bernoulli ~20k
+    assert set(out.columns) == {"doc_id", "src", "n_tok"}
+    # deterministic
+    again = sample_to_token_budget(df, "n_tok", "src", 40_000,
+                                   weights={"web": 1.0, "wiki": 1.0},
+                                   seed=7)
+    assert again.count() == out.count()
+    # proportional default keeps shares
+    prop = sample_to_token_budget(df, "n_tok", "src", 21_000)
+    shares = {r["src"]: r["t"] for r in
+              prop.groupBy("src").agg(F.sum("n_tok").alias("t")).collect()}
+    # 5k/105k of 21k = 1k target, Bernoulli at fraction 0.2
+    assert 300 <= shares.get("wiki", 0) <= 1700
