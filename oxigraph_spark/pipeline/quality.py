@@ -251,6 +251,70 @@ def c4_line_filter(df: DataFrame, text_col: str, id_col: str,
                      (n_all - F.size(keep)).alias("n_dropped_lines"))
 
 
+def corpus_line_dedup(df: DataFrame, text_col: str, id_col: str,
+                      min_line_chars: int = 20) -> DataFrame:
+    """C4 §2.2 corpus-level line dedup: any line occurring more than
+    once ACROSS THE WHOLE CORPUS is kept only in the document of its
+    first occurrence (min id, then line position) and removed
+    everywhere else → ``(id, text, n_removed_lines)``.
+
+    Lines shorter than ``min_line_chars`` are exempt (short lines —
+    headers, "Introduction" — collide legitimately and carry no
+    boilerplate signal).
+
+    Shape at 100 TB: explode to (64-bit line hash, id, pos) — the text
+    of a line never shuffles, only its hash; one groupBy picks each
+    hash's winner; a join keyed by id + a groupBy(id) reassembles
+    documents.  All keys are doc ids or line hashes — uniform."""
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("pos", "line"))
+    hashed = lines.withColumn("__h", F.xxhash64("line")) \
+                  .withColumn("__dedupable",
+                              F.length(F.trim("line")) >= min_line_chars)
+    winners = (hashed.where("__dedupable")
+               .groupBy("__h")
+               .agg(F.min(F.struct("id", "pos")).alias("w")))
+    keep = hashed.join(winners, "__h", "left").where(
+        ~F.col("__dedupable")
+        | (F.col("w").isNull())
+        | ((F.col("w.id") == F.col("id")) & (F.col("w.pos") == F.col("pos"))))
+    rebuilt = (keep.groupBy("id")
+               .agg(F.array_join(
+                       F.transform(F.array_sort(F.collect_list(
+                           F.struct("pos", "line"))), lambda x: x["line"]),
+                       "\n").alias(text_col),
+                    F.count(F.lit(1)).alias("__kept")))
+    n_lines = lines.groupBy("id").agg(F.count(F.lit(1)).alias("__all"))
+    return (rebuilt.join(n_lines, "id")
+            .select("id", text_col,
+                    (F.col("__all") - F.col("__kept"))
+                    .alias("n_removed_lines")))
+
+
+PII_PATTERNS = [
+    # (label, regex) — the standard scrub list; extend per deployment.
+    # Order matters: specific shapes (SSN) before the greedy digit-run
+    # PHONE pattern, which would otherwise consume them.
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("IP", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    ("SSN", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("PHONE", r"\+?\d[\d\s().-]{7,}\d"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace common PII shapes (emails, IPs, phone-like digit runs,
+    SSNs) with ``<LABEL>`` tokens — the pre-training scrub pass.  Pure
+    chained ``regexp_replace`` (JVM regex, one mapper); a production
+    system adds NER-based detection on top, same plan shape via
+    mapInPandas."""
+    out = text
+    for label, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"<{label}>")
+    return out
+
+
 def quality_filter(df: DataFrame, text_col: str, id_col: str,
                    max_dup_line_frac: float = 0.3,
                    max_dup_para_frac: float = 0.3,

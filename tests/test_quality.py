@@ -234,3 +234,35 @@ def test_shared_spans_differential_bruteforce(spark):
                                  run + K - 1))
                         run = 0
     assert got == sorted(expected)
+
+
+def test_corpus_line_dedup(spark):
+    boiler = "this exact boilerplate footer appears in many documents"
+    df = spark.createDataFrame([
+        Row(doc_id=1, text=f"unique first line of doc one\n{boiler}"),
+        Row(doc_id=2, text=f"{boiler}\nunique line of doc two"),
+        Row(doc_id=3, text="short\nall unique content here today"),
+    ])
+    out = {r["id"]: r for r in
+           Q.corpus_line_dedup(df, "text", "doc_id").collect()}
+    # winner = min (id, pos): doc 1 keeps the boilerplate
+    assert boiler in out[1]["text"] and out[1]["n_removed_lines"] == 0
+    assert boiler not in out[2]["text"] and out[2]["n_removed_lines"] == 1
+    assert out[2]["text"] == "unique line of doc two"
+    assert out[3]["n_removed_lines"] == 0
+    # short lines exempt even if repeated
+    df2 = spark.createDataFrame([Row(doc_id=1, text="short\na"),
+                                 Row(doc_id=2, text="short\nb")])
+    out2 = {r["id"]: r["n_removed_lines"] for r in
+            Q.corpus_line_dedup(df2, "text", "doc_id").collect()}
+    assert out2 == {1: 0, 2: 0}
+
+
+def test_redact_pii(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text=(
+        "mail me at jane.doe+x@corp.example.com or call +1 (555) 123-4567; "
+        "server 192.168.0.1, ssn 123-45-6789"))])
+    got = df.select(Q.redact_pii(F.col("text")).alias("t")).collect()[0]["t"]
+    assert "<EMAIL>" in got and "<PHONE>" in got
+    assert "<IP>" in got and "<SSN>" in got
+    assert "jane" not in got and "192.168" not in got
