@@ -49,7 +49,7 @@ TOKEN_RE = re.compile(r"""
   | (?P<INTEGER>[0-9]+)
   | (?P<PNAME>(?:[A-Za-z_][A-Za-z0-9_.-]*)?:(?:[A-Za-z0-9_:%\-.]*[A-Za-z0-9_:%\-])?)
   | (?P<NAME>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|<<|>>|[{}()\[\],;.^|/*+?!=<>-])
+  | (?P<OP>\^\^|&&|\{\||\|\}|\|\||!=|<=|>=|<<|>>|[{}()\[\],;.^|/*+?!=<>-])
 """, re.VERBOSE)
 
 
@@ -608,6 +608,18 @@ class Parser:
                     out.append(A.PathPattern(subj, path, obj))
                 else:
                     out.append(A.TriplePattern(subj, verb, obj))
+                if self.at_op("{|"):
+                    # annotation syntax (SPARQL-star): `s p o {| q v |}`
+                    # asserts/matches the base triple AND statements
+                    # about << s p o >>
+                    if is_path:
+                        raise ParseError(
+                            "annotation {| |} not allowed on a property "
+                            "path")
+                    self.next()
+                    qt = self._qt_subject(subj, verb, obj)
+                    self._property_list(qt, out, required=True)
+                    self.eat_op("|}")
                 if self.at_op(","):
                     self.next()
                     continue
@@ -622,6 +634,20 @@ class Parser:
                         or self.at_op("^", "!", "("):
                     continue
             return
+
+    def _qt_subject(self, s, p, o):
+        """The quoted-triple term `<< s p o >>` an annotation block hangs
+        its statements on — same lowering rules as ``_quoted_triple``:
+        ground or in a template → constant/runtime QuotedTriple; with
+        variables in a pattern → fresh var + accessor constraints."""
+        if all(not isinstance(x, A.Var) for x in (s, p, o)) \
+                or self._template_depth:
+            return A.QuotedTriple(s, p, o)
+        qv = A.Var(f"__qt{next(self._qt_counter)}")
+        if not self._qt_stack:
+            raise ParseError("annotation {| |} outside a group pattern")
+        self._qt_stack[-1].append((qv, s, p, o))
+        return qv
 
     def _quoted_triple(self, out: List):
         """``<< s p o >>`` in a data position (SPARQL-star).  Ground →

@@ -166,3 +166,36 @@ def test_insert_delete_quoted_triple_template(star_store):
     assert len(got) == 1 and got[0].t.kind == T.KIND_TRIPLE
     st2 = st.update("DELETE WHERE { << ?s <urn:p> ?v >> <urn:src> <urn:doc2> }")
     assert st2.query("SELECT ?t WHERE { ?t <urn:src> ?x }").count() == 0
+
+
+def test_annotation_syntax(spark):
+    """SPARQL-star annotation sugar: `s p o {| q v |}` asserts the base
+    triple AND statements about << s p o >>, in data and patterns."""
+    from tests.test_semantics import quads_store
+    st = quads_store(spark, [])
+    st = st.update("""
+        PREFIX ex: <urn:ex:>
+        INSERT DATA { ex:a ex:score 7 {| ex:cert 0.9 ; ex:src ex:d1 |} .
+                      ex:b ex:score 5 . }""")
+    # base triples both asserted
+    assert st.query("PREFIX ex: <urn:ex:> "
+                    "SELECT ?s WHERE { ?s ex:score ?v }").count() == 2
+    # annotation matches via sugar and via explicit quoted triple
+    rows = st.query("""
+        PREFIX ex: <urn:ex:>
+        SELECT ?s ?c WHERE { ?s ex:score ?v {| ex:cert ?c |} }""").collect()
+    assert [(r["s"]["lex"], r["c"]["lex"]) for r in rows] \
+        == [("urn:ex:a", "0.9")]
+    src = st.query("""
+        PREFIX ex: <urn:ex:>
+        SELECT ?x WHERE { << ex:a ex:score 7 >> ex:src ?x }""").collect()
+    assert [r["x"]["lex"] for r in src] == ["urn:ex:d1"]
+
+
+def test_annotation_on_path_rejected(spark):
+    from oxigraph_spark.algebra.parser import ParseError, parse_query
+    import pytest as _pytest
+    with _pytest.raises(ParseError):
+        parse_query("""
+            PREFIX ex: <urn:ex:>
+            SELECT ?o WHERE { ?s ex:p/ex:q ?o {| ex:c 1 |} }""")
