@@ -123,45 +123,53 @@ def ngram_repetition_stats(df: DataFrame, text_col: str, id_col: str,
     word count, so keys stay uniform at any corpus size."""
     top_ns = top_ns or [2, 3, 4]
     dup_ns = dup_ns or [5, 6, 7, 8, 9, 10]
+    all_ns = sorted(set(top_ns) | set(dup_ns))
     t = F.col(text_col)
     base = df.select(F.col(id_col).alias("id"),
                      F.split(normalize_text(t), " ").alias("__w"),
                      F.length(t).alias("__chars"))
-    out = base.select("id", "__chars")
-    for n in sorted(set(top_ns) | set(dup_ns)):
-        grams = base.select(
-            "id", "__chars",
-            F.explode(_word_ngrams(F.col("__w"), n)).alias("g"))
-        per_gram = grams.groupBy("id", "__chars", "g").agg(
-            F.count(F.lit(1)).alias("c"),
-            F.length(F.first("g")).alias("glen"))
-        # chars covered by a gram ≈ occurrences × gram length
-        agg_cols = []
-        if n in top_ns:
-            top_mass = F.max(F.when(F.col("c") > 1,
-                                    F.col("c") * F.col("glen"))
-                             .otherwise(F.lit(0)))
-            agg_cols.append(top_mass.alias(f"__top{n}"))
-        if n in dup_ns:
-            dup_mass = F.sum(F.when(F.col("c") > 1,
-                                    F.col("c") * F.col("glen"))
-                             .otherwise(F.lit(0)))
-            agg_cols.append(dup_mass.alias(f"__dup{n}"))
-        per_doc = per_gram.groupBy("id", "__chars").agg(*agg_cols)
-        sel = ["id"]
-        if n in top_ns:
-            sel.append(F.round(
-                F.least(F.col(f"__top{n}").cast("double")
-                        / F.greatest(F.col("__chars"), F.lit(1)),
-                        F.lit(1.0)), 6).alias(f"top{n}_char_frac"))
-        if n in dup_ns:
-            sel.append(F.round(
-                F.least(F.col(f"__dup{n}").cast("double")
-                        / F.greatest(F.col("__chars"), F.lit(1)),
-                        F.lit(1.0)), 6).alias(f"dup{n}_char_frac"))
-        out = out.join(per_doc.select(*sel), "id", "left")
+    # ONE explode over every requested n (gram rows tagged by n), ONE
+    # (id, n, gram) count, ONE per-(id, n) aggregate, then a conditional
+    # re-aggregate keyed by id — 2 gram-keyed shuffles TOTAL regardless
+    # of how many n values are requested (the per-n loop-of-joins shape
+    # would pay 3 shuffles per n)
+    def _tag(n):
+        # NB: the transform lambda must take exactly ONE parameter — a
+        # defaulted second arg would make pyspark pass the element index
+        return F.transform(_word_ngrams(F.col("__w"), n),
+                           lambda g: F.struct(F.lit(n).alias("n"),
+                                              g.alias("g")))
+
+    tagged = F.flatten(F.array(*[_tag(n) for n in all_ns]))
+    grams = base.select("id", "__chars",
+                        F.explode(tagged).alias("t")) \
+                .select("id", "__chars", F.col("t.n").alias("n"),
+                        F.col("t.g").alias("g"))
+    per_gram = grams.groupBy("id", "__chars", "n", "g").agg(
+        F.count(F.lit(1)).alias("c"))
+    mass = F.when(F.col("c") > 1, F.col("c") * F.length("g")) \
+            .otherwise(F.lit(0))
+    per_doc_n = per_gram.groupBy("id", "__chars", "n").agg(
+        F.max(mass).alias("__top"), F.sum(mass).alias("__dup"))
+
+    def frac(col):
+        return F.round(F.least(col.cast("double")
+                               / F.greatest(F.col("__chars"), F.lit(1)),
+                               F.lit(1.0)), 6)
+
+    aggs = []
+    for n in top_ns:
+        aggs.append(frac(F.max(F.when(F.col("n") == n, F.col("__top"))
+                               .otherwise(F.lit(0))))
+                    .alias(f"top{n}_char_frac"))
+    for n in dup_ns:
+        aggs.append(frac(F.max(F.when(F.col("n") == n, F.col("__dup"))
+                               .otherwise(F.lit(0))))
+                    .alias(f"dup{n}_char_frac"))
+    per_doc = per_doc_n.groupBy("id", "__chars").agg(*aggs)
+    out = base.select("id").join(per_doc.drop("__chars"), "id", "left")
     fill = {c: 0.0 for c in out.columns if c.endswith("_char_frac")}
-    return out.drop("__chars").fillna(fill)
+    return out.fillna(fill)
 
 
 # ---------------------------------------------------------------------------
