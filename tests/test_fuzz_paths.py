@@ -44,13 +44,17 @@ def _gen_path(rng, depth):
     """Random path AST as (sparql_string, eval_fn_tag, children...)."""
     if depth == 0 or rng.random() < 0.35:
         p = rng.choice(PREDS)
-        form = rng.choice(["link", "link", "inv", "nps"])
+        form = rng.choice(["link", "link", "inv", "nps", "nps_mixed"])
         if form == "link":
             return ("link", p)
         if form == "inv":
             return ("inv", p)
-        members = rng.sample(PREDS, rng.randint(1, 2))
-        return ("nps", members)
+        if form == "nps":
+            return ("nps", rng.sample(PREDS, rng.randint(1, 2)), [])
+        # mixed negated set: forward AND inverse members (§9.1
+        # NegatedPropertySet with ^iri elements)
+        return ("nps", rng.sample(PREDS, rng.randint(0, 2)),
+                rng.sample(PREDS, rng.randint(1, 2)))
     form = rng.choice(["seq", "alt", "plus", "star", "opt"])
     if form in ("seq", "alt"):
         return (form, _gen_path(rng, depth - 1), _gen_path(rng, depth - 1))
@@ -64,7 +68,8 @@ def _to_sparql(t):
     if kind == "inv":
         return f"^ex:{t[1]}"
     if kind == "nps":
-        return "!(" + "|".join(f"ex:{m}" for m in t[1]) + ")"
+        members = [f"ex:{m}" for m in t[1]] + [f"^ex:{m}" for m in t[2]]
+        return "!(" + "|".join(members) + ")"
     if kind == "seq":
         return f"({_to_sparql(t[1])}/{_to_sparql(t[2])})"
     if kind == "alt":
@@ -91,7 +96,13 @@ def _eval_ref(t, edges, nodes):
     if kind == "inv":
         return {(o, s) for s, p, o in edges if p == t[1]}
     if kind == "nps":
-        return {(s, o) for s, p, o in edges if p not in t[1]}
+        fwd, inv = t[1], t[2]
+        out = set()
+        if fwd or not inv:         # forward part absent only for !(^q...)
+            out |= {(s, o) for s, p, o in edges if p not in fwd}
+        if inv:
+            out |= {(o, s) for s, p, o in edges if p not in inv}
+        return out
     if kind == "seq":
         a = _eval_ref(t[1], edges, nodes)
         b = _eval_ref(t[2], edges, nodes)
