@@ -266,3 +266,20 @@ def test_redact_pii(spark):
     assert "<EMAIL>" in got and "<PHONE>" in got
     assert "<IP>" in got and "<SSN>" in got
     assert "jane" not in got and "192.168" not in got
+
+
+def test_mask_overlapping_spans_multiple_partners(spark):
+    """A doc duplicated against TWO partners with overlapping spans:
+    the union of covered word ranges is cut exactly once."""
+    shared = " ".join(f"s{i}" for i in range(12))
+    df = spark.createDataFrame([
+        Row(doc_id=1, text=shared),                    # source A
+        Row(doc_id=2, text=shared + " tail"),          # source B
+        Row(doc_id=3, text="head " + shared),          # dupe of both
+    ])
+    spans = shared_substring_spans(df, "text", "doc_id", k=8, min_len=8)
+    # doc 3 is id_b for both (1,3) and (2,3) pairs; spans overlap fully
+    masked = {r["doc_id"]: r for r in
+              mask_shared_spans(df, spans, "text", "doc_id").collect()}
+    assert masked[3]["text"] == "head"
+    assert masked[3]["n_cut_words"] == 12  # overlap not double-counted
