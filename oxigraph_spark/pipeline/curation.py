@@ -314,6 +314,14 @@ def mask_shared_spans(df: DataFrame, spans: DataFrame, text_col: str,
     original columns with ``text_col`` rewritten, plus
     ``n_cut_words``.  Docs with no spans pass through untouched.
 
+    NOTE: span coordinates live in NORMALIZED word space
+    (:func:`normalize_text` — lowercased, punctuation stripped), so a
+    rewritten document is returned in that normalized form; docs without
+    spans keep their original text.  Pipelines that must preserve
+    original formatting should use the span list to drop whole
+    documents (or re-derive char offsets with their own tokenizer)
+    rather than splice text.
+
     The per-doc span list arrives as a grouped array (one row per doc
     after the aggregate), and the cut is a word-level higher-order
     filter — a mapper over the joined rows, no Python."""
