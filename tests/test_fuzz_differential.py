@@ -74,6 +74,21 @@ def gen_query(seed: int) -> str:
         body += f" {{ {left} UNION {right} }}"
         bound["?seg"] = "str"
 
+    if rng.random() < 0.25:  # MINUS sharing ?s (exercises §8.3 Minus)
+        body += (" MINUS { ?s c:c_mktsegment ?mseg . "
+                 f'FILTER(STRSTARTS(?mseg, "{rng.choice("ABFHM")}")) }}'
+                 .replace("}}", "}"))
+
+    if rng.random() < 0.25:  # correlated (NOT) EXISTS
+        neg = "NOT " if rng.random() < 0.5 else ""
+        body += (f" FILTER({neg}EXISTS {{ ?s c:ref_nation ?xn . "
+                 "?xn n:n_regionkey ?xr . FILTER(?xr >= "
+                 f"{rng.randint(0, 4)}) }})")
+
+    if rng.random() < 0.3:  # BIND of a computed var (error→unbound ok)
+        body += f" BIND(STRLEN(?v0) + {rng.randint(0, 5)} AS ?bl)"
+        bound["?bl"] = "num"
+
     if rng.random() < 0.25:  # aggregate form replaces plain projection
         return (PFX + "SELECT ?g (COUNT(*) AS ?cnt) (MAX(?m) AS ?mx) "
                 "WHERE { ?s c:c_mktsegment ?g ; c:c_acctbal ?m . "
