@@ -155,8 +155,24 @@ def stype_of(e, env_st: Optional[dict] = None) -> Optional[int]:
     if isinstance(e, A.EOp):
         if e.op in ("&&", "||", "!", "=", "!=", "<", "<=", ">", ">="):
             return K.VC_BOOLEAN
-        if e.op in ("+", "-", "*", "/", "u-", "u+"):
+        if e.op in ("*", "/", "u-", "u+"):
             return K.VC_NUMERIC
+        if e.op in ("+", "-"):
+            # + and - are overloaded for temporal arithmetic (XPath
+            # operator mapping): dateTime ± duration → dateTime,
+            # duration ± duration → duration, dateTime − dateTime →
+            # duration.  Claiming VC_NUMERIC here used to specialize
+            # downstream comparisons numerically and silently NULL
+            # them.  Only claim numeric when BOTH operands are.
+            sa = stype_of(e.args[0], env_st)
+            sb = stype_of(e.args[1], env_st)
+            if sa == K.VC_NUMERIC and sb == K.VC_NUMERIC:
+                return K.VC_NUMERIC
+            if sa == K.VC_DATETIME and sb == K.VC_OTHER:
+                return K.VC_DATETIME      # dateTime ± duration
+            if e.op == "+" and sa == K.VC_OTHER and sb == K.VC_DATETIME:
+                return K.VC_DATETIME      # duration + dateTime
+            return None
         return None
     if isinstance(e, (A.EIn, A.EExists)):
         return K.VC_BOOLEAN

@@ -66,3 +66,30 @@ def test_duration_payloads_and_cast(dur_store):
         }}""").collect()[0]
     assert r.c.lex == "PT90M" and float(r.c.dbl) == 5400.0
     assert float(r.neg.dbl) == -(86400 + 3600)
+
+
+def test_date_plus_duration_in_filter(spark):
+    """Regression: stype_of claimed `+` is always numeric, which
+    specialized the enclosing comparison numerically and silently
+    dropped every row of `FILTER(?date + duration > date)`."""
+    from tests.test_semantics import iri, quads_store
+    from oxigraph_spark.algebra import ast as A
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    st = quads_store(spark, [
+        (iri("a"), iri("d"), A.Literal("2024-03-01", datatype=XSD + "date")),
+        (iri("b"), iri("d"), A.Literal("2024-03-15", datatype=XSD + "date")),
+    ])
+    pfx = "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+    q = ('SELECT ?s WHERE { ?s <urn:ex:d> ?v . '
+         'FILTER(?v + "P20D"^^xsd:dayTimeDuration > '
+         '"2024-03-18"^^xsd:date) }')
+    assert st.query(pfx + q).count() == 2
+    q2 = ('SELECT ?s WHERE { ?s <urn:ex:d> ?v . '
+          'FILTER(?v + "P1D"^^xsd:dayTimeDuration > '
+          '"2024-03-10"^^xsd:date) }')
+    got = [r["s"]["lex"] for r in st.query(pfx + q2).collect()]
+    assert got == ["urn:ex:b"]
+    # plain numeric + stays specialized (sanity)
+    q3 = ('SELECT ?s WHERE { ?s <urn:ex:d> ?v . '
+          'FILTER(1 + 1 = 2) }')
+    assert st.query(pfx + q3).count() == 2
