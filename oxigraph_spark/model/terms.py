@@ -224,6 +224,13 @@ def typed_lit(lex: ColumnOrName, datatype: str) -> Column:
     if datatype in (XSD_DATETIME, XSD_DATE):
         return term_struct(KIND_LITERAL, lexc, datatype=F.lit(datatype),
                            ts=_parse_ts(lexc), tz_min=_parse_tz_min(lexc))
+    if datatype == XSD_TIME:
+        # time-of-day anchored on the epoch day so ordering/equality use
+        # the same ts payload as dateTime (XPath orders times on an
+        # arbitrary common date; offsets normalize to UTC)
+        return term_struct(KIND_LITERAL, lexc, datatype=F.lit(datatype),
+                           ts=_parse_ts(F.concat(F.lit("1970-01-01T"), lexc)),
+                           tz_min=_parse_tz_min(lexc))
     if datatype in DURATION_DATATYPES:
         return term_struct(KIND_LITERAL, lexc, datatype=F.lit(datatype),
                            num=_dur_months(lexc).cast(DECIMAL_T),
@@ -301,8 +308,11 @@ def make_typed(lex: Column, datatype: Column) -> Column:
     b = F.when(datatype == XSD_BOOLEAN,
                F.when(lex.isin("true", "1"), F.lit(True))
                 .when(lex.isin("false", "0"), F.lit(False)))
-    ts = F.when(datatype.isin(XSD_DATETIME, XSD_DATE), _parse_ts(lex))
-    tz = F.when(datatype.isin(XSD_DATETIME, XSD_DATE), _parse_tz_min(lex))
+    ts = F.when(datatype.isin(XSD_DATETIME, XSD_DATE), _parse_ts(lex)) \
+          .when(datatype == XSD_TIME,
+                _parse_ts(F.concat(F.lit("1970-01-01T"), lex)))
+    tz = F.when(datatype.isin(XSD_DATETIME, XSD_DATE, XSD_TIME),
+                _parse_tz_min(lex))
     return term_struct(KIND_LITERAL, lex, datatype=datatype,
                        num=num, dbl=dbl, ts=ts, tz_min=tz, bool_=b)
 

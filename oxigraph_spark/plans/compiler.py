@@ -1604,8 +1604,13 @@ def _const_term_sql(t: A.GroundTerm) -> Optional[str]:
                 vals["bool"] = (
                     f"CASE WHEN {L} IN ('true', '1') THEN true "
                     f"WHEN {L} IN ('false', '0') THEN false END")
-            elif d in (T.XSD_DATETIME, T.XSD_DATE):
-                vals["ts"] = f"TO_TIMESTAMP({L})"
+            elif d in (T.XSD_DATETIME, T.XSD_DATE, T.XSD_TIME):
+                if d == T.XSD_TIME:
+                    # epoch-day anchor, same convention as typed_lit
+                    vals["ts"] = (
+                        f"TO_TIMESTAMP(CONCAT('1970-01-01T', {L}))")
+                else:
+                    vals["ts"] = f"TO_TIMESTAMP({L})"
                 m = _TZ_RE.search(lex)
                 if m:
                     z = m.group(1)
@@ -1645,8 +1650,12 @@ def _term_to_py(t: Optional[A.GroundTerm]):
                 dbl = float(lex)
             elif datatype == T.XSD_BOOLEAN:
                 b = lex in ("true", "1")
-            elif datatype in (T.XSD_DATETIME, T.XSD_DATE):
-                ts = datetime.fromisoformat(lex.replace("Z", "+00:00"))
+            elif datatype in (T.XSD_DATETIME, T.XSD_DATE, T.XSD_TIME):
+                iso = lex.replace("Z", "+00:00")
+                if datatype == T.XSD_TIME:
+                    # epoch-day anchor, same convention as typed_lit
+                    iso = "1970-01-01T" + iso
+                ts = datetime.fromisoformat(iso)
                 if ts.tzinfo is not None:
                     tz = int(ts.utcoffset().total_seconds() // 60)
                     ts = ts.astimezone(timezone.utc).replace(tzinfo=None)

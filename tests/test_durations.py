@@ -93,3 +93,30 @@ def test_date_plus_duration_in_filter(spark):
     q3 = ('SELECT ?s WHERE { ?s <urn:ex:d> ?v . '
           'FILTER(1 + 1 = 2) }')
     assert st.query(pfx + q3).count() == 2
+
+
+def test_xsd_time_ordering(spark):
+    """xsd:time values carry an epoch-day ts payload: comparison,
+    ORDER BY, and HOURS() work; offsets normalize to UTC."""
+    from tests.test_semantics import iri, quads_store
+    from oxigraph_spark.algebra import ast as A
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    st = quads_store(spark, [
+        (iri("a"), iri("t"), A.Literal("09:30:00", datatype=XSD + "time")),
+        (iri("b"), iri("t"), A.Literal("18:00:00", datatype=XSD + "time")),
+        (iri("c"), iri("t"), A.Literal("23:00:00+11:00",
+                                       datatype=XSD + "time")),
+    ])
+    pfx = "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+    got = [r["s"]["lex"] for r in st.query(
+        pfx + 'SELECT ?s WHERE { ?s <urn:ex:t> ?v . '
+              'FILTER(?v > "12:00:00"^^xsd:time) } ORDER BY ?s').collect()]
+    # 23:00+11:00 = 12:00Z -> not strictly greater; only b qualifies
+    assert got == ["urn:ex:b"]
+    ordered = [r["s"]["lex"] for r in st.query(
+        pfx + 'SELECT ?s WHERE { ?s <urn:ex:t> ?v } ORDER BY ?v').collect()]
+    assert ordered == ["urn:ex:a", "urn:ex:c", "urn:ex:b"]
+    hrs = {r["s"]["lex"]: r["h"]["num"] for r in st.query(
+        pfx + 'SELECT ?s (HOURS(?v) AS ?h) WHERE { ?s <urn:ex:t> ?v }'
+    ).collect()}
+    assert int(hrs["urn:ex:a"]) == 9
