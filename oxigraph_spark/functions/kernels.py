@@ -33,7 +33,8 @@ def vclass(t: Column) -> Column:
         F.when(t["kind"] != T.KIND_LITERAL, F.lit(VC_NONLIT))
         .when(t["datatype"].isin(*T.NUMERIC_DATATYPES), F.lit(VC_NUMERIC))
         .when(t["datatype"] == T.XSD_BOOLEAN, F.lit(VC_BOOLEAN))
-        .when(t["datatype"].isin(T.XSD_DATETIME, T.XSD_DATE, T.XSD_TIME),
+        .when(t["datatype"].isin(T.XSD_DATETIME, T.XSD_DATE, T.XSD_TIME,
+                                 T.XSD_GYEAR, T.XSD_GYEARMONTH),
               F.lit(VC_DATETIME))
         .when(t["datatype"].eqNullSafe(T.XSD_STRING) | t["datatype"].isNull(),
               F.lit(VC_STRING))
@@ -233,7 +234,8 @@ def cmp_typed(a: Column, b: Column, op: str, sta, stb) -> Column:
         other = a if sta is None else b
         return F.when(other["ts"].isNotNull()
                       & other["datatype"].isin(T.XSD_DATETIME, T.XSD_DATE,
-                                               T.XSD_TIME),
+                                               T.XSD_TIME, T.XSD_GYEAR,
+                                               T.XSD_GYEARMONTH),
                       cond).otherwise(_nb())
     if known == VC_BOOLEAN:
         cond = c(a["bool"].cast("int"), b["bool"].cast("int"))

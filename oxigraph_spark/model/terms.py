@@ -55,6 +55,8 @@ XSD_BOOLEAN = XSD + "boolean"
 XSD_DATETIME = XSD + "dateTime"
 XSD_DATE = XSD + "date"
 XSD_TIME = XSD + "time"
+XSD_GYEAR = XSD + "gYear"
+XSD_GYEARMONTH = XSD + "gYearMonth"
 XSD_DURATION = XSD + "duration"
 XSD_YM_DURATION = XSD + "yearMonthDuration"
 XSD_DT_DURATION = XSD + "dayTimeDuration"
@@ -231,6 +233,10 @@ def typed_lit(lex: ColumnOrName, datatype: str) -> Column:
         return term_struct(KIND_LITERAL, lexc, datatype=F.lit(datatype),
                            ts=_parse_ts(F.concat(F.lit("1970-01-01T"), lexc)),
                            tz_min=_parse_tz_min(lexc))
+    if datatype in (XSD_GYEAR, XSD_GYEARMONTH):
+        return term_struct(KIND_LITERAL, lexc, datatype=F.lit(datatype),
+                           ts=_parse_ts(_gy_anchor(lexc, datatype)),
+                           tz_min=_parse_tz_min(lexc))
     if datatype in DURATION_DATATYPES:
         return term_struct(KIND_LITERAL, lexc, datatype=F.lit(datatype),
                            num=_dur_months(lexc).cast(DECIMAL_T),
@@ -254,6 +260,16 @@ def _parse_ts(lex: Column) -> Column:
     """dateTime lexical form → UTC-normalized instant (offset applied;
     tz-less forms read as UTC — session tz is pinned to UTC)."""
     return F.to_timestamp(lex)
+
+
+def _gy_anchor(lex: Column, datatype: str) -> Column:
+    """gYear/gYearMonth lexical form → period-start dateTime form
+    ("1999" → "1999-01-01", "1999-05" → "1999-05-01"); a trailing
+    timezone (rare but legal) is carried over behind the anchor."""
+    tz = F.regexp_extract(lex, r"(Z|[+-]\d\d:\d\d)$", 1)
+    body = F.regexp_replace(lex, r"(Z|[+-]\d\d:\d\d)$", "")
+    suffix = "-01-01" if datatype == XSD_GYEAR else "-01"
+    return F.concat(body, F.lit(suffix), tz)
 
 
 # xsd:duration lexical form (anchored; groups: Y Mo D H Mi S).  The
@@ -310,8 +326,13 @@ def make_typed(lex: Column, datatype: Column) -> Column:
                 .when(lex.isin("false", "0"), F.lit(False)))
     ts = F.when(datatype.isin(XSD_DATETIME, XSD_DATE), _parse_ts(lex)) \
           .when(datatype == XSD_TIME,
-                _parse_ts(F.concat(F.lit("1970-01-01T"), lex)))
-    tz = F.when(datatype.isin(XSD_DATETIME, XSD_DATE, XSD_TIME),
+                _parse_ts(F.concat(F.lit("1970-01-01T"), lex))) \
+          .when(datatype == XSD_GYEAR,
+                _parse_ts(_gy_anchor(lex, XSD_GYEAR))) \
+          .when(datatype == XSD_GYEARMONTH,
+                _parse_ts(_gy_anchor(lex, XSD_GYEARMONTH)))
+    tz = F.when(datatype.isin(XSD_DATETIME, XSD_DATE, XSD_TIME,
+                              XSD_GYEAR, XSD_GYEARMONTH),
                 _parse_tz_min(lex))
     return term_struct(KIND_LITERAL, lex, datatype=datatype,
                        num=num, dbl=dbl, ts=ts, tz_min=tz, bool_=b)

@@ -147,7 +147,8 @@ def stype_of(e, env_st: Optional[dict] = None) -> Optional[int]:
             return K.VC_NUMERIC
         if dt == T.XSD_BOOLEAN:
             return K.VC_BOOLEAN
-        if dt in (T.XSD_DATETIME, T.XSD_DATE, T.XSD_TIME):
+        if dt in (T.XSD_DATETIME, T.XSD_DATE, T.XSD_TIME,
+                  T.XSD_GYEAR, T.XSD_GYEARMONTH):
             return K.VC_DATETIME
         if dt == T.XSD_STRING:
             return K.VC_STRING
@@ -1604,11 +1605,18 @@ def _const_term_sql(t: A.GroundTerm) -> Optional[str]:
                 vals["bool"] = (
                     f"CASE WHEN {L} IN ('true', '1') THEN true "
                     f"WHEN {L} IN ('false', '0') THEN false END")
-            elif d in (T.XSD_DATETIME, T.XSD_DATE, T.XSD_TIME):
+            elif d in (T.XSD_DATETIME, T.XSD_DATE, T.XSD_TIME,
+                       T.XSD_GYEAR, T.XSD_GYEARMONTH):
                 if d == T.XSD_TIME:
                     # epoch-day anchor, same convention as typed_lit
                     vals["ts"] = (
                         f"TO_TIMESTAMP(CONCAT('1970-01-01T', {L}))")
+                elif d in (T.XSD_GYEAR, T.XSD_GYEARMONTH):
+                    mm = re.match(r"^(.*?)(Z|[+-]\d\d:\d\d)?$", lex)
+                    pad = "-01-01" if d == T.XSD_GYEAR else "-01"
+                    anchored = _sql_quote(
+                        mm.group(1) + pad + (mm.group(2) or ""))
+                    vals["ts"] = f"TO_TIMESTAMP({anchored})"
                 else:
                     vals["ts"] = f"TO_TIMESTAMP({L})"
                 m = _TZ_RE.search(lex)
@@ -1650,11 +1658,17 @@ def _term_to_py(t: Optional[A.GroundTerm]):
                 dbl = float(lex)
             elif datatype == T.XSD_BOOLEAN:
                 b = lex in ("true", "1")
-            elif datatype in (T.XSD_DATETIME, T.XSD_DATE, T.XSD_TIME):
+            elif datatype in (T.XSD_DATETIME, T.XSD_DATE, T.XSD_TIME,
+                              T.XSD_GYEAR, T.XSD_GYEARMONTH):
                 iso = lex.replace("Z", "+00:00")
                 if datatype == T.XSD_TIME:
                     # epoch-day anchor, same convention as typed_lit
                     iso = "1970-01-01T" + iso
+                elif datatype in (T.XSD_GYEAR, T.XSD_GYEARMONTH):
+                    m = re.match(r"^(.*?)([+-]\d\d:\d\d)?$", iso)
+                    body, off = m.group(1), m.group(2) or ""
+                    pad = "-01-01" if datatype == T.XSD_GYEAR else "-01"
+                    iso = f"{body}{pad}T00:00:00{off}"
                 ts = datetime.fromisoformat(iso)
                 if ts.tzinfo is not None:
                     tz = int(ts.utcoffset().total_seconds() // 60)

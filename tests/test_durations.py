@@ -120,3 +120,26 @@ def test_xsd_time_ordering(spark):
         pfx + 'SELECT ?s (HOURS(?v) AS ?h) WHERE { ?s <urn:ex:t> ?v }'
     ).collect()}
     assert int(hrs["urn:ex:a"]) == 9
+
+
+def test_gyear_ordering(spark):
+    """gYear/gYearMonth order via period-start anchored ts payloads."""
+    from tests.test_semantics import iri, quads_store
+    from oxigraph_spark.algebra import ast as A
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    st = quads_store(spark, [
+        (iri("a"), iri("y"), A.Literal("1999", datatype=XSD + "gYear")),
+        (iri("b"), iri("y"), A.Literal("2003", datatype=XSD + "gYear")),
+        (iri("c"), iri("m"), A.Literal("2003-07",
+                                       datatype=XSD + "gYearMonth")),
+        (iri("d"), iri("m"), A.Literal("2003-02",
+                                       datatype=XSD + "gYearMonth")),
+    ])
+    pfx = "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+    got = [r["s"]["lex"][-1] for r in st.query(
+        pfx + 'SELECT ?s WHERE { ?s <urn:ex:y> ?v . '
+              'FILTER(?v > "2000"^^xsd:gYear) }').collect()]
+    assert got == ["b"]
+    months = [r["s"]["lex"][-1] for r in st.query(
+        pfx + 'SELECT ?s WHERE { ?s <urn:ex:m> ?v } ORDER BY ?v').collect()]
+    assert months == ["d", "c"]
