@@ -182,6 +182,48 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
 
 
 # ---------------------------------------------------------------------------
+# leakage-safe splits (cluster-aware train/val/test)
+# ---------------------------------------------------------------------------
+
+def leakage_safe_split(df: DataFrame, pairs: DataFrame, id_col: str,
+                       fractions: Optional[Dict[str, float]] = None,
+                       seed: int = 42) -> DataFrame:
+    """Assign every document to train/val/test such that NEAR-DUPLICATES
+    NEVER STRADDLE SPLITS: the split is decided per near-dup CLUSTER
+    (connected components over ``pairs``, singletons for unpaired docs),
+    by a seeded hash of the cluster id → original columns + ``cluster``
+    + ``split``.
+
+    Splitting documents independently leaks training data into eval
+    whenever two near-copies land in different splits — the standard
+    failure the dedup pipeline exists to prevent.  Hash-based
+    assignment is deterministic, stable under re-runs and corpus
+    growth (a cluster keeps its split when new members join it, as
+    long as its min-id representative is stable).
+
+    Shape: clustering shuffles only 8-byte ids; the split decision is a
+    map-side hash on the attached cluster column — no extra shuffle
+    beyond :func:`~oxigraph_spark.pipeline.dedup.assign_clusters`."""
+    from .dedup import assign_clusters
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(fractions.values())
+    if not 0.999 < total < 1.001:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    d = assign_clusters(df, pairs, id_col=id_col).drop("is_duplicate")
+    # uniform [0,1) from the cluster id, seeded
+    u = (F.pmod(F.xxhash64(F.col("cluster").cast("string"), F.lit(seed)),
+                F.lit(1_000_000)).cast("double") / 1_000_000.0)
+    split = F.lit(None).cast("string")
+    acc = 0.0
+    for name, frac in sorted(fractions.items()):
+        acc += frac
+        split = F.coalesce(split,
+                           F.when(u < acc, F.lit(name)))
+    return d.withColumn("split", F.coalesce(split,
+                                            F.lit(sorted(fractions)[-1])))
+
+
+# ---------------------------------------------------------------------------
 # training-mix construction (token-budget sampling per source)
 # ---------------------------------------------------------------------------
 

@@ -137,3 +137,35 @@ def test_sample_to_token_budget(spark):
               prop.groupBy("src").agg(F.sum("n_tok").alias("t")).collect()}
     # 5k/105k of 21k = 1k target, Bernoulli at fraction 0.2
     assert 300 <= shares.get("wiki", 0) <= 1700
+
+
+def test_leakage_safe_split(spark):
+    from pyspark.sql import Row, functions as F
+    from oxigraph_spark.pipeline.curation import leakage_safe_split
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"doc {i}") for i in range(2000)])
+    # plant near-dup pairs: i <-> i+1000 for i in [0, 500)
+    pairs = spark.createDataFrame(
+        [Row(id_a=i, id_b=i + 1000) for i in range(500)])
+    out = leakage_safe_split(docs, pairs, "doc_id",
+                             {"train": 0.8, "val": 0.1, "test": 0.1},
+                             seed=3).cache()
+    assert out.count() == 2000
+    # near-duplicates never straddle splits
+    a = out.select(F.col("doc_id").alias("id_a"),
+                   F.col("split").alias("sa"))
+    b = out.select(F.col("doc_id").alias("id_b"),
+                   F.col("split").alias("sb"))
+    straddle = pairs.join(a, "id_a").join(b, "id_b") \
+                    .where(F.col("sa") != F.col("sb"))
+    assert straddle.count() == 0
+    # fractions roughly honored over clusters
+    shares = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert shares["train"] > 1200 and shares["val"] > 50
+    # deterministic under the same seed
+    again = leakage_safe_split(docs, pairs, "doc_id",
+                               {"train": 0.8, "val": 0.1, "test": 0.1},
+                               seed=3)
+    assert again.where(F.col("split") == "train").count() \
+        == out.where(F.col("split") == "train").count()
