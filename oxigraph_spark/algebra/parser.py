@@ -124,6 +124,12 @@ class Parser:
         self._anon_counter = itertools.count()
         self._agg_counter = itertools.count()
         self._qt_counter = itertools.count()
+        # bnode-label scoping (grammar note §19.6: the same label may not
+        # appear in two different group graph patterns of one query):
+        # label → token of the group where it first appeared
+        self._bnode_group: Dict[str, int] = {}
+        self._group_counter = itertools.count()
+        self._group_stack: List[int] = []
         # per-group lists of (fresh_var, s, p, o) quoted-triple-pattern
         # lowerings, applied when the enclosing group pattern closes
         self._qt_stack: List[List] = []
@@ -442,6 +448,13 @@ class Parser:
 
     def _group_graph_pattern(self) -> A.GraphPattern:
         self.eat_op("{")
+        self._group_stack.append(next(self._group_counter))
+        try:
+            return self._group_graph_pattern_body()
+        finally:
+            self._group_stack.pop()
+
+    def _group_graph_pattern_body(self) -> A.GraphPattern:
         if self.at_kw("SELECT"):
             sub = self._select_inner()
             self.eat_op("}")
@@ -689,7 +702,14 @@ class Parser:
             self.next()
             if self._template_depth:
                 return A.BlankNode(t.value[2:])  # fresh-per-solution term
-            return A.Var(f"__bn_{t.value[2:]}")  # bnodes in queries = fresh vars
+            label = t.value[2:]
+            grp = self._group_stack[-1] if self._group_stack else -1
+            seen = self._bnode_group.setdefault(label, grp)
+            if seen != grp:
+                raise ParseError(
+                    f"blank node label _:{label} used in two different "
+                    "group graph patterns (SPARQL grammar note)")
+            return A.Var(f"__bn_{label}")  # bnodes in queries = fresh vars
         if self.at_op("["):
             self.next()
             v = (A.BlankNode(f"__anon{next(self._anon_counter)}")

@@ -146,3 +146,17 @@ def test_store_explain(spark):
         "SELECT ?o WHERE { <urn:ex:a> <urn:ex:p> ?o }", "formatted")
     assert "SPARQL algebra" in out
     assert "Physical Plan" in out or "Exchange" in out or "Scan" in out
+
+
+def test_bnode_label_scoping(spark):
+    """Grammar note: a bnode label may not span two group patterns."""
+    from oxigraph_spark.algebra.parser import ParseError, parse_query
+    import pytest as _pytest
+    parse_query("SELECT ?x WHERE { _:b <urn:p> ?x . _:b <urn:q> ?x }")
+    with _pytest.raises(ParseError):
+        parse_query(
+            "SELECT ?x WHERE { { _:b <urn:p> ?x } { _:b <urn:q> ?x } }")
+    with _pytest.raises(ParseError):
+        parse_query(
+            "SELECT ?x WHERE { _:b <urn:p> ?x "
+            "OPTIONAL { _:b <urn:q> ?x } }")
