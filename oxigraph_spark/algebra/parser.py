@@ -488,7 +488,13 @@ class Parser:
                               self._group_graph_pattern())
             elif self.at_kw("FILTER"):
                 self.next()
-                filters.append(self._constraint())
+                c = self._constraint()
+                if _has_aggregate(c):
+                    raise ParseError(
+                        "aggregate function in a WHERE filter — "
+                        "aggregates are only legal in SELECT "
+                        "expressions, HAVING, and ORDER BY")
+                filters.append(c)
             elif self.at_kw("BIND"):
                 self.next()
                 self.eat_op("(")
@@ -1291,12 +1297,24 @@ def _assemble_select(pattern, proj, star, distinct, reduced, group_by,
         _has_aggregate(o.expr) for o in order)
 
     if needs_group:
+        if star:
+            raise ParseError(
+                "SELECT * cannot be used with GROUP BY / aggregates "
+                "(spec §18.2.4.4): project grouped variables and "
+                "aggregate expressions explicitly")
         # GROUP BY (expr AS ?v) → Extend before grouping
         by_vars: List[A.Var] = []
         for v, e in group_by:
             if e is not None:
                 pattern = A.Extend(pattern, v, e)
             by_vars.append(v)
+        by_names = {v.name for v in by_vars}
+        for v, e in proj:
+            if e is None and v.name not in by_names:
+                raise ParseError(
+                    f"variable ?{v.name} is projected but neither "
+                    "grouped nor aggregated (spec §18.2.4.4 — wrap it "
+                    "in SAMPLE() or add it to GROUP BY)")
         aggs: List[Tuple[A.Var, A.AggExpr]] = []
         new_proj = []
         for v, e in proj:

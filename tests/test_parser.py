@@ -122,6 +122,25 @@ def test_errors_have_positions():
         parse_query("SELECT ?x WHERE { FILTER() }")
 
 
+def test_group_by_projection_validation():
+    """§18.2.4.4: a projected variable must be grouped or aggregated;
+    SELECT * is incompatible with grouping; aggregates are illegal in
+    WHERE-level FILTER (they are only in scope after Group)."""
+    with pytest.raises(ParseError, match="neither"):
+        parse_query(
+            "SELECT ?a ?b WHERE { ?a <urn:p> ?b } GROUP BY ?a")
+    with pytest.raises(ParseError, match="SELECT [*]"):
+        parse_query(
+            "SELECT * WHERE { ?a <urn:p> ?b } GROUP BY ?a")
+    with pytest.raises(ParseError, match="aggregate"):
+        parse_query(
+            "SELECT ?a WHERE { ?a <urn:p> ?b FILTER(COUNT(?b) > 1) }")
+    # legal forms still parse
+    parse_query("SELECT ?a (SUM(?b) AS ?s) WHERE { ?a <urn:p> ?b } "
+                "GROUP BY ?a")
+    parse_query("SELECT ?a WHERE { ?a <urn:p> ?b } GROUP BY ?a")
+
+
 def _find(node, cls):
     """DFS for the first node of a class in the pattern tree."""
     stack = [node]
