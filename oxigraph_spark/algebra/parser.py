@@ -1289,6 +1289,26 @@ def _has_aggregate(e) -> bool:
     return False
 
 
+def _free_vars(e):
+    """Variable names reachable in an expression OUTSIDE aggregate
+    arguments (``__agg`` markers) and EXISTS sub-patterns — i.e. the
+    names §18.2.4.4 requires to be grouped.  Conservative: unknown node
+    kinds contribute nothing."""
+    if isinstance(e, A.EVar):
+        yield e.name
+    elif isinstance(e, A.ECall):
+        if e.name != "__agg":
+            for a in e.args:
+                yield from _free_vars(a)
+    elif isinstance(e, A.EOp):
+        for a in e.args:
+            yield from _free_vars(a)
+    elif isinstance(e, A.EIn):
+        yield from _free_vars(e.expr)
+        for o in e.options:
+            yield from _free_vars(o)
+
+
 def _assemble_select(pattern, proj, star, distinct, reduced, group_by,
                      having, order, offset, limit, counter):
     needs_group = bool(group_by) or any(
@@ -1315,6 +1335,23 @@ def _assemble_select(pattern, proj, star, distinct, reduced, group_by,
                     f"variable ?{v.name} is projected but neither "
                     "grouped nor aggregated (spec §18.2.4.4 — wrap it "
                     "in SAMPLE() or add it to GROUP BY)")
+        # HAVING runs on the raw Group output (before projection
+        # Extends), so only grouped vars are in scope there; ORDER BY
+        # additionally sees SELECT-expression aliases.
+        alias_names = {v.name for v, e in proj if e is not None}
+        for h in having:
+            for name in _free_vars(h):
+                if name not in by_names:
+                    raise ParseError(
+                        f"variable ?{name} in HAVING is neither grouped "
+                        "nor aggregated (spec §18.2.4.4)")
+        for o in order:
+            for name in _free_vars(o.expr):
+                if name not in by_names and name not in alias_names:
+                    raise ParseError(
+                        f"variable ?{name} in ORDER BY is neither "
+                        "grouped, aggregated, nor a SELECT alias "
+                        "(spec §18.2.4.4)")
         aggs: List[Tuple[A.Var, A.AggExpr]] = []
         new_proj = []
         for v, e in proj:

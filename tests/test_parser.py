@@ -135,10 +135,20 @@ def test_group_by_projection_validation():
     with pytest.raises(ParseError, match="aggregate"):
         parse_query(
             "SELECT ?a WHERE { ?a <urn:p> ?b FILTER(COUNT(?b) > 1) }")
+    with pytest.raises(ParseError, match="HAVING"):
+        parse_query("SELECT ?a (SUM(?b) AS ?s) WHERE { ?a <urn:p> ?b . "
+                    "?a <urn:q> ?c } GROUP BY ?a HAVING (?c > 1)")
+    with pytest.raises(ParseError, match="ORDER BY"):
+        parse_query("SELECT ?a (SUM(?b) AS ?s) WHERE { ?a <urn:p> ?b . "
+                    "?a <urn:q> ?c } GROUP BY ?a ORDER BY ?c")
     # legal forms still parse
     parse_query("SELECT ?a (SUM(?b) AS ?s) WHERE { ?a <urn:p> ?b } "
                 "GROUP BY ?a")
     parse_query("SELECT ?a WHERE { ?a <urn:p> ?b } GROUP BY ?a")
+    # grouped var in HAVING; aggregate + SELECT alias in ORDER BY
+    parse_query("SELECT ?a (SUM(?b) AS ?s) WHERE { ?a <urn:p> ?b } "
+                "GROUP BY ?a HAVING (STRLEN(?a) > 2 && COUNT(*) > 1) "
+                "ORDER BY DESC(?s) SUM(?b) ?a")
 
 
 def _find(node, cls):
