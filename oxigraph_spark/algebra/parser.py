@@ -1329,12 +1329,26 @@ def _assemble_select(pattern, proj, star, distinct, reduced, group_by,
                 pattern = A.Extend(pattern, v, e)
             by_vars.append(v)
         by_names = {v.name for v in by_vars}
+        # SELECT expressions may use grouped vars, aggregates, and
+        # aliases assigned EARLIER in the same SELECT clause (the Extend
+        # chain below binds them in order) — any other free variable is
+        # the §18.2.4.4 ungrouped-variable syntax error
+        aliases_so_far: set = set()
         for v, e in proj:
-            if e is None and v.name not in by_names:
-                raise ParseError(
-                    f"variable ?{v.name} is projected but neither "
-                    "grouped nor aggregated (spec §18.2.4.4 — wrap it "
-                    "in SAMPLE() or add it to GROUP BY)")
+            if e is None:
+                if v.name not in by_names:
+                    raise ParseError(
+                        f"variable ?{v.name} is projected but neither "
+                        "grouped nor aggregated (spec §18.2.4.4 — wrap it "
+                        "in SAMPLE() or add it to GROUP BY)")
+            else:
+                for name in _free_vars(e):
+                    if name not in by_names and name not in aliases_so_far:
+                        raise ParseError(
+                            f"variable ?{name} in SELECT expression is "
+                            "neither grouped nor aggregated "
+                            "(spec §18.2.4.4)")
+            aliases_so_far.add(v.name)
         # HAVING runs on the raw Group output (before projection
         # Extends), so only grouped vars are in scope there; ORDER BY
         # additionally sees SELECT-expression aliases.

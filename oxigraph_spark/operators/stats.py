@@ -73,8 +73,10 @@ def graph_diff(a: DataFrame, b: DataFrame,
                canonicalize: bool = False) -> DataFrame:
     """Quad-level delta → rows of ``(op, s, p, o, g)`` with ``op`` ∈
     {'+', '-'}: '+' quads present in ``b`` but not ``a`` (added), '-'
-    present in ``a`` but not ``b`` (removed).  Multiset semantics (a
-    quad present twice in one side and once in the other shows up once).
+    present in ``a`` but not ``b`` (removed).  SET semantics — correct
+    for RDF graphs, which are sets of triples: each side is deduplicated
+    on the quad key first, so a quad present twice in one side and once
+    in the other produces no delta row.
 
     With ``canonicalize=True`` blank nodes are relabeled by structural
     refinement hash first, so two isomorphic serializations diff as

@@ -511,14 +511,33 @@ def jsonld_to_ntriples_chunked(spark, in_path: str, out_path: str,
     nodes never collide across chunks; document-given ``_:labels`` are
     preserved verbatim, so cross-object references stay intact.
 
-    A root-OBJECT document (e.g. ``{"@context":…,"@graph":[…]}``) never
-    returns to depth 1, so the whole file degrades to one driver-side
-    fragment — correct but not distributed; expand such documents (or
-    lift the ``@graph`` array to the root) first.
+    A root-OBJECT document (e.g. ``{"@context":…,"@graph":[…]}``) cannot
+    be depth-cut (a direct child object — an inline ``@context``, say —
+    closes back to depth 1 and would cut mid-object, yielding invalid
+    JSON chunks), so the root kind is sniffed up front and a non-array
+    root routes the WHOLE document through the driver-side parser —
+    correct but not distributed; expand such documents (or lift the
+    ``@graph`` array to the root) to get the distributed path.
 
     ``max_partition_bytes`` temporarily overrides
     ``spark.sql.files.maxPartitionBytes`` for this read — used by tests
     to force multi-partition chunking on small files."""
+    with open(in_path, encoding="utf-8") as f:
+        first = ""
+        while True:
+            chunk = f.read(4096)
+            if not chunk:
+                break
+            stripped = chunk.lstrip()
+            if stripped:
+                first = stripped[0]
+                break
+    if first != "[":
+        text = open(in_path, encoding="utf-8").read()
+        nts = jsonld_text_to_nt_lines(text)
+        spark.createDataFrame([(l,) for l in nts], schema="value string") \
+             .write.mode("overwrite").text(out_path)
+        return
     conf_key = "spark.sql.files.maxPartitionBytes"
     old = spark.conf.get(conf_key)
     if max_partition_bytes is not None:
@@ -584,8 +603,13 @@ def jsonld_to_ntriples_chunked(spark, in_path: str, out_path: str,
         if pending.strip().strip("],").strip():
             stitched.extend(_chunk_to_nt(pending))
 
-        body_df = rdd.filter(lambda t: t[0] == "nt") \
-                     .map(lambda t: (t[3],)).toDF(["value"])
+        # explicit schema: toDF() infers from the first element and raises
+        # on an EMPTY body RDD — exactly the degraded cases (root-object
+        # docs, <=1 top-level object, single-partition files) where every
+        # row came out as a driver-stitched fragment
+        body_df = spark.createDataFrame(
+            rdd.filter(lambda t: t[0] == "nt").map(lambda t: (t[3],)),
+            schema="value string")
         if stitched:
             extra = spark.createDataFrame([(l,) for l in stitched],
                                           ["value"])

@@ -248,8 +248,9 @@ def rdfxml_to_ntriples(spark, in_path: str, out_path: str) -> None:
 # scanner modes: "" text · "C" comment · "D" CDATA · "To"/"Tc"/"Tx"
 # inside an opening/closing/other (PI, decl) tag · each T-mode plus a
 # trailing quote char when inside an attribute value (values may legally
-# contain newlines and '>').
-_XML_MODES = ("", "C", "D", "To", "Tc", "Tx",
+# contain newlines and '>') · "To/" inside an opening tag whose previous
+# line ended in '/' (self-closing tag wrapped across the line break).
+_XML_MODES = ("", "C", "D", "To", "Tc", "Tx", "To/",
               'To"', "To'", 'Tc"', "Tc'", 'Tx"', "Tx'")
 
 
@@ -288,28 +289,38 @@ def _scan_xml_line(s: str, mode: str, depth: int):
             if j < 0:
                 return mode, depth, cuts, opens
             mode, i = "", j + 3
-        elif len(mode) == 3:                   # inside attribute value
+        elif len(mode) == 3 and mode[2] in "\"'":  # inside attribute value
             j = s.find(mode[2], i)
             if j < 0:
                 return mode, depth, cuts, opens
             mode, i = mode[:2], j + 1
-        else:                                  # To / Tc / Tx
+        else:                       # To / Tc / Tx (+ "/" pending slash)
+            pend = mode.endswith("/")
+            bm = mode[:-1] if pend else mode
             m = _TAG_DELIM.search(s, i)
             if m is None:
-                return mode, depth, cuts, opens
+                # a '/' ending a To-mode line may pair with a '>' that
+                # opens the NEXT line (formatter-wrapped tag) — carry a
+                # pending-slash marker so the composition stays exact
+                if bm == "To" and s[i:] and s.endswith("/"):
+                    return bm + "/", depth, cuts, opens
+                return bm, depth, cuts, opens
             j, ch = m.start(), m.group()
             if ch in "\"'":
-                mode, i = mode + ch, j + 1
+                mode, i = bm + ch, j + 1
                 continue
-            if mode == "To":
-                if j > 0 and s[j - 1] == "/":  # self-closing
+            if bm == "To":
+                # self-closing: '/' immediately before '>', possibly on
+                # the previous line (pend carries that case; pending is
+                # only honored when '>' is the line's first character)
+                if (j > 0 and s[j - 1] == "/") or (pend and j == 0):
                     if depth == 1:
                         cuts.append(j + 1)
                 else:
                     depth += 1
                     if depth == 1:
                         opens.append(j + 1)
-            elif mode == "Tc":
+            elif bm == "Tc":
                 depth -= 1
                 if depth == 1:
                     cuts.append(j + 1)
@@ -455,8 +466,12 @@ def rdfxml_to_ntriples_chunked(spark, in_path: str, out_path: str,
             stitched.extend(chunk_nt(pending.replace(root_close, ""),
                                      with_root=first))
 
-        body_df = rdd.filter(lambda t: t[0] == "nt") \
-                     .map(lambda t: (t[3],)).toDF(["value"])
+        # explicit schema: toDF() infers from the first element and raises
+        # on an EMPTY body RDD (documents with <=1 top-level element or a
+        # single partition stitch everything driver-side)
+        body_df = spark.createDataFrame(
+            rdd.filter(lambda t: t[0] == "nt").map(lambda t: (t[3],)),
+            schema="value string")
         if stitched:
             extra = spark.createDataFrame([(l,) for l in stitched],
                                           ["value"])

@@ -574,3 +574,86 @@ def test_rdfxml_chunked_matches_driver_reader(spark, tmp_path):
     ck, dk = key(chunked), key(driver)
     assert ck == dk
     assert len(ck) == 25 * 2 + 75 * 3  # typed nodes: type+tag; others: p,nested,q
+
+
+def test_jsonld_chunked_root_object_routes_driver_side(spark, tmp_path):
+    """A root-OBJECT JSON-LD document (inline @context + @graph) cannot
+    be depth-cut; the chunked entry point must sniff the root kind and
+    fall back to the driver-side parser instead of emitting invalid
+    chunks (ADVICE r3)."""
+    import json as _json
+    from oxigraph_spark.sources import jsonld as JL
+    from oxigraph_spark.sources.ntriples import read_ntriples
+    doc = {
+        "@context": {"p": "urn:ex:p"},
+        "@graph": [
+            {"@id": f"urn:ex:s{i}", "p": [{"@value": f"v{i}"}]}
+            for i in range(20)
+        ],
+    }
+    src = str(tmp_path / "rootobj.jsonld")
+    with open(src, "w") as f:
+        f.write(_json.dumps(doc, indent=1))
+    out = str(tmp_path / "rootobj.nq.d")
+    JL.jsonld_to_ntriples_chunked(spark, src, out, max_partition_bytes=256)
+    got = sorted((r["s"]["lex"], r["o"]["lex"])
+                 for r in read_ntriples(spark, out, quads=True)
+                 .select("s", "o").collect())
+    assert got == sorted((f"urn:ex:s{i}", f"v{i}") for i in range(20))
+
+
+def test_jsonld_chunked_single_partition_no_crash(spark, tmp_path):
+    """A tiny root-array file read as ONE partition stitches everything
+    driver-side, leaving the distributed N-T body EMPTY — building that
+    body with toDF() crashed on schema inference (ADVICE r3, medium)."""
+    import json as _json
+    from oxigraph_spark.sources import jsonld as JL
+    from oxigraph_spark.sources.ntriples import read_ntriples
+    docs = [{"@id": "urn:ex:a", "urn:ex:p": [{"@value": "x"}]}]
+    src = str(tmp_path / "tiny.jsonld")
+    with open(src, "w") as f:
+        f.write(_json.dumps(docs))
+    out = str(tmp_path / "tiny.nq.d")
+    JL.jsonld_to_ntriples_chunked(spark, src, out)   # default split size
+    rows = read_ntriples(spark, out, quads=True).collect()
+    assert len(rows) == 1 and rows[0]["s"]["lex"] == "urn:ex:a"
+
+
+def test_rdfxml_chunked_single_element_no_crash(spark, tmp_path):
+    """One top-level element in one partition → empty distributed body;
+    must not crash in toDF schema inference (ADVICE r3, medium)."""
+    from oxigraph_spark.sources import rdfxml as RX
+    from oxigraph_spark.sources.ntriples import read_ntriples
+    src = str(tmp_path / "one.rdf")
+    with open(src, "w") as f:
+        f.write('<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/'
+                '22-rdf-syntax-ns#" xmlns:ex="urn:ex:">\n'
+                '  <rdf:Description rdf:about="urn:ex:s">\n'
+                '    <ex:p>v</ex:p>\n'
+                '  </rdf:Description>\n'
+                '</rdf:RDF>\n')
+    out = str(tmp_path / "one.nt.d")
+    RX.rdfxml_to_ntriples_chunked(spark, src, out)
+    rows = read_ntriples(spark, out).collect()
+    assert len(rows) == 1 and rows[0]["s"]["lex"] == "urn:ex:s"
+
+
+def test_xml_scanner_wrapped_self_closing_tag():
+    """'/' ending one line with '>' opening the next (formatter-wrapped
+    self-closing tag): the scanner must carry a pending-slash marker so
+    depth composition stays exact across the break (ADVICE r3).  The
+    tag itself is not well-formed XML (expat rejects it), but an exact
+    scanner keeps every OTHER chunk boundary correct."""
+    from oxigraph_spark.sources.rdfxml import _scan_xml_line
+    # inside the root (depth 1): a wrapped self-closing child element
+    mode, depth = "", 1
+    mode, depth, cuts, _ = _scan_xml_line('<ex:Thing attr="x" /', mode, depth)
+    assert mode == "To/" and depth == 1 and cuts == []
+    mode, depth, cuts, _ = _scan_xml_line('>', mode, depth)
+    assert mode == "" and depth == 1      # NOT counted as an opening tag
+    assert cuts == [1]                    # and the top-level cut is seen
+    # control: chars between '/' and the line break clear the pending
+    mode, depth, cuts, _ = _scan_xml_line('<ex:T attr="a/b" x="y"', "", 1)
+    assert mode == "To"
+    mode, depth, cuts, _ = _scan_xml_line('>', mode, 1)
+    assert depth == 2 and cuts == []      # ordinary opening tag

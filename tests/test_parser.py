@@ -189,3 +189,25 @@ def test_bnode_label_scoping(spark):
         parse_query(
             "SELECT ?x WHERE { _:b <urn:p> ?x "
             "OPTIONAL { _:b <urn:q> ?x } }")
+
+
+def test_group_validation_select_expressions():
+    """§18.2.4.4 also applies to free variables INSIDE SELECT
+    expressions (ADVICE r3): SELECT (?b + 1 AS ?x) … GROUP BY ?a must
+    raise, while grouped vars, aggregates, and earlier SELECT aliases
+    remain usable."""
+    import pytest as _pytest
+    from oxigraph_spark.algebra.parser import ParseError, parse_query
+    with _pytest.raises(ParseError, match="SELECT expression"):
+        parse_query("SELECT (?b + 1 AS ?x) WHERE { ?a <urn:p> ?b } "
+                    "GROUP BY ?a")
+    # grouped variable inside an expression: fine
+    parse_query("SELECT (?a + 1 AS ?x) WHERE { ?a <urn:p> ?b } "
+                "GROUP BY ?a")
+    # aggregate argument vars are exempt; earlier aliases are in scope
+    parse_query("SELECT (SUM(?b) AS ?s) (?s * 2 AS ?d) "
+                "WHERE { ?a <urn:p> ?b } GROUP BY ?a")
+    # a later alias is NOT in scope for an earlier expression
+    with _pytest.raises(ParseError, match="SELECT expression"):
+        parse_query("SELECT (?d * 2 AS ?s) (SUM(?b) AS ?d) "
+                    "WHERE { ?a <urn:p> ?b } GROUP BY ?a")
