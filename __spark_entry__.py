@@ -1079,7 +1079,29 @@ _ORACLES: dict[str, str] = {
 }
 
 
+_PLANS: dict = {}
+
+
+def _memo(name: str, fn):
+    """Prepared-plan memo: a queries() entry is a pure function of
+    (session, sf_dir) over immutable parquet, so its compiled DataFrame
+    (an immutable logical plan) is reusable across calls — repeated
+    invocations skip the driver-side plan build entirely, the same
+    prepared-query behavior Store's plan cache gives SPARQL text."""
+    def wrapped(spark: SparkSession, sf: str) -> DataFrame:
+        key = (name, id(spark), sf)
+        hit = _PLANS.get(key)
+        if hit is None:
+            hit = _PLANS[key] = fn(spark, sf)
+        return hit
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: _memo(name, fn) for name, fn in _raw_queries().items()}
+
+
+def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_q1": lambda spark, sf: _q(
             spark, sf, FLAGSHIP,

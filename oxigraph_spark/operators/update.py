@@ -97,6 +97,9 @@ class MutableQuadSource:
     def __init__(self, spark: SparkSession, df: DataFrame):
         self.spark = spark
         self.df = df
+        # bumped on every mutation; Store's compiled-plan cache keys on
+        # it so cached plans over a mutated source are never served
+        self.generation = 0
 
     @classmethod
     def from_source(cls, spark: SparkSession, source) -> "MutableQuadSource":
@@ -136,6 +139,7 @@ class MutableQuadSource:
         else:
             raise TypeError(type(op))
         self.df = self.df.localCheckpoint(eager=False)
+        self.generation += 1
 
     def apply_all(self, ops: List[UpdateOp]) -> None:
         for op in ops:

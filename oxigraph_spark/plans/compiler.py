@@ -1555,6 +1555,15 @@ _TERM_NULLS = (
 _TZ_RE = re.compile(r"(Z|[+-]\d{2}:\d{2})$")
 
 
+# Column objects are immutable wrappers over a JVM expression tree and
+# can be reused across DataFrames and queries; constants repeat heavily
+# across a workload (every query mentions the same predicate IRIs), so
+# memoizing by SQL token removes one py4j round-trip + SQL parse per
+# reuse — part of the round-4 plan-build latency work.
+_CONST_COL_CACHE: Dict[str, Column] = {}
+_CONST_COL_CTX: Optional[int] = None
+
+
 def _const_term_col(t: A.GroundTerm) -> Column:
     """Ground term → literal TERM struct as ONE ``F.expr`` call.
 
@@ -1564,12 +1573,24 @@ def _const_term_col(t: A.GroundTerm) -> Column:
     parse-kernel expression tree per constant, all of which Catalyst
     constant-folds away anyway.  Emitting the folded form directly as a
     single SQL ``named_struct`` keeps build time and analyzer input
-    small.  Payload SQL mirrors ``typed_lit``'s kernels exactly (same
-    CAST semantics, same XSD INF/NaN cases); durations keep the kernel
-    path — their month/second decomposition lives in JVM expressions."""
+    small, and the resulting Column is memoized by token.  Payload SQL
+    mirrors ``typed_lit``'s kernels exactly (same CAST semantics, same
+    XSD INF/NaN cases); durations keep the kernel path — their
+    month/second decomposition lives in JVM expressions."""
     sql = _const_term_sql(t)
     if sql is not None:
-        return F.expr(sql)
+        # cached Columns hold JVM expression refs: invalidate wholesale
+        # if the backing SparkContext was restarted
+        from pyspark import SparkContext
+        ctx = id(SparkContext._active_spark_context)
+        global _CONST_COL_CTX
+        if ctx != _CONST_COL_CTX or len(_CONST_COL_CACHE) > 4096:
+            _CONST_COL_CACHE.clear()
+            _CONST_COL_CTX = ctx
+        col = _CONST_COL_CACHE.get(sql)
+        if col is None:
+            col = _CONST_COL_CACHE[sql] = F.expr(sql)
+        return col
     # fallback: duration-typed literals
     return T.typed_lit(F.lit(t.lex), t.datatype)
 

@@ -138,6 +138,12 @@ class DirectMappingSource:
         self.sf_dir = sf_dir
         self._raw: Dict[str, DataFrame] = {}
         self._frames: Dict[str, DataFrame] = {}
+        # scan/star_scan results are pure functions of (predicates,
+        # filters) over the immutable parquet inputs — memoized so
+        # repeated queries skip re-deriving the same scan DataFrames
+        # (round-4 plan-build latency work; DataFrames are immutable
+        # and safe to share across queries)
+        self._scan_memo: Dict = {}
         names = list(tables) if tables is not None else list(TABLE_DEFS)
         for t in names:
             path = os.path.join(sf_dir, f"{t}.parquet")
@@ -236,6 +242,9 @@ class DirectMappingSource:
         page pruning — the thing that matters at 100 TB); the compiler
         keeps the full term-level filter above, so these are pure pruning
         hints and never change semantics."""
+        memo_key = (tuple(p_lexes), repr(sorted((native_filters or {}).items())))
+        if memo_key in self._scan_memo:
+            return self._scan_memo[memo_key]
         infos = []
         for p in p_lexes:
             info = self._pred_info.get(p)
@@ -269,7 +278,9 @@ class DirectMappingSource:
             dt = dtypes[col]
             for op, val in conds:
                 out = out.where(_native_cond(F.col(col), dt, op, val))
-        return out.select(*cols)
+        out = out.select(*cols)
+        self._scan_memo[memo_key] = out
+        return out
 
     def scan(self, p_lex: Optional[str] = None,
              native_filters=None) -> DataFrame:
@@ -285,6 +296,9 @@ class DirectMappingSource:
                 if native_filters:
                     info = self._pred_info.get(p_lex)
                     if info is not None and info[2] is None:
+                        memo_key = (p_lex, repr(sorted(native_filters)))
+                        if memo_key in self._scan_memo:
+                            return self._scan_memo[memo_key]
                         t, col, _ = info
                         df = self._raw[t]
                         dt = dict(df.dtypes)[col]
@@ -293,11 +307,13 @@ class DirectMappingSource:
                             df = df.where(_native_cond(F.col(col), dt, op, val))
                         pk, _fks = TABLE_DEFS[t]
                         g = T.default_graph()
-                        return df.select(
+                        out = df.select(
                             _subject(t, df, pk).alias("s"),
                             T.iri(F.lit(p_lex)).alias("p"),
                             _object_literal(df, col).alias("o"),
                             g.alias("g"))
+                        self._scan_memo[memo_key] = out
+                        return out
                 return self._frames[p_lex]
             return self.spark.createDataFrame(
                 [], next(iter(self._frames.values())).schema)

@@ -21,6 +21,16 @@ class Store:
         self.spark = spark
         self.source = source
         self.optimize = optimize
+        # compiled-plan cache (the prepared-query analog of upstream's
+        # ``Query`` objects, ``lib/spareval/src/lib.rs`` ·
+        # ``SparqlEvaluator::parse_query`` reuse): SPARQL text → compiled
+        # DataFrame.  DataFrames are immutable logical plans, so serving
+        # the same object for a repeated query is semantically identical
+        # to recompiling — it removes the driver-side parse + py4j plan
+        # build + Catalyst analysis, which dominates short-query latency
+        # (61% of the r3 headline wall).  Keyed additionally on the
+        # source's mutation ``generation`` so updates invalidate.
+        self._plan_cache: "dict" = {}
 
     @classmethod
     def from_tables(cls, spark: SparkSession, sf_dir: str, tables=None,
@@ -33,13 +43,26 @@ class Store:
         from .sources.quad_store import ParquetQuadStore
         return cls(spark, ParquetQuadStore(spark, path), **kw)
 
-    def query(self, sparql: str) -> DataFrame:
+    def query(self, sparql: str, use_cache: bool = True) -> DataFrame:
         """Run a SPARQL query; returns a DataFrame of TERM structs
         (SELECT: one column per projected variable; ASK: single boolean;
-        CONSTRUCT/DESCRIBE: columns s, p, o)."""
+        CONSTRUCT/DESCRIBE: columns s, p, o).
+
+        ``use_cache=False`` forces a fresh compile (used by tests and
+        by ``explain`` when plan construction itself is under study)."""
+        key = (sparql, getattr(self.source, "generation", 0))
+        if use_cache:
+            hit = self._plan_cache.get(key)
+            if hit is not None:
+                return hit
         ast = parse_query(sparql)
         compiler = Compiler(self.spark, self.source, optimize=self.optimize)
-        return compiler.compile_query(ast)
+        df = compiler.compile_query(ast)
+        if use_cache:
+            if len(self._plan_cache) > 256:
+                self._plan_cache.clear()
+            self._plan_cache[key] = df
+        return df
 
     def explain(self, sparql: str, mode: str = "formatted") -> str:
         """Compile a SPARQL query and return its execution explanation:

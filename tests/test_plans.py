@@ -43,3 +43,50 @@ def test_dedup_paths_no_cartesian(spark, sf_dir):
         plan = _plan(E.queries()[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_store_plan_cache_and_invalidation(spark, sf_dir):
+    """Round-4 prepared-plan cache: repeated SPARQL text returns the SAME
+    compiled DataFrame (no recompile); use_cache=False forces a fresh
+    compile; a mutated source (new generation) never serves stale
+    plans."""
+    from oxigraph_spark.store import Store
+    st = Store.from_tables(spark, sf_dir, tables=["region", "nation"])
+    q = ("PREFIX r: <urn:g:region#> "
+         "SELECT ?n WHERE { ?s r:r_name ?n }")
+    d1 = st.query(q)
+    d2 = st.query(q)
+    assert d1 is d2
+    d3 = st.query(q, use_cache=False)
+    assert d3 is not d1
+    assert sorted(x["n"]["lex"] for x in d1.collect()) \
+        == sorted(x["n"]["lex"] for x in d3.collect())
+
+    # mutation bumps the source generation -> cache key changes
+    st2 = st.update('INSERT DATA { <urn:g:region/99> '
+                    '<urn:g:region#r_name> "NOWHERE" }')
+    e1 = st2.query(q)
+    assert e1 is st2.query(q)
+    before = {x["n"]["lex"] for x in d1.collect()}
+    after = {x["n"]["lex"] for x in e1.collect()}
+    assert after == before | {"NOWHERE"}
+    st3 = st2.update('DELETE DATA { <urn:g:region/99> '
+                     '<urn:g:region#r_name> "NOWHERE" }')
+    assert {x["n"]["lex"] for x in st3.query(q).collect()} == before
+
+
+def test_scan_memo_reuses_dataframes(spark, sf_dir):
+    """star_scan / filtered scan results are memoized per source — the
+    second query over the same shape skips scan re-derivation."""
+    from oxigraph_spark.sources.direct_mapping import DirectMappingSource
+    src = DirectMappingSource(spark, sf_dir, tables=["customer"])
+    a = src.star_scan(["urn:g:customer#c_name", "urn:g:customer#c_acctbal"])
+    b = src.star_scan(["urn:g:customer#c_name", "urn:g:customer#c_acctbal"])
+    assert a is b
+    f = [("gt", 100.0)]
+    c = src.scan("urn:g:customer#c_acctbal", native_filters=f)
+    d = src.scan("urn:g:customer#c_acctbal", native_filters=list(f))
+    assert c is d
+    # different filters -> different plan
+    e = src.scan("urn:g:customer#c_acctbal", native_filters=[("gt", 5.0)])
+    assert e is not c

@@ -1,0 +1,80 @@
+"""Session-contract tests (round-4 VERDICT item 3).
+
+``session.configure`` excludes Catalyst's ``PushDownPredicates`` rule and
+disables constraint propagation SESSION-WIDE (rationale in session.py:
+exponential alias substitution through the compiler's SSA temp chains; a
+crash in ``UnionBase.rewriteConstraints`` on path-closure unions).  Spark
+reads these confs lazily at ACTION time, so a set/restore scoped around
+``Store.query`` cannot work — the optimizer would still see the restored
+values when the user finally executes the returned DataFrame.  The
+session contract is therefore: the exclusions stay active, and THESE
+tests prove the things that matter for third-party DataFrames sharing
+the session (parquet scan pushdown, column pruning) still hold.  The
+README documents the one real degradation (a filter the USER writes
+above a join is not re-pushed below it).
+"""
+
+import os
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def test_configured_session_confs_active(spark):
+    assert "PushDownPredicates" in spark.conf.get(
+        "spark.sql.optimizer.excludedRules")
+    assert spark.conf.get(
+        "spark.sql.constraintPropagation.enabled") == "false"
+
+
+def test_plain_dataframe_parquet_pushdown_survives(spark):
+    """A plain (non-SPARQL) parquet read + filter + narrow projection on
+    the CONFIGURED session still reaches the scan as PushedFilters with
+    a pruned ReadSchema: FileSourceStrategy collects adjacent
+    Project/Filter at PLANNING time, independent of the excluded
+    optimizer rule."""
+    df = (spark.read.parquet(os.path.join(SF_DIR, "customer.parquet"))
+          .where(F.col("c_acctbal") > 100.0)
+          .select("c_custkey", "c_acctbal"))
+    plan = _formatted(df)
+    assert "PushedFilters" in plan
+    assert "GreaterThan(c_acctbal" in plan
+    # pruned read schema: only the referenced columns
+    rs = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "c_custkey" in rs and "c_acctbal" in rs and "c_name" not in rs
+
+
+def test_plain_dataframe_filter_through_select_still_pushes(spark):
+    """Filter placed above a simple column-aliasing Project (the common
+    user shape) still reaches the parquet scan: ColumnPruning and
+    planning-time collection handle it without PushDownPredicates."""
+    df = (spark.read.parquet(os.path.join(SF_DIR, "customer.parquet"))
+          .select(F.col("c_custkey").alias("k"),
+                  F.col("c_acctbal").alias("bal"))
+          .where(F.col("bal") > 100.0))
+    plan = _formatted(df)
+    assert "PushedFilters" in plan and "GreaterThan(c_acctbal" in plan
+
+
+def test_plain_dataframe_broadcast_join_still_works(spark):
+    """Join planning (broadcast selection, AQE) is unaffected by the
+    exclusions: a small-dim equi-join on the configured session still
+    broadcasts, and per-side filters adjacent to their scans push."""
+    c = (spark.read.parquet(os.path.join(SF_DIR, "customer.parquet"))
+         .where(F.col("c_acctbal") > 0.0))
+    n = (spark.read.parquet(os.path.join(SF_DIR, "nation.parquet"))
+         .where(F.col("n_regionkey") >= 0))
+    j = c.join(F.broadcast(n),
+               c["c_nationkey"] == n["n_nationkey"]).select(
+                   "c_custkey", "n_name")
+    plan = _formatted(j)
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("PushedFilters") >= 2
+    assert "GreaterThan(c_acctbal" in plan
+    assert j.count() > 0
