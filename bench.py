@@ -35,6 +35,84 @@ HEADLINE = [
     "X_text_stats", "X_window_tumbling",
 ]
 
+# ---------------------------------------------------------------------------
+# BSBM-explore-style mixed mix: 12 short-query templates × 3 parameter
+# variants = 36 executions per pass.  Parameters vary PER EXECUTION, so
+# every query text is new — this measures the COLD plan-build + execute
+# path that dominates a many-short-query workload (round-3 verdict item
+# 1: plan latency scales with query count, not data).
+# ---------------------------------------------------------------------------
+
+MIX_PFX = """
+PREFIX c: <urn:g:customer#>
+PREFIX n: <urn:g:nation#>
+PREFIX r: <urn:g:region#>
+PREFIX o: <urn:g:orders#>
+PREFIX l: <urn:g:lineitem#>
+PREFIX s: <urn:g:supplier#>
+PREFIX p: <urn:g:part#>
+"""
+
+_SEGS = ["BUILDING", "AUTOMOBILE", "MACHINERY"]
+_REGIONS = ["ASIA", "AMERICA", "EUROPE"]
+_STATUS = ["F", "O", "P"]
+
+
+def mixed_templates(i: int) -> list[str]:
+    """The 12 templates instantiated with variant ``i`` (0..2)."""
+    k = 7 + i * 13
+    seg, reg, stat = _SEGS[i], _REGIONS[i], _STATUS[i]
+    lo = 900.0 + 50 * i
+    return [t.strip() for t in [
+        # 1 point star lookup
+        f"""SELECT ?nm ?b WHERE {{ <urn:g:customer/{k}> c:c_name ?nm ;
+            c:c_acctbal ?b }}""",
+        # 2 segment filter + range
+        f"""SELECT ?nm WHERE {{ ?c c:c_mktsegment "{seg}" ; c:c_name ?nm ;
+            c:c_acctbal ?bal . FILTER(?bal > {100.0 + i}) }} LIMIT 10""",
+        # 3 two-hop join with bound leaf
+        f"""SELECT (COUNT(*) AS ?cnt) WHERE {{ ?c c:ref_nation ?n .
+            ?n n:ref_region ?r . ?r r:r_name "{reg}" }}""",
+        # 4 numeric range count
+        f"""SELECT (COUNT(*) AS ?cnt) WHERE {{ ?p p:p_retailprice ?pr .
+            FILTER(?pr >= {lo} && ?pr < {lo + 100.0}) }}""",
+        # 5 top-k by attribute
+        f"""SELECT ?s ?b WHERE {{ ?s s:s_acctbal ?b .
+            FILTER(?b > {i * 100.0}) }} ORDER BY DESC(?b) LIMIT 10""",
+        # 6 group aggregate over a key range
+        f"""SELECT ?st (COUNT(*) AS ?cnt) WHERE {{ ?o o:o_orderstatus ?st ;
+            o:o_custkey ?ck . FILTER(?ck < {500 * (i + 1)}) }} GROUP BY ?st""",
+        # 7 OPTIONAL
+        f"""SELECT ?nm ?com WHERE {{ ?n n:n_name ?nm .
+            OPTIONAL {{ ?n n:n_comment ?com }} FILTER(STRLEN(?nm) > {i}) }}""",
+        # 8 EXISTS
+        f"""SELECT ?nm WHERE {{ ?n n:n_name ?nm . FILTER EXISTS {{
+            ?c c:ref_nation ?n ; c:c_mktsegment "{seg}" }} }}""",
+        # 9 VALUES join
+        f"""SELECT ?nn WHERE {{ VALUES ?rn {{ "{reg}" "AFRICA" }}
+            ?r r:r_name ?rn . ?n n:ref_region ?r ; n:n_name ?nn }}""",
+        # 10 sequence path
+        f"""SELECT (COUNT(*) AS ?cnt) WHERE {{
+            ?c (c:ref_nation/n:ref_region) ?r .
+            ?r r:r_name "{reg}" }}""",
+        # 11 DISTINCT
+        f"""SELECT DISTINCT ?seg WHERE {{ ?c c:c_mktsegment ?seg ;
+            c:c_custkey ?k . FILTER(?k > {i * 10}) }}""",
+        # 12 order + slice
+        f"""SELECT ?o ?tp WHERE {{ ?o o:o_totalprice ?tp ;
+            o:o_orderstatus "{stat}" }} ORDER BY DESC(?tp) LIMIT 5""",
+    ]]
+
+
+def run_mixed(spark, store) -> tuple[float, int]:
+    t0 = time.time()
+    nq = 0
+    for i in range(3):
+        for q in mixed_templates(i):
+            store.query(MIX_PFX + q, use_cache=False).count()
+            nq += 1
+    return time.time() - t0, nq
+
 
 def main() -> None:
     import __spark_entry__ as entry
@@ -72,6 +150,17 @@ def main() -> None:
               f"(plan {compile_times[name]}s cold {first_plan[name]}s; "
               f"runs {[round(w, 2) for w in walls]})", file=sys.stderr)
 
+    # mixed short-query mix (cold plans by construction: use_cache=False
+    # and per-execution parameters)
+    store = entry._store(spark, SF_DIR)
+    mixed_walls = []
+    for _ in range(N_RUNS):
+        wall, nq = run_mixed(spark, store)
+        mixed_walls.append(wall)
+        print(f"# mixed: {nq} queries in {round(wall, 2)}s "
+              f"({round(nq / wall, 1)} q/s)", file=sys.stderr)
+    mixed_sec = round(statistics.median(mixed_walls), 3)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "headline_total_wall",
@@ -80,6 +169,9 @@ def main() -> None:
         "queries": times,
         "plan_sec": compile_times,      # median plan portion (cached path)
         "plan_first_sec": first_plan,   # cold first-run plan build
+        "mixed_sec": mixed_sec,         # 36-query BSBM-style mix, cold plans
+        "mixed_queries": 36,
+        "mixed_qps": round(36 / mixed_sec, 2) if mixed_sec else None,
         "n": N_RUNS,                    # per-query runs; values are medians
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))

@@ -289,6 +289,13 @@ class Service:
     name: Union[NamedNode, Var]
     inner: "GraphPattern"
     silent: bool = False
+    # verbatim source of the inner group ("{ ... }") plus the query's
+    # prefix declarations — what a protocol client ships to the remote
+    # endpoint (upstream evaluates SERVICE by sending the pattern text,
+    # lib/spareval/src/service.rs); None when the AST was built
+    # programmatically rather than parsed
+    raw: Optional[str] = None
+    prefixes: Optional[tuple] = None  # ((prefix, iri), ...)
 
 
 GraphPattern = Union[BGP, Join, LeftJoin, Minus, Union_, Filter, Extend,

@@ -116,6 +116,7 @@ BUILTIN_NAMES = {
 
 class Parser:
     def __init__(self, text: str):
+        self.text = text
         self.toks = tokenize(text)
         self.i = 0
         self.base: Optional[str] = None
@@ -526,7 +527,13 @@ class Parser:
                     name = A.Var(self.next().value[1:])
                 else:
                     name = A.NamedNode(self._iri())
-                svc = A.Service(name, self._group_graph_pattern(), silent)
+                start = self.peek().pos     # the inner group's '{'
+                inner_pat = self._group_graph_pattern()
+                last = self.toks[self.i - 1]
+                svc = A.Service(
+                    name, inner_pat, silent,
+                    raw=self.text[start:last.pos + len(last.value)],
+                    prefixes=tuple(sorted(self.prefixes.items())))
                 flush_triples()
                 acc = svc if acc is None else A.Join(acc, svc)
             elif self.at_op("{"):

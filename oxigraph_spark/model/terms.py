@@ -386,7 +386,43 @@ def join_key(t: Column) -> Column:
              F.coalesce(t["datatype"], F.lit("\x00D")),
              F.coalesce(t["lang"], F.lit("\x00G")))
     return F.struct(F.xxhash64(*parts).alias("h1"),
-                    F.xxhash64(*parts, F.lit(-7046029254386353131)).alias("h2"))
+                    F.xxhash64(*parts, F.lit(_JK_SEED2)).alias("h2"))
+
+
+_JK_SEED2 = -7046029254386353131
+
+
+def _bq(name: str) -> str:
+    """Backtick-quote a column name for SQL embedding."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def join_key_sql(name: str) -> str:
+    """SQL text of :func:`join_key` over the NAMED term column — the
+    plan-build fast path: one ``F.expr`` call instead of ~20 py4j
+    round-trips per key (the single hottest builder in compile
+    profiles).  Semantically identical to ``join_key(df[name])``
+    (``\\u0000…`` escapes decode to the same NUL sentinels)."""
+    c = _bq(name)
+    args = (f"{c}.kind, coalesce({c}.lex, '\\u0000L'), "
+            f"coalesce({c}.datatype, '\\u0000D'), "
+            f"coalesce({c}.lang, '\\u0000G')")
+    return (f"named_struct('h1', xxhash64({args}), "
+            f"'h2', xxhash64({args}, {_JK_SEED2}L))")
+
+
+def join_key_named(name: str) -> Column:
+    """:func:`join_key` over a plain named column in the CURRENT frame
+    (unqualified resolution — do not use inside two-sided join
+    conditions where the name exists on both sides)."""
+    return F.expr(join_key_sql(name))
+
+
+def guarded_key_named(name: str) -> Column:
+    """``join_key`` guarded to be NULL iff the term is NULL (the
+    ``_key_col`` invariant), as one ``F.expr``."""
+    return F.expr(f"CASE WHEN {_bq(name)} IS NOT NULL "
+                  f"THEN {join_key_sql(name)} END")
 
 
 def same_term(a: Column, b: Column) -> Column:

@@ -255,7 +255,11 @@ def _key_col(term_col: Column, id_col: Optional[Column]) -> Column:
 
 
 def _out_id(c: "Compiled", v: str) -> Column:
-    return _key_col(c.df[v], c.df[c.ids[v]] if v in c.ids else None)
+    """Identity key of var ``v`` for emission FROM ``c.df`` (single-frame
+    contexts only: the no-sidecar path resolves ``v`` unqualified)."""
+    if v in c.ids:
+        return c.df[c.ids[v]]
+    return T.guarded_key_named(v)
 
 
 def _merge_types(lv, lt, rv, rt) -> dict:
@@ -425,10 +429,9 @@ class Compiler:
                     pos_of[term.name] = pos
             elif isinstance(term, A.NamedNode):
                 if pos != "p" or p_lex is None:
-                    conds.append((col["kind"] == T.KIND_IRI)
-                                 & (col["lex"] == term.iri))
+                    conds.append(F.expr(_same_term_const_sql(pos, term)))
             elif isinstance(term, (A.Literal, A.QuotedTriple)):
-                conds.append(T.same_term(col, _const_term_col(term)))
+                conds.append(F.expr(_same_term_const_sql(pos, term)))
             else:
                 raise NotImplementedError(
                     f"{type(term).__name__} in triple pattern (bnodes are "
@@ -451,7 +454,7 @@ class Compiler:
             # 2×xxhash64 that Catalyst prunes when unused.
             for v, pos in pos_of.items():
                 kc = df[f"{pos}_key"] if f"{pos}_key" in df.columns \
-                    else T.join_key(df[pos])
+                    else T.join_key_named(pos)
                 ids[v] = _idname(v)
                 id_cols.append(kc.alias(ids[v]))
         out = df.select(*[c.alias(v) for v, c in sel.items()], *id_cols) \
@@ -633,10 +636,10 @@ class Compiler:
                 df[f"o{i}"].alias(v) for i, v in enumerate(ovars)]
             ids: Dict[str, str] = {}
             if self.use_ids:
-                for v, c in [(svar, df["s"])] + [
-                        (vv, df[f"o{i}"]) for i, vv in enumerate(ovars)]:
+                for v, cn in [(svar, "s")] + [
+                        (vv, f"o{i}") for i, vv in enumerate(ovars)]:
                     ids[v] = _idname(v)
-                    sel.append(T.join_key(c).alias(ids[v]))
+                    sel.append(T.join_key_named(cn).alias(ids[v]))
             names = frozenset([svar] + ovars)
             st: Dict[str, int] = {svar: K.VC_NONLIT}
             nt: Dict[str, str] = {}
@@ -875,12 +878,12 @@ class Compiler:
             if v not in l.ids:
                 ldf = ldf.withColumn(
                     _idname(v),
-                    _key_col(ldf[v], None) if v in lv
+                    T.guarded_key_named(v) if v in lv
                     else F.lit(None).cast(ID_KEY_T))
             if v not in r.ids:
                 rdf = rdf.withColumn(
                     _idname(v),
-                    _key_col(rdf[v], None) if v in rv
+                    T.guarded_key_named(v) if v in rv
                     else F.lit(None).cast(ID_KEY_T))
         out = ldf.unionByName(rdf.select(*ldf.columns))
         certain = (l.certain & r.certain)
@@ -991,6 +994,11 @@ class Compiler:
             certain = frozenset.intersection(*(p.certain for p in parts))
             return Compiled(out, all_vars, certain)
         handler = self.SERVICE_HANDLERS.get(n.name.iri)
+        if handler is None and n.name.iri.startswith(("http://", "https://")):
+            # default SPARQL-Protocol client for unregistered http(s)
+            # endpoints (upstream's built-in service client)
+            from ..sources.service_http import HttpServiceHandler
+            handler = HttpServiceHandler(n.name.iri)
         if handler is None:
             if n.silent:  # SILENT: failure ⇒ single empty solution (§13.2)
                 df = self.spark.range(1).select(F.lit(1).alias("__unit"))
@@ -998,9 +1006,32 @@ class Compiler:
             raise ValueError(
                 f"no service handler registered for <{n.name.iri}> "
                 "(Compiler.register_service_handler)")
-        df = handler(self.spark, n.inner)
+        try:
+            df = self._call_handler(handler, n)
+        except Exception:
+            if n.silent:  # network/parse failure under SILENT (§13.2)
+                df = self.spark.range(1).select(F.lit(1).alias("__unit"))
+                return Compiled(df, frozenset(), frozenset())
+            raise
         names = frozenset(df.columns)
         return Compiled(df, names, frozenset())
+
+    def _call_handler(self, handler, n: A.Service) -> DataFrame:
+        """Invoke a service handler, passing the raw pattern source to
+        handlers that accept it (HttpServiceHandler); legacy handlers
+        keep the plain ``(spark, pattern)`` protocol."""
+        import inspect
+        try:
+            params = inspect.signature(handler).parameters
+            takes_raw = "raw" in params or any(
+                p.kind is inspect.Parameter.VAR_KEYWORD
+                for p in params.values())
+        except (TypeError, ValueError):
+            takes_raw = False
+        if takes_raw:
+            return handler(self.spark, n.inner, raw=n.raw,
+                           prefixes=n.prefixes)
+        return handler(self.spark, n.inner)
 
     def _c_Project(self, n: A.Project, graph_ctx) -> Compiled:
         inner = self.compile_pattern(n.inner, graph_ctx)
@@ -1593,6 +1624,34 @@ def _const_term_col(t: A.GroundTerm) -> Column:
         return col
     # fallback: duration-typed literals
     return T.typed_lit(F.lit(t.lex), t.datatype)
+
+
+def _same_term_const_sql(name: str, t: A.GroundTerm) -> str:
+    """``same_term(df[name], const)`` as one SQL fragment: null-safe
+    field-wise equality on the identity 4-tuple against the constant's
+    (precomputed) identity — semantically identical to
+    ``T.same_term(col, _const_term_col(t))`` but one py4j call."""
+    if isinstance(t, A.NamedNode):
+        k, lex, dt, lang = T.KIND_IRI, t.iri, None, None
+    elif isinstance(t, A.BlankNode):
+        k, lex, dt, lang = T.KIND_BNODE, t.label, None, None
+    elif isinstance(t, A.QuotedTriple):
+        k, lex, dt, lang = T.KIND_TRIPLE, _py_quoted_lex(t), None, None
+    elif isinstance(t, A.Literal):
+        k, lex = T.KIND_LITERAL, t.lex
+        if t.lang:
+            dt, lang = T.RDF_LANGSTRING, t.lang
+        else:
+            dt, lang = (t.datatype or T.XSD_STRING), None
+    else:
+        raise TypeError(type(t))
+    c = "`" + name.replace("`", "``") + "`"
+
+    def eq(f, v):
+        return f"{c}.{f} <=> " + ("NULL" if v is None else _sql_quote(v))
+
+    return (f"({c}.kind <=> {k}Y AND {eq('lex', lex)} AND "
+            f"{eq('datatype', dt)} AND {eq('lang', lang)})")
 
 
 def _const_term_sql(t: A.GroundTerm) -> Optional[str]:

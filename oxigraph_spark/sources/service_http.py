@@ -1,0 +1,119 @@
+"""SPARQL-Protocol client for SERVICE federation (J7's default handler).
+
+Reference behavior: upstream ships an HTTP service client that POSTs the
+inner pattern to the endpoint and parses the results document
+(``lib/spareval/src/service.rs`` · ``ServiceHandler`` and the simple
+HTTP client it drives).  Spark re-expression: the call runs
+DRIVER-side at plan-build time (remote solution sequences are bounded
+protocol responses, not datasets — the reference holds them in memory
+too) and materializes a small local DataFrame of TERM structs that joins
+into the surrounding plan; Spark then distributes the join itself.  For
+endpoint results too large for the driver, register a custom handler
+that reads the endpoint's bulk-export path instead — the handler
+registry (``plans/compiler.py`` · ``register_service_handler``) takes
+precedence over this default.
+
+Protocol: POST ``application/sparql-query``; Accept results JSON (XML
+fallback).  SELECT-star semantics: the inner group's verbatim source
+(``Service.raw``) plus the query's PREFIX declarations form the remote
+query, so FILTERs/subpatterns inside SERVICE are evaluated remotely,
+exactly like upstream.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+from typing import Dict, List, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..model import terms as T
+
+
+def _binding_term(b: Optional[dict]):
+    """Results-JSON binding dict → algebra ground term (None = unbound)."""
+    from ..algebra import ast as A
+    if b is None:
+        return None
+    t = b.get("type")
+    if t == "uri":
+        return A.NamedNode(b["value"])
+    if t == "bnode":
+        return A.BlankNode(b["value"])
+    if t in ("literal", "typed-literal"):
+        lang = b.get("xml:lang")
+        dt = b.get("datatype")
+        if lang:
+            return A.Literal(b["value"], lang=lang)
+        if dt:
+            return A.Literal(b["value"], datatype=dt)
+        return A.Literal(b["value"])
+    raise ValueError(f"unknown binding type {t!r}")
+
+
+def bindings_to_df(spark: SparkSession, variables: List[str],
+                   bindings: List[Dict[str, dict]]) -> DataFrame:
+    """Results bindings → DataFrame with one TERM column per variable."""
+    from ..plans.compiler import _term_to_py
+    from pyspark.sql.types import StructField, StructType
+    rows = [tuple(_term_to_py(_binding_term(b.get(v))) if b.get(v) is not None
+                  else None for v in variables)
+            for b in bindings]
+    schema = StructType([StructField(v, T.TERM_SCHEMA) for v in variables])
+    return spark.createDataFrame(rows, schema)
+
+
+def _parse_results(doc: str, ctype: str) -> Tuple[List[str], List[dict]]:
+    from .results_io import parse_xml_results
+    if "json" in ctype:
+        data = json.loads(doc)
+        return list(data["head"]["vars"]), data["results"]["bindings"]
+    if "xml" in ctype:
+        import xml.etree.ElementTree as ET
+        ns = "{http://www.w3.org/2005/sparql-results#}"
+        root = ET.fromstring(doc)
+        head = root.find(f"{ns}head")
+        variables = [v.attrib["name"]
+                     for v in (head.findall(f"{ns}variable") if head is not None
+                               else [])]
+        return variables, parse_xml_results(doc)
+    raise ValueError(f"unsupported SERVICE response content type {ctype!r}")
+
+
+class HttpServiceHandler:
+    """Callable service handler POSTing the pattern to one endpoint.
+
+    Matches the handler protocol the compiler invokes
+    (``(spark, pattern, raw=…, prefixes=…)``); requires the parsed
+    ``raw`` source of the inner group (queries built programmatically
+    without source text cannot be shipped over the wire)."""
+
+    def __init__(self, endpoint: str, timeout: float = 60.0):
+        self.endpoint = endpoint
+        self.timeout = timeout
+
+    def build_query(self, raw: str,
+                    prefixes: Optional[tuple]) -> str:
+        pfx = "".join(f"PREFIX {p}: <{iri}>\n" for p, iri in (prefixes or ()))
+        return f"{pfx}SELECT * WHERE {raw}"
+
+    def __call__(self, spark: SparkSession, pattern, raw: Optional[str] = None,
+                 prefixes: Optional[tuple] = None) -> DataFrame:
+        if raw is None:
+            raise ValueError(
+                "HTTP SERVICE needs the parsed pattern source (Service.raw); "
+                "register a custom handler for programmatic patterns")
+        q = self.build_query(raw, prefixes)
+        req = urllib.request.Request(
+            self.endpoint, data=q.encode("utf-8"), method="POST",
+            headers={
+                "Content-Type": "application/sparql-query",
+                "Accept": ("application/sparql-results+json, "
+                           "application/sparql-results+xml;q=0.9"),
+            })
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            ctype = resp.headers.get("Content-Type", "") or ""
+            doc = resp.read().decode("utf-8")
+        variables, bindings = _parse_results(doc, ctype)
+        return bindings_to_df(spark, variables, bindings)

@@ -332,3 +332,116 @@ def test_quad_store_persisted_dictionary_keys(spark, nt_path, tmp_path):
     assert [(r.u.lex, r.w.lex) for r in q.collect()] == [("b1", "urn:ex:b")]
     plan = q._jdf.queryExecution().optimizedPlan().toString()
     assert "xxhash64" not in plan  # join keys come straight from parquet
+
+
+# -- HTTP SERVICE (SPARQL-Protocol client, round 4) -------------------------
+
+def _start_sparql_endpoint(responses):
+    """In-process SPARQL-Protocol endpoint speaking the same wire format
+    the reference's HTTP client consumes; captures request bodies."""
+    import http.server
+    import threading
+
+    captured = []
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", "0"))
+            captured.append({
+                "body": self.rfile.read(n).decode("utf-8"),
+                "ctype": self.headers.get("Content-Type"),
+                "accept": self.headers.get("Accept"),
+            })
+            ctype, doc = responses[min(len(captured) - 1,
+                                       len(responses) - 1)]
+            data = doc.encode("utf-8")
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, captured
+
+
+def test_http_service_end_to_end_json(spark, nt_path):
+    """SERVICE <http://…> with no registered handler dials the default
+    SPARQL-Protocol client: POSTs `application/sparql-query` built from
+    the PREFIXed verbatim inner group, parses the results-JSON response,
+    and joins the remote solutions into the local pattern."""
+    import json as _json
+    from oxigraph_spark.operators.update import MutableQuadSource
+    quads = read_ntriples(spark, nt_path)
+    store = Store(spark, MutableQuadSource(spark, quads))
+    doc = _json.dumps({
+        "head": {"vars": ["n", "pop"]},
+        "results": {"bindings": [
+            {"n": {"type": "literal", "value": "Alice"},
+             "pop": {"type": "literal", "value": "12",
+                     "datatype": "http://www.w3.org/2001/XMLSchema#integer"}},
+            {"n": {"type": "literal", "value": "nobody"},
+             "pop": {"type": "literal", "value": "7",
+                     "datatype": "http://www.w3.org/2001/XMLSchema#integer"}},
+        ]},
+    })
+    srv, captured = _start_sparql_endpoint(
+        [("application/sparql-results+json", doc)])
+    try:
+        ep = f"http://127.0.0.1:{srv.server_address[1]}/sparql"
+        df = store.query(f"""
+            PREFIX ex: <urn:ex:>
+            SELECT ?n ?pop WHERE {{
+              <urn:ex:a> <urn:ex:name> ?n .
+              SERVICE <{ep}> {{ ?city ex:name ?n ; ex:pop ?pop }}
+            }}""")
+        rows = df.collect()
+        # local store binds ?n = "Alice" only -> join keeps that row
+        assert len(rows) == 1
+        assert rows[0].n.lex == "Alice" and rows[0].pop.lex == "12"
+        assert rows[0].pop.num == 12
+        # the endpoint received a well-formed SELECT-star protocol query
+        body = captured[0]["body"]
+        assert captured[0]["ctype"] == "application/sparql-query"
+        assert body.startswith("PREFIX ex: <urn:ex:>")
+        assert "SELECT * WHERE { ?city ex:name ?n ; ex:pop ?pop }" in body
+    finally:
+        srv.shutdown()
+
+
+def test_http_service_xml_fallback_and_silent(spark, nt_path):
+    """XML results responses parse through the same client; SILENT
+    swallows a dead endpoint into a single empty solution."""
+    from oxigraph_spark.operators.update import MutableQuadSource
+    quads = read_ntriples(spark, nt_path)
+    store = Store(spark, MutableQuadSource(spark, quads))
+    xml = """<?xml version="1.0"?>
+<sparql xmlns="http://www.w3.org/2005/sparql-results#">
+  <head><variable name="x"/></head>
+  <results>
+    <result><binding name="x"><uri>urn:ex:r1</uri></binding></result>
+    <result><binding name="x">
+      <literal xml:lang="en">hi</literal></binding></result>
+  </results>
+</sparql>"""
+    srv, _ = _start_sparql_endpoint(
+        [("application/sparql-results+xml", xml)])
+    try:
+        ep = f"http://127.0.0.1:{srv.server_address[1]}/q"
+        df = store.query(
+            f"SELECT ?x WHERE {{ SERVICE <{ep}> {{ ?s <urn:p> ?x }} }}")
+        got = sorted((r.x.kind, r.x.lex, r.x.lang) for r in df.collect())
+        assert got == [(0, "urn:ex:r1", None), (2, "hi", "en")]
+    finally:
+        srv.shutdown()
+    # dead endpoint (closed server), SILENT -> one empty solution
+    df2 = store.query(f"""
+        SELECT ?n WHERE {{
+          <urn:ex:a> <urn:ex:name> ?n .
+          SERVICE SILENT <http://127.0.0.1:1/unreachable> {{ ?s <urn:p> ?x }}
+        }}""")
+    assert df2.count() == 1
