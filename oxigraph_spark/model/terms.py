@@ -425,6 +425,38 @@ def guarded_key_named(name: str) -> Column:
                   f"THEN {join_key_sql(name)} END")
 
 
+# -- compact 64-bit key family (opt-in dictionary variant, SURVEY §1.4) -----
+# Same content-hash identity as join_key but a SINGLE xxhash64: 8-byte
+# exchange/group keys (half the width) at collision odds ≈ N²/2⁶⁵ —
+# safe for corpora up to ~10⁹ distinct terms (odds ≈ 3·10⁻²·ε), NOT for
+# the 10¹²-term 100 TB tier, where the 128-bit default stays mandatory
+# (see sources/dictionary.py sizing note).  Enabled per-source via
+# ``source.key_width = 64``; the compiler dispatches every key
+# computation through one mode so mixed-width comparisons cannot occur.
+
+def join_key64(t: Column) -> Column:
+    return F.xxhash64(t["kind"],
+                      F.coalesce(t["lex"], F.lit("\x00L")),
+                      F.coalesce(t["datatype"], F.lit("\x00D")),
+                      F.coalesce(t["lang"], F.lit("\x00G")))
+
+
+def join_key64_sql(name: str) -> str:
+    c = _bq(name)
+    return (f"xxhash64({c}.kind, coalesce({c}.lex, '\\u0000L'), "
+            f"coalesce({c}.datatype, '\\u0000D'), "
+            f"coalesce({c}.lang, '\\u0000G'))")
+
+
+def join_key64_named(name: str) -> Column:
+    return F.expr(join_key64_sql(name))
+
+
+def guarded_key64_named(name: str) -> Column:
+    return F.expr(f"CASE WHEN {_bq(name)} IS NOT NULL "
+                  f"THEN {join_key64_sql(name)} END")
+
+
 def same_term(a: Column, b: Column) -> Column:
     return term_key(a).eqNullSafe(term_key(b))
 

@@ -31,21 +31,22 @@ from ..model import terms as T
 
 
 def _key(c: Column) -> Column:
-    # 16-byte hash join key: path relations join src/dst constantly and
-    # the fixpoint re-sorts the frontier every round (see terms.join_key)
+    # default 16-byte hash join key (see terms.join_key); width-aware
+    # call sites use compiler._jk so the opt-in 64-bit dictionary mode
+    # (source.key_width=64) stays coherent end to end
     return T.join_key(c)
 
 
 _POS_KEY = {"s": "s_key", "o": "o_key"}
 
 
-def _with_keys(df: DataFrame, src_pos: str = "s", dst_pos: str = "o"
-               ) -> DataFrame:
+def _with_keys(df: DataFrame, src_pos: str = "s", dst_pos: str = "o",
+               jk=_key) -> DataFrame:
     """Scan → (src, dst, sk, dk), preferring store-persisted key columns
     over re-hashing the terms (dictionary wiring, SURVEY.md §1.4)."""
     def k(pos: str) -> Column:
         name = _POS_KEY[pos]
-        return df[name] if name in df.columns else _key(df[pos])
+        return df[name] if name in df.columns else jk(df[pos])
     return df.select(df[src_pos].alias("src"), df[dst_pos].alias("dst"),
                      k(src_pos).alias("sk"), k(dst_pos).alias("dk"))
 
@@ -96,7 +97,7 @@ def compile_path(compiler, pp: A.PathPattern, graph_ctx,
             else:
                 sel[term.name] = col
         else:
-            conds.append(rel[kcol[col]] == _key(_const_term_col(term)))
+            conds.append(rel[kcol[col]] == compiler._jk(_const_term_col(term)))
     df = rel
     if conds:
         df = df.where(reduce(lambda a, b: a & b, conds))
@@ -120,7 +121,7 @@ def _const_df(compiler, term) -> DataFrame:
     from ..plans.compiler import _const_term_col
     c = _const_term_col(term)
     return compiler.spark.range(1).select(c.alias("src"),
-                                          _key(c).alias("sk"))
+                                          compiler._jk(c).alias("sk"))
 
 
 # ---------------------------------------------------------------------------
@@ -133,7 +134,7 @@ def _relation(compiler, path, graph_ctx) -> DataFrame:
         df = compiler._graph_filter(df, graph_ctx)
         df = df.where((df["p"]["kind"] == T.KIND_IRI)
                       & (df["p"]["lex"] == path.iri))
-        return _with_keys(df)
+        return _with_keys(df, jk=compiler._jk)
     if isinstance(path, A.PInv):
         r = _relation(compiler, path.inner, graph_ctx)
         return r.select(r["dst"].alias("src"), r["src"].alias("dst"),
@@ -166,11 +167,12 @@ def _relation(compiler, path, graph_ctx) -> DataFrame:
             fwd = df.where(df["p"]["kind"] == T.KIND_IRI)
             if path.forward:
                 fwd = fwd.where(~df["p"]["lex"].isin(*path.forward))
-            parts.append(_with_keys(fwd))
+            parts.append(_with_keys(fwd, jk=compiler._jk))
         if path.inverse:
             inv = df.where(df["p"]["kind"] == T.KIND_IRI)
             inv = inv.where(~df["p"]["lex"].isin(*path.inverse))
-            parts.append(_with_keys(inv, src_pos="o", dst_pos="s"))
+            parts.append(_with_keys(inv, src_pos="o", dst_pos="s",
+                                    jk=compiler._jk))
         return reduce(lambda a, b: a.unionByName(b), parts)
     raise NotImplementedError(f"path {type(path).__name__}")
 
@@ -183,14 +185,14 @@ def _zero_len_for(compiler, graph_ctx, seeds: Optional[DataFrame]) -> DataFrame:
 
     def part(pos: str) -> DataFrame:
         name = _POS_KEY[pos]
-        k = df[name] if name in df.columns else _key(df[pos])
+        k = df[name] if name in df.columns else compiler._jk(df[pos])
         return df.select(df[pos].alias("node"), k.alias("k"))
 
     both = part("s").unionByName(part("o"))
     if seeds is not None:
         # membership test only: broadcast-semi BEFORE the distinct, so the
         # full term domain is never deduplicated (a full-graph shuffle)
-        sk = seeds["sk"] if "sk" in seeds.columns else _key(seeds["src"])
+        sk = seeds["sk"] if "sk" in seeds.columns else compiler._jk(seeds["src"])
         both = both.join(F.broadcast(seeds.select(sk.alias("__sk"))),
                          both["k"] == F.col("__sk"), "leftsemi")
     nodes = both.dropDuplicates(["k"])
@@ -252,7 +254,7 @@ def _closure(compiler, edges: DataFrame, start: Optional[DataFrame]) -> DataFram
                .dropDuplicates(["k"]).localCheckpoint(eager=False)
     ek = edges.select("sk", "dk")
     if start is not None:
-        sk = start["sk"] if "sk" in start.columns else _key(start["src"])
+        sk = start["sk"] if "sk" in start.columns else compiler._jk(start["src"])
         sk0 = start.select(sk.alias("k")).distinct()
         paths = ek.join(F.broadcast(sk0), ek["sk"] == sk0["k"], "leftsemi")
     else:

@@ -242,24 +242,11 @@ def _idname(v: str) -> str:
     return f"__jk_{v}"
 
 
-def _key_col(term_col: Column, id_col: Optional[Column]) -> Column:
-    """Identity key for a term column, safe to EMIT into an output row
-    (NULL iff the term is NULL — required so downstream null-tolerant
-    compatibility checks can test the key instead of the term).  Reuses a
-    materialized sidecar column when given; otherwise computes it guarded
-    (join_key of an all-NULL struct is a non-NULL constant, so the guard
-    is what preserves the invariant)."""
-    if id_col is not None:
-        return id_col
-    return F.when(term_col.isNotNull(), T.join_key(term_col))
-
-
-def _out_id(c: "Compiled", v: str) -> Column:
-    """Identity key of var ``v`` for emission FROM ``c.df`` (single-frame
-    contexts only: the no-sidecar path resolves ``v`` unqualified)."""
-    if v in c.ids:
-        return c.df[c.ids[v]]
-    return T.guarded_key_named(v)
+# NOTE on the _key_col invariant (now Compiler methods, key-width aware):
+# identity keys are safe to EMIT into an output row only when NULL iff
+# the term is NULL — downstream null-tolerant compatibility checks test
+# the key instead of the term; join_key of an all-NULL struct is a
+# non-NULL constant, so the guard preserves the invariant.
 
 
 def _merge_types(lv, lt, rv, rt) -> dict:
@@ -349,6 +336,37 @@ class Compiler:
         self._exists_markers: Dict[int, str] = {}
         self._env_st: Dict[str, int] = {}
         self._env_nt: Dict[str, str] = {}
+        # identity-key width: 128-bit struct (default, safe at any corpus
+        # size) or the opt-in compact 64-bit longs (source.key_width=64;
+        # SURVEY §1.4 dictionary variant — halves exchange/group key
+        # width, bounded to ≲10⁹-distinct-term corpora).  EVERY key
+        # computation dispatches through these so mixed widths never meet
+        # in a comparison.
+        self.key_width = getattr(source, "key_width", 128)
+        if self.key_width == 64:
+            self._jk = T.join_key64
+            self._jk_named = T.join_key64_named
+            self._gk_named = T.guarded_key64_named
+            self._id_t = "bigint"
+        else:
+            self._jk = T.join_key
+            self._jk_named = T.join_key_named
+            self._gk_named = T.guarded_key_named
+            self._id_t = ID_KEY_T
+
+    def _key_col(self, term_col: Column, id_col: Optional[Column]) -> Column:
+        """Identity key, NULL iff the term is NULL (see module note)."""
+        if id_col is not None:
+            return id_col
+        return F.when(term_col.isNotNull(), self._jk(term_col))
+
+    def _out_id(self, c: "Compiled", v: str) -> Column:
+        """Identity key of var ``v`` for emission FROM ``c.df``
+        (single-frame contexts only: the no-sidecar path resolves ``v``
+        unqualified)."""
+        if v in c.ids:
+            return c.df[c.ids[v]]
+        return self._gk_named(v)
 
     def _set_type_env(self, c: "Compiled") -> None:
         self._env_st = dict(c.stypes)
@@ -454,7 +472,7 @@ class Compiler:
             # 2×xxhash64 that Catalyst prunes when unused.
             for v, pos in pos_of.items():
                 kc = df[f"{pos}_key"] if f"{pos}_key" in df.columns \
-                    else T.join_key_named(pos)
+                    else self._jk_named(pos)
                 ids[v] = _idname(v)
                 id_cols.append(kc.alias(ids[v]))
         out = df.select(*[c.alias(v) for v, c in sel.items()], *id_cols) \
@@ -639,7 +657,7 @@ class Compiler:
                 for v, cn in [(svar, "s")] + [
                         (vv, f"o{i}") for i, vv in enumerate(ovars)]:
                     ids[v] = _idname(v)
-                    sel.append(T.join_key_named(cn).alias(ids[v]))
+                    sel.append(self._jk_named(cn).alias(ids[v]))
             names = frozenset([svar] + ovars)
             st: Dict[str, int] = {svar: K.VC_NONLIT}
             nt: Dict[str, str] = {}
@@ -713,8 +731,8 @@ class Compiler:
             # join on the materialized identity key when a side carries
             # one (computed once at its scan) instead of re-hashing the
             # term per join — the dictionary-encoded id path (§1.4 M7+)
-            lk = l.df[l.ids[v]] if v in l.ids else T.join_key(lc)
-            rk = rdf[ren_id[v]] if v in r.ids else T.join_key(rc)
+            lk = l.df[l.ids[v]] if v in l.ids else self._jk(lc)
+            rk = rdf[ren_id[v]] if v in r.ids else self._jk(rc)
             if v in l.certain and v in r.certain:
                 conds.append(lk == rk)
             else:
@@ -751,9 +769,9 @@ class Compiler:
             if v in shared:
                 if v not in l.ids and v not in r.ids:
                     continue
-                lkg = _key_col(l.df[v],
+                lkg = self._key_col(l.df[v],
                                l.df[l.ids[v]] if v in l.ids else None)
-                rkg = _key_col(rdf[ren[v]],
+                rkg = self._key_col(rdf[ren[v]],
                                rdf[ren_id[v]] if v in r.ids else None)
                 key = F.coalesce(lkg, rkg)
             elif v in l.ids:
@@ -848,12 +866,12 @@ class Compiler:
         # Key NULL ⟺ term NULL (the _out_id invariant), so the
         # compatibility null-checks can test the key directly.
         rkeys = r.df.select(
-            *[_out_id(r, v).alias(f"__mk_{v}") for v in shared]).distinct()
+            *[self._out_id(r, v).alias(f"__mk_{v}") for v in shared]).distinct()
         compat = []
         overlap = []
         for v in shared:
             lc, rk = l.df[v], rkeys[f"__mk_{v}"]
-            lk = l.df[l.ids[v]] if v in l.ids else T.join_key(lc)
+            lk = l.df[l.ids[v]] if v in l.ids else self._jk(lc)
             compat.append(lc.isNull() | rk.isNull() | (lk == rk))
             overlap.append(lc.isNotNull() & rk.isNotNull())
         cond = reduce(lambda a, b: a & b, compat) \
@@ -878,13 +896,13 @@ class Compiler:
             if v not in l.ids:
                 ldf = ldf.withColumn(
                     _idname(v),
-                    T.guarded_key_named(v) if v in lv
-                    else F.lit(None).cast(ID_KEY_T))
+                    self._gk_named(v) if v in lv
+                    else F.lit(None).cast(self._id_t))
             if v not in r.ids:
                 rdf = rdf.withColumn(
                     _idname(v),
-                    T.guarded_key_named(v) if v in rv
-                    else F.lit(None).cast(ID_KEY_T))
+                    self._gk_named(v) if v in rv
+                    else F.lit(None).cast(self._id_t))
         out = ldf.unionByName(rdf.select(*ldf.columns))
         certain = (l.certain & r.certain)
         st = _merge_types(lv, l.stypes, rv, r.stypes)
@@ -1201,7 +1219,7 @@ class Compiler:
                 # IDENTITIES: ship 16-byte keys, not term structs (§1.4)
                 kn = {v: f"{v}__e{marker}" for v in shared}
                 sdf = sub.df.select(
-                    *[_out_id(sub, v).alias(kn[v]) for v in shared]) \
+                    *[self._out_id(sub, v).alias(kn[v]) for v in shared]) \
                     .distinct() \
                     .withColumn(marker, F.lit(True))
 
@@ -1210,7 +1228,7 @@ class Compiler:
                     for v in shared:
                         lc = ldf[v]
                         lk = ldf[inner.ids[v]] if v in inner.ids \
-                            else T.join_key(lc)
+                            else self._jk(lc)
                         rk = sdf[kn[v]]
                         if v in inner.certain and v in sub.certain:
                             conds.append(lk == rk)
@@ -1481,7 +1499,7 @@ class Compiler:
             F.col("g")["kind"] == T.KIND_DEFAULT_GRAPH)
         out = quads.join(
             F.broadcast(nodes),
-            T.join_key(quads["s"]) == T.join_key(nodes["node"]), "leftsemi")
+            self._jk(quads["s"]) == self._jk(nodes["node"]), "leftsemi")
         return out.select("s", "p", "o")
 
 

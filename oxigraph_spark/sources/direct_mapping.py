@@ -133,9 +133,13 @@ class DirectMappingSource:
     """
 
     def __init__(self, spark: SparkSession, sf_dir: str,
-                 tables: Optional[Iterable[str]] = None):
+                 tables: Optional[Iterable[str]] = None,
+                 key_width: int = 128):
         self.spark = spark
         self.sf_dir = sf_dir
+        # identity-key width the compiler should use over this source
+        # (64 = compact single-xxhash64 longs, see model.terms.join_key64)
+        self.key_width = key_width
         self._raw: Dict[str, DataFrame] = {}
         self._frames: Dict[str, DataFrame] = {}
         # scan/star_scan results are pure functions of (predicates,

@@ -31,14 +31,23 @@ MAX_PARTITIONS = 512
 class ParquetQuadStore:
     """Quads persisted as predicate-partitioned parquet."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str,
+                 key_width: int = 128):
+        """``key_width`` must match what :meth:`write` persisted: 128
+        (default struct<h1,h2> content hashes — safe at any corpus size)
+        or the opt-in compact 64 (single xxhash64 longs — half the
+        exchange/group key width; bounded to ≲10⁹ distinct terms, see
+        ``model.terms.join_key64``).  The compiler reads this attribute
+        and dispatches every key computation to the same width."""
         self.spark = spark
         self.path = path
+        self.key_width = key_width
 
     @staticmethod
     def write(df: DataFrame, path: str,
               sort_in_partition: bool = True,
-              with_keys: bool = True) -> None:
+              with_keys: bool = True,
+              key_width: int = 128) -> None:
         """Write quads (s,p,o,g) partitioned by predicate.
 
         At 100 TB you run this once per ingest batch; repartitioning by
@@ -47,14 +56,17 @@ class ParquetQuadStore:
         small-file explosion), and the in-partition sort gives parquet
         row-group min/max stats on s.lex/o.lex for index-like pruning.
 
-        ``with_keys`` additionally persists the 128-bit dictionary id of
-        each position (``s_key``/``p_key``/``o_key``/``g_key``,
+        ``with_keys`` additionally persists the dictionary id of each
+        position (``s_key``/``p_key``/``o_key``/``g_key``,
         :func:`dictionary.term_id` = ``terms.join_key`` layout).  The
         query compiler joins on these ids (``Compiled.ids``); persisting
         them at ingest means pattern scans serve join keys straight from
         parquet — zero query-time hashing, computed once per quad ever.
         Cost: 4×16 bytes per row before parquet encoding (keys of
-        repeated terms dictionary-encode well)."""
+        repeated terms dictionary-encode well).  ``key_width=64``
+        persists single-xxhash64 BIGINT ids instead (half the width;
+        ≲10⁹-distinct-term corpora only — read back with
+        ``ParquetQuadStore(path, key_width=64)``)."""
         from . import dictionary as D
         keyed = df.withColumn(
             "p_part",
@@ -64,9 +76,9 @@ class ParquetQuadStore:
                 F.lit("_"),
                 F.substring(F.sha1(F.encode(F.col("p.lex"), "UTF-8")), 1, 8)))
         if with_keys:
+            kf = T.join_key64 if key_width == 64 else D.term_id
             for pos in ("s", "p", "o", "g"):
-                keyed = keyed.withColumn(f"{pos}_key",
-                                         D.term_id(F.col(pos)))
+                keyed = keyed.withColumn(f"{pos}_key", kf(F.col(pos)))
         out = keyed.repartition(F.col("p_part"))
         if sort_in_partition:
             out = out.sortWithinPartitions("p_part", F.col("s.lex"),

@@ -34,9 +34,10 @@ class Store:
 
     @classmethod
     def from_tables(cls, spark: SparkSession, sf_dir: str, tables=None,
-                    **kw) -> "Store":
+                    key_width: int = 128, **kw) -> "Store":
         from .sources.direct_mapping import DirectMappingSource
-        return cls(spark, DirectMappingSource(spark, sf_dir, tables=tables), **kw)
+        return cls(spark, DirectMappingSource(spark, sf_dir, tables=tables,
+                                              key_width=key_width), **kw)
 
     @classmethod
     def from_parquet(cls, spark: SparkSession, path: str, **kw) -> "Store":

@@ -90,3 +90,48 @@ def test_scan_memo_reuses_dataframes(spark, sf_dir):
     # different filters -> different plan
     e = src.scan("urn:g:customer#c_acctbal", native_filters=[("gt", 5.0)])
     assert e is not c
+
+
+def test_key_width_64_equivalence(spark, sf_dir):
+    """Opt-in compact 64-bit dictionary keys (source.key_width=64,
+    SURVEY §1.4 variant): joins, closures, aggregates, MINUS and
+    OPTIONAL produce results identical to the 128-bit default, and the
+    persisted quad-store sidecars come back as BIGINT."""
+    from oxigraph_spark.store import Store
+    queries = [
+        """PREFIX c: <urn:g:customer#> PREFIX n: <urn:g:nation#>
+           PREFIX r: <urn:g:region#>
+           SELECT ?cn ?rn WHERE { ?c c:c_name ?cn ; c:ref_nation ?n .
+             ?n n:ref_region ?r . ?r r:r_name ?rn }""",
+        """PREFIX n: <urn:g:nation#>
+           SELECT ?a ?b WHERE { ?a (n:ref_region|^n:ref_region)+ ?b }""",
+        """PREFIX n: <urn:g:nation#>
+           SELECT ?nn WHERE { ?n n:n_name ?nn .
+             MINUS { ?n n:n_regionkey 0 } } ORDER BY ?nn LIMIT 5""",
+        """PREFIX r: <urn:g:region#> PREFIX n: <urn:g:nation#>
+           SELECT ?rn (COUNT(?n) AS ?cnt) WHERE { ?r r:r_name ?rn .
+             OPTIONAL { ?n n:ref_region ?r } } GROUP BY ?rn""",
+    ]
+    st128 = Store.from_tables(spark, sf_dir)
+    st64 = Store.from_tables(spark, sf_dir, key_width=64)
+    for q in queries:
+        a = sorted(map(str, st128.query(q).collect()))
+        b = sorted(map(str, st64.query(q).collect()))
+        assert a == b
+
+
+def test_quad_store_64bit_keys_roundtrip(spark, sf_dir, tmp_path):
+    """write(key_width=64) persists BIGINT sidecars; a Store over the
+    64-keyed ParquetQuadStore answers queries correctly."""
+    from oxigraph_spark.store import Store
+    from oxigraph_spark.sources.quad_store import ParquetQuadStore
+    src = Store.from_tables(spark, sf_dir, tables=["region", "nation"])
+    p = str(tmp_path / "qs64")
+    ParquetQuadStore.write(src.source.quads(), p, key_width=64)
+    qs = ParquetQuadStore(spark, p, key_width=64)
+    assert dict(qs.scan("urn:g:nation#n_name").dtypes)["s_key"] == "bigint"
+    st = Store(spark, qs)
+    rows = st.query("""PREFIX n: <urn:g:nation#> PREFIX r: <urn:g:region#>
+        SELECT ?nn ?rn WHERE { ?n n:n_name ?nn ; n:ref_region ?r .
+                               ?r r:r_name ?rn }""").collect()
+    assert len(rows) == 25
