@@ -646,14 +646,23 @@ def read_jsonld_small(spark, path: str, max_bytes: int = 64 << 20):
 # -- writer (driver-side) ---------------------------------------------------
 
 def to_jsonld_document(df, max_rows: int = 1_000_000) -> str:
-    """Triples DataFrame → expanded JSON-LD string.  DRIVER-SIDE collect,
-    bounded; the distributed dump path is N-Triples/N-Quads."""
-    from ..model import terms as T
+    """Triples DataFrame → ONE expanded JSON-LD string.  DRIVER-SIDE
+    collect, bounded; use :func:`write_jsonld` for the distributed
+    per-partition part-file path."""
     rows = df.limit(max_rows + 1).collect()
     if len(rows) > max_rows:
         raise ValueError(
             f"to_jsonld_document: > {max_rows} triples; dump N-Triples "
             "for large graphs")
+    return rows_to_jsonld(rows)
+
+
+def rows_to_jsonld(rows) -> str:
+    """Triple rows (mapping-indexable ``s``/``p``/``o`` term fields) →
+    one expanded JSON-LD document string (root array of node objects).
+    Pure Python: driver-side for :func:`to_jsonld_document`, per
+    partition inside :func:`write_jsonld`."""
+    from ..model import terms as T
     nodes: dict = {}
     for r in rows:
         s = r["s"]
@@ -680,3 +689,37 @@ def to_jsonld_document(df, max_rows: int = 1_000_000) -> str:
                 "dump N-Triples instead")
         node.setdefault(pred, []).append(obj)
     return json.dumps(list(nodes.values()), indent=1, sort_keys=True)
+
+
+def write_jsonld(df, path: str) -> None:
+    """DISTRIBUTED expanded-JSON-LD writer: each partition serializes
+    its rows as ONE complete root-array document part file — no driver
+    collect, mirroring ``write_ntriples``'s per-partition shape.  Read
+    the part set back with :func:`jsonld_to_ntriples` (one task per
+    part).  Document-given ``_:`` labels are preserved verbatim, so
+    bnodes shared across partitions stay one node for readers that
+    keep labels across the part set (ours does)."""
+    from pyspark.sql import functions as F
+
+    flat = df.select(
+        df["s"]["kind"].alias("skind"), df["s"]["lex"].alias("slex"),
+        df["p"]["lex"].alias("plex"),
+        df["o"]["kind"].alias("okind"), df["o"]["lex"].alias("olex"),
+        df["o"]["datatype"].alias("odt"), df["o"]["lang"].alias("olang"))
+
+    def to_doc(batches):
+        import pandas as pd
+        rows = []
+        for pdf in batches:
+            for t in pdf.itertuples(index=False):
+                rows.append({
+                    "s": {"kind": t.skind, "lex": t.slex},
+                    "p": {"lex": t.plex},
+                    "o": {"kind": t.okind, "lex": t.olex,
+                          "datatype": t.odt, "lang": t.olang},
+                })
+        if rows:
+            yield pd.DataFrame({"value": [rows_to_jsonld(rows)]})
+
+    flat.mapInPandas(to_doc, "value string") \
+        .write.mode("overwrite").text(path)

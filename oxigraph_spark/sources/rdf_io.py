@@ -365,6 +365,34 @@ def _read_trig_small(spark: SparkSession, path: str,
     return _quads_df(spark, rows)
 
 
+def write_turtle(df: DataFrame, path: str) -> None:
+    """DISTRIBUTED Turtle writer: subject-grouped predicate lists
+    (``<s> <p1> o1 ; <p2> o2 .``), serialized per partition with no
+    driver collect — mirrors ``write_ntriples``.  Full IRIs (no prefix
+    table needed, every part file self-contained); a
+    ``sortWithinPartitions`` on the subject token groups each subject's
+    rows without a shuffle."""
+    from pyspark.sql import functions as F
+    from .ntriples import format_term
+    toks = df.select(
+        format_term(df["s"]).alias("stok"),
+        F.concat(format_term(df["p"]), F.lit(" "),
+                 format_term(df["o"])).alias("po"))
+    toks = toks.sortWithinPartitions("stok")
+
+    def stmts(batches):
+        import pandas as pd
+        for pdf in batches:
+            vals = []
+            for stok, grp in pdf.groupby("stok", sort=False):
+                vals.append(f"{stok} " + " ;\n    ".join(grp["po"]) + " .")
+            if vals:
+                yield pd.DataFrame({"value": vals})
+
+    toks.mapInPandas(stmts, "value string") \
+        .write.mode("overwrite").text(path)
+
+
 def write_trig(df: DataFrame, path: str) -> None:
     """DISTRIBUTED TriG writer: because TriG lets one graph label open
     any number of blocks, each partition serializes its own rows as

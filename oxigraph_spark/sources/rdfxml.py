@@ -520,15 +520,23 @@ def _split_iri(iri: str) -> Tuple[str, str]:
 
 
 def to_rdfxml_document(df, max_rows: int = 1_000_000) -> str:
-    """Triples DataFrame → RDF/XML string.  DRIVER-SIDE collect — bounded
-    by ``max_rows``; the distributed dump path is N-Triples (this format
-    exists for interop with XML toolchains, not for 100 TB exports)."""
-    from ..model import terms as T
+    """Triples DataFrame → ONE RDF/XML string.  DRIVER-SIDE collect —
+    bounded by ``max_rows``; use :func:`write_rdfxml` for the
+    distributed per-partition part-file path."""
     rows = df.limit(max_rows + 1).collect()
     if len(rows) > max_rows:
         raise ValueError(
             f"to_rdfxml_document: > {max_rows} triples; dump N-Triples "
             "for large graphs")
+    return rows_to_rdfxml(rows)
+
+
+def rows_to_rdfxml(rows) -> str:
+    """Triple rows (mapping-indexable ``s``/``p``/``o`` term fields) →
+    one complete RDF/XML document string.  Pure Python: runs driver-side
+    for :func:`to_rdfxml_document` and per partition inside
+    :func:`write_rdfxml`."""
+    from ..model import terms as T
     ns: dict = {RDF_NS: "rdf"}
     by_subj: dict = {}
     for r in rows:
@@ -566,6 +574,42 @@ def to_rdfxml_document(df, max_rows: int = 1_000_000) -> str:
         lines.append("  </rdf:Description>")
     lines.append("</rdf:RDF>")
     return "\n".join(lines)
+
+
+def write_rdfxml(df, path: str) -> None:
+    """DISTRIBUTED RDF/XML writer: each partition serializes its rows as
+    ONE complete self-contained document part file (own ``<rdf:RDF>``
+    wrapper + namespace decls) — no driver collect, mirroring
+    ``write_ntriples``'s per-partition shape.  The part-file set is one
+    logical graph: read it back with :func:`rdfxml_to_ntriples` (one
+    task per part).  Anonymous-bnode caveat: labels are emitted as
+    ``rdf:nodeID`` verbatim, so a bnode shared ACROSS partitions stays
+    one node only for readers that preserve labels across the part set
+    (ours does); co-partition by subject first if that matters."""
+    from pyspark.sql import functions as F
+
+    flat = df.select(
+        df["s"]["kind"].alias("skind"), df["s"]["lex"].alias("slex"),
+        df["p"]["lex"].alias("plex"),
+        df["o"]["kind"].alias("okind"), df["o"]["lex"].alias("olex"),
+        df["o"]["datatype"].alias("odt"), df["o"]["lang"].alias("olang"))
+
+    def to_doc(batches):
+        import pandas as pd
+        rows = []
+        for pdf in batches:
+            for t in pdf.itertuples(index=False):
+                rows.append({
+                    "s": {"kind": t.skind, "lex": t.slex},
+                    "p": {"lex": t.plex},
+                    "o": {"kind": t.okind, "lex": t.olex,
+                          "datatype": t.odt, "lang": t.olang},
+                })
+        if rows:
+            yield pd.DataFrame({"value": [rows_to_rdfxml(rows)]})
+
+    flat.mapInPandas(to_doc, "value string") \
+        .write.mode("overwrite").text(path)
 
 
 def _xml_text(s: str) -> str:

@@ -657,3 +657,95 @@ def test_xml_scanner_wrapped_self_closing_tag():
     assert mode == "To"
     mode, depth, cuts, _ = _scan_xml_line('>', mode, 1)
     assert depth == 2 and cuts == []      # ordinary opening tag
+
+
+# -- distributed writers (round 4: Turtle / RDF-XML / JSON-LD part files) ---
+
+def _mk_triples(spark, n=60):
+    """Multi-partition triples frame: IRIs, typed + lang literals."""
+    from oxigraph_spark.plans.compiler import _term_to_py
+    from oxigraph_spark.algebra import ast as A
+    from oxigraph_spark.model import terms as T
+    from pyspark.sql.types import StructField, StructType
+    rows = []
+    for i in range(n):
+        s = A.NamedNode(f"urn:ex:s{i}")
+        rows.append((_term_to_py(s), _term_to_py(A.NamedNode("urn:ex#p")),
+                     _term_to_py(A.Literal(f'v "{i}" <&> x'))))
+        rows.append((_term_to_py(s), _term_to_py(A.NamedNode("urn:ex#q")),
+                     _term_to_py(A.Literal(str(i),
+                     datatype="http://www.w3.org/2001/XMLSchema#integer"))))
+        if i % 3 == 0:
+            rows.append((_term_to_py(s),
+                         _term_to_py(A.NamedNode("urn:ex#r")),
+                         _term_to_py(A.NamedNode(f"urn:ex:o{i}"))))
+    schema = StructType([StructField(c, T.TERM_SCHEMA)
+                         for c in ("s", "p", "o")])
+    return spark.createDataFrame(rows, schema).repartition(4), rows
+
+
+def _key_of(df):
+    return sorted((r["s"]["lex"], r["p"]["lex"], r["o"]["lex"],
+                   r["o"]["kind"], r["o"]["datatype"])
+                  for r in df.select("s", "p", "o").collect())
+
+
+def test_write_turtle_distributed_roundtrip(spark, tmp_path):
+    """write_turtle emits per-partition part files (no driver collect);
+    turtle_to_ntriples over the part directory reads the same graph."""
+    import os
+    from oxigraph_spark.sources import rdf_io
+    from oxigraph_spark.sources.ntriples import read_ntriples
+    df, _ = _mk_triples(spark)
+    out = str(tmp_path / "g.ttl.d")
+    rdf_io.write_turtle(df, out)
+    parts = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert len(parts) > 1           # actually distributed
+    nt = str(tmp_path / "g.nt.d")
+    rdf_io.turtle_to_ntriples(spark, out, nt)
+    back = read_ntriples(spark, nt)
+    assert _key_of(back) == _key_of(df)
+
+
+def test_write_rdfxml_distributed_roundtrip(spark, tmp_path):
+    """write_rdfxml: one complete self-contained document per partition;
+    rdfxml_to_ntriples over the part set reads the same graph."""
+    import os
+    from oxigraph_spark.sources import rdfxml as RX
+    from oxigraph_spark.sources.ntriples import read_ntriples
+    df, _ = _mk_triples(spark)
+    out = str(tmp_path / "g.rdf.d")
+    RX.write_rdfxml(df, out)
+    parts = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert len(parts) > 1
+    # every part file is a well-formed standalone document
+    import xml.etree.ElementTree as ET
+    for f in parts:
+        text = open(os.path.join(out, f)).read()
+        if text.strip():
+            ET.fromstring(text)
+    nt = str(tmp_path / "g2.nt.d")
+    RX.rdfxml_to_ntriples(spark, out, nt)
+    back = read_ntriples(spark, nt)
+    assert _key_of(back) == _key_of(df)
+
+
+def test_write_jsonld_distributed_roundtrip(spark, tmp_path):
+    """write_jsonld: one expanded root-array document per partition;
+    jsonld_to_ntriples over the part set reads the same graph."""
+    import json as _json, os
+    from oxigraph_spark.sources import jsonld as JL
+    from oxigraph_spark.sources.ntriples import read_ntriples
+    df, _ = _mk_triples(spark)
+    out = str(tmp_path / "g.jsonld.d")
+    JL.write_jsonld(df, out)
+    parts = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert len(parts) > 1
+    for f in parts:
+        text = open(os.path.join(out, f)).read()
+        if text.strip():
+            assert isinstance(_json.loads(text), list)
+    nt = str(tmp_path / "g3.nq.d")
+    JL.jsonld_to_ntriples(spark, out, nt)
+    back = read_ntriples(spark, nt, quads=True)
+    assert _key_of(back) == _key_of(df)
