@@ -299,18 +299,25 @@ class MutableQuadSource:
         self.df = df.unionByName(moved).distinct()
 
     def _load(self, op: Load) -> None:
-        """LOAD <doc> [INTO GRAPH g]: distributed read of a local/shared-fs
-        RDF document (``file://`` IRIs or plain paths; the reference also
-        fetches http(s), which this offline engine rejects — SILENT turns
-        any failure into a no-op per §3.1.31)."""
+        """LOAD <doc> [INTO GRAPH g]: read of a local/shared-fs RDF
+        document (``file://`` IRIs or plain paths, distributed) or an
+        ``http(s)://`` document (driver-side fetch → temp file → same
+        format readers; content negotiation via Accept, format from the
+        Content-Type with an extension fallback — the reference fetches
+        the same way, ``Store::load_from_reader`` + its HTTP client).
+        SILENT turns any failure into a no-op per §3.1.31."""
         from ..sources.rdf_io import load_rdf
         path = op.source
         if path.startswith("file://"):
             path = path[len("file://"):]
         try:
-            if "://" in path:
-                raise ValueError(f"LOAD supports only file URIs, got {op.source}")
-            quads = load_rdf(self.spark, path)
+            if path.startswith(("http://", "https://")):
+                quads = self._fetch_remote(path)
+            elif "://" in path:
+                raise ValueError(
+                    f"LOAD supports file/http(s) URIs, got {op.source}")
+            else:
+                quads = load_rdf(self.spark, path)
         except Exception:
             if op.silent:
                 return
@@ -319,3 +326,39 @@ class MutableQuadSource:
              else T.default_graph())
         quads = quads.select("s", "p", "o", g.alias("g"))
         self.df = self.df.unionByName(quads).distinct()
+
+    _CTYPE_EXT = {
+        "application/n-triples": ".nt", "application/n-quads": ".nq",
+        "text/turtle": ".ttl", "application/trig": ".trig",
+        "application/rdf+xml": ".rdf", "application/ld+json": ".jsonld",
+        "text/plain": ".nt",
+    }
+
+    def _fetch_remote(self, url: str):
+        """Driver-side HTTP GET of one RDF document → quads DataFrame.
+        Bounded documents only (protocol responses, vocabularies); bulk
+        corpora belong on shared storage read by ``file://`` paths."""
+        import tempfile
+        import urllib.request
+        from ..sources.rdf_io import load_rdf
+        req = urllib.request.Request(url, headers={"Accept": (
+            "application/n-triples, text/turtle;q=0.9, "
+            "application/n-quads;q=0.9, application/trig;q=0.8, "
+            "application/rdf+xml;q=0.7, application/ld+json;q=0.7")})
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            ctype = (resp.headers.get("Content-Type") or "").split(";")[0]
+            body = resp.read()
+        ext = self._CTYPE_EXT.get(ctype.strip().lower())
+        if ext is None:  # fall back to the URL's extension
+            tail = url.split("?")[0].rsplit("/", 1)[-1]
+            ext = "." + tail.rsplit(".", 1)[-1] if "." in tail else ".nt"
+        with tempfile.NamedTemporaryFile(suffix=ext, delete=False) as f:
+            f.write(body)
+            tmp = f.name
+        try:
+            # materialize before the temp file disappears (lazy reads
+            # would fail later); remote docs are bounded so this is fine
+            return load_rdf(self.spark, tmp).localCheckpoint()
+        finally:
+            import os as _os
+            _os.unlink(tmp)

@@ -65,7 +65,7 @@ def bindings_to_df(spark: SparkSession, variables: List[str],
 
 
 def _parse_results(doc: str, ctype: str) -> Tuple[List[str], List[dict]]:
-    from .results_io import parse_xml_results
+    from .results_io import parse_tsv_results, parse_xml_results
     if "json" in ctype:
         data = json.loads(doc)
         return list(data["head"]["vars"]), data["results"]["bindings"]
@@ -78,6 +78,11 @@ def _parse_results(doc: str, ctype: str) -> Tuple[List[str], List[dict]]:
                      for v in (head.findall(f"{ns}variable") if head is not None
                                else [])]
         return variables, parse_xml_results(doc)
+    if "tab-separated-values" in ctype:
+        lines = [l for l in doc.split("\n") if l != ""]
+        variables = ([v[1:] if v.startswith("?") else v
+                      for v in lines[0].split("\t")] if lines else [])
+        return variables, parse_tsv_results(doc)
     raise ValueError(f"unsupported SERVICE response content type {ctype!r}")
 
 
@@ -110,7 +115,8 @@ class HttpServiceHandler:
             headers={
                 "Content-Type": "application/sparql-query",
                 "Accept": ("application/sparql-results+json, "
-                           "application/sparql-results+xml;q=0.9"),
+                           "application/sparql-results+xml;q=0.9, "
+                           "text/tab-separated-values;q=0.5"),
             })
         with urllib.request.urlopen(req, timeout=self.timeout) as resp:
             ctype = resp.headers.get("Content-Type", "") or ""

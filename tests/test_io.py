@@ -445,3 +445,63 @@ def test_http_service_xml_fallback_and_silent(spark, nt_path):
           SERVICE SILENT <http://127.0.0.1:1/unreachable> {{ ?s <urn:p> ?x }}
         }}""")
     assert df2.count() == 1
+
+
+def test_update_load_http(spark, nt_path):
+    """LOAD <http://…> fetches the document from an HTTP endpoint
+    (loopback), picks the parser from Content-Type, and merges into the
+    target graph; SILENT swallows a dead endpoint."""
+    import http.server
+    import threading
+    from oxigraph_spark.operators.update import MutableQuadSource
+    nt_doc = "<urn:ex:r1> <urn:ex:p> \"remote\" .\n"
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            b = nt_doc.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/n-triples")
+            self.send_header("Content-Length", str(len(b)))
+            self.end_headers()
+            self.wfile.write(b)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/doc"
+        quads = read_ntriples(spark, nt_path)
+        store = Store(spark, MutableQuadSource(spark, quads))
+        st2 = store.update(f"LOAD <{url}> INTO GRAPH <urn:g:remote>")
+        rows = st2.query("""
+            SELECT ?o WHERE { GRAPH <urn:g:remote> {
+              <urn:ex:r1> <urn:ex:p> ?o } }""").collect()
+        assert len(rows) == 1 and rows[0].o.lex == "remote"
+    finally:
+        srv.shutdown()
+    # dead endpoint: plain LOAD raises, SILENT is a no-op
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        store.update("LOAD <http://127.0.0.1:1/x>")
+    st3 = store.update("LOAD SILENT <http://127.0.0.1:1/x>")
+    assert st3.query("SELECT ?s WHERE { ?s ?p ?o }").count() \
+        == store.query("SELECT ?s WHERE { ?s ?p ?o }").count()
+
+
+def test_http_service_tsv_fallback(spark, nt_path):
+    """A TSV results response parses through the SERVICE client."""
+    from oxigraph_spark.operators.update import MutableQuadSource
+    quads = read_ntriples(spark, nt_path)
+    store = Store(spark, MutableQuadSource(spark, quads))
+    tsv = "?x\n<urn:ex:r1>\n\"42\"^^<http://www.w3.org/2001/XMLSchema#integer>\n"
+    srv, _ = _start_sparql_endpoint([("text/tab-separated-values", tsv)])
+    try:
+        ep = f"http://127.0.0.1:{srv.server_address[1]}/q"
+        df = store.query(
+            f"SELECT ?x WHERE {{ SERVICE <{ep}> {{ ?s <urn:p> ?x }} }}")
+        got = sorted((r.x.kind, r.x.lex) for r in df.collect())
+        assert got == [(0, "urn:ex:r1"), (2, "42")]
+    finally:
+        srv.shutdown()
