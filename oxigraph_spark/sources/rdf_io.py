@@ -63,25 +63,39 @@ def load_rdf(spark: SparkSession, path: str, fmt: Optional[str] = None) -> DataF
     raise NotImplementedError(f"format {fmt!r}: supported = {FORMATS}")
 
 
-def dump_rdf(df: DataFrame, path: str, fmt: str = "ntriples") -> None:
+def dump_rdf(df: DataFrame, path: str, fmt: str = "ntriples",
+             distributed: bool = True) -> None:
     """Serialize quads to files (Store::dump_to_writer analog).
-    N-Triples/N-Quads write distributed; RDF/XML and JSON-LD are
-    driver-side single-document writers (bounded, for interop)."""
+
+    Every format has a DISTRIBUTED per-partition part-file writer
+    (default).  ``distributed=False`` switches RDF/XML and JSON-LD to
+    the bounded driver-side single-document writers (``path`` is then
+    one file, for interop with tools expecting exactly one document)."""
     from .ntriples import write_ntriples
     if fmt == "ntriples":
         write_ntriples(df, path, quads=False)
     elif fmt == "nquads":
         write_ntriples(df, path, quads=True)
+    elif fmt == "turtle":
+        write_turtle(df, path)
     elif fmt == "trig":
         write_trig(df, path)
     elif fmt == "rdfxml":
-        from .rdfxml import to_rdfxml_document
-        with open(path, "w", encoding="utf-8") as f:
-            f.write(to_rdfxml_document(df))
+        if distributed:
+            from .rdfxml import write_rdfxml
+            write_rdfxml(df, path)
+        else:
+            from .rdfxml import to_rdfxml_document
+            with open(path, "w", encoding="utf-8") as f:
+                f.write(to_rdfxml_document(df))
     elif fmt == "jsonld":
-        from .jsonld import to_jsonld_document
-        with open(path, "w", encoding="utf-8") as f:
-            f.write(to_jsonld_document(df))
+        if distributed:
+            from .jsonld import write_jsonld
+            write_jsonld(df, path)
+        else:
+            from .jsonld import to_jsonld_document
+            with open(path, "w", encoding="utf-8") as f:
+                f.write(to_jsonld_document(df))
     else:
         raise NotImplementedError(f"serializer for {fmt!r}")
 

@@ -116,7 +116,7 @@ _:x <urn:ex:p> "from bnode" .
 """)
     df = rdf_io.load_rdf(spark, str(nt), "ntriples")
     out = tmp_path / "g.rdf"
-    rdf_io.dump_rdf(df, str(out), "rdfxml")
+    rdf_io.dump_rdf(df, str(out), "rdfxml", distributed=False)
     back = rdf_io.load_rdf(spark, str(out), "rdfxml")
 
     def key(df):
@@ -313,7 +313,7 @@ _:x <urn:ex:q> <urn:ex:a> .
 """)
     df = rdf_io.load_rdf(spark, str(nt), "ntriples")
     out = tmp_path / "g.jsonld"
-    rdf_io.dump_rdf(df, str(out), "jsonld")
+    rdf_io.dump_rdf(df, str(out), "jsonld", distributed=False)
     assert "@value" in out.read_text()
     back = rdf_io.load_rdf(spark, str(out), "jsonld")
 

@@ -1,10 +1,12 @@
 """Mini W3C-style manifest-driven evaluation suite (round-4 VERDICT item
 5; upstream's backbone is ``testsuite/rdf-tests`` manifests).
 
-``tests/w3c_mini/manifest.ttl`` lists 40 entries targeting known-hard
+``tests/w3c_mini/manifest.ttl`` lists 60 entries targeting known-hard
 semantics: nested OPTIONAL scoping, VALUES+UNDEF join compatibility,
 aggregate error propagation, MINUS vs NOT EXISTS divergence, property
-paths on cycles, named graphs, and two negative-syntax cases.  The
+paths on cycles, named graphs, BIND scoping, EXISTS correlation,
+error-tolerant IN, ordering of unbound/mixed-kind terms, and two
+negative-syntax cases.  The
 runner is self-hosting: the manifest itself is parsed by this engine's
 Turtle reader and queried with SPARQL; CONSTRUCT results compare via
 ``operators.canonicalize.isomorphic``.
@@ -126,7 +128,7 @@ def test_manifest_suite(spark):
     from pyspark.sql import functions as F
 
     entries = _load_manifest(spark)
-    assert len(entries) == 40
+    assert len(entries) == 60
     failures = []
     for e in entries:
         name = e["name"]
