@@ -324,10 +324,16 @@ def _expr_vars(e) -> frozenset:
 
 class Compiler:
     def __init__(self, spark: SparkSession, source, *,
-                 optimize: bool = True):
+                 optimize: bool = True,
+                 default_graph_as_union: bool = False):
         self.spark = spark
         self.source = source  # exposes .scan(p_lex) -> DataFrame(s,p,o,g)
         self.optimize = optimize
+        # pyoxigraph's use_default_graph_as_union: patterns outside GRAPH
+        # match quads from EVERY graph (the RDF merge), instead of the
+        # store's default graph only.  Overridden by an explicit FROM
+        # dataset, matching upstream.
+        self.default_graph_as_union = default_graph_as_union
         # sidecar identity-key columns (Compiled.ids); disabled only when a
         # query's own variable names could collide with the __jk_ prefix
         self.use_ids = True
@@ -509,6 +515,8 @@ class Compiler:
                     return df.where(F.lit(False))
                 return df.where((df["g"]["kind"] == T.KIND_IRI)
                                 & df["g"]["lex"].isin(*from_g))
+            if self.default_graph_as_union:
+                return df  # every graph participates (the RDF merge)
             return df.where(df["g"]["kind"] == T.KIND_DEFAULT_GRAPH)
         if isinstance(graph_ctx, A.NamedNode):
             cond = (df["g"]["kind"] == T.KIND_IRI) \

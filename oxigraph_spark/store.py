@@ -44,20 +44,28 @@ class Store:
         from .sources.quad_store import ParquetQuadStore
         return cls(spark, ParquetQuadStore(spark, path), **kw)
 
-    def query(self, sparql: str, use_cache: bool = True) -> DataFrame:
+    def query(self, sparql: str, use_cache: bool = True,
+              use_default_graph_as_union: bool = False) -> DataFrame:
         """Run a SPARQL query; returns a DataFrame of TERM structs
         (SELECT: one column per projected variable; ASK: single boolean;
         CONSTRUCT/DESCRIBE: columns s, p, o).
 
+        ``use_default_graph_as_union=True`` makes patterns outside GRAPH
+        match quads from every graph (pyoxigraph's flag of the same
+        name; ``python/src/store.rs`` · ``PyStore::query``).
+
         ``use_cache=False`` forces a fresh compile (used by tests and
         by ``explain`` when plan construction itself is under study)."""
-        key = (sparql, getattr(self.source, "generation", 0))
+        key = (sparql, getattr(self.source, "generation", 0),
+               use_default_graph_as_union)
         if use_cache:
             hit = self._plan_cache.get(key)
             if hit is not None:
                 return hit
         ast = parse_query(sparql)
-        compiler = Compiler(self.spark, self.source, optimize=self.optimize)
+        compiler = Compiler(
+            self.spark, self.source, optimize=self.optimize,
+            default_graph_as_union=use_default_graph_as_union)
         df = compiler.compile_query(ast)
         if use_cache:
             if len(self._plan_cache) > 256:

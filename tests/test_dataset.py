@@ -95,3 +95,29 @@ def test_update_using_clause(spark):
         "PREFIX ex: <urn:ex:> SELECT ?s ?o WHERE { ?s ex:copied ?o }"
     ).collect()}
     assert got4 == {("urn:ex:c", "two")}
+
+
+def test_use_default_graph_as_union(spark):
+    """pyoxigraph's use_default_graph_as_union: patterns outside GRAPH
+    match quads from EVERY graph; an explicit FROM still overrides."""
+    from oxigraph_spark.operators.update import MutableQuadSource
+    from oxigraph_spark.store import Store
+    from tests.test_semantics import iri, lit, quads_store
+    st = quads_store(spark, [(iri("a"), iri("p"), lit("default"))])
+    st = st.update("""
+        INSERT DATA {
+          GRAPH <urn:ex:g1> { <urn:ex:a> <urn:ex:p> "one" }
+          GRAPH <urn:ex:g2> { <urn:ex:a> <urn:ex:p> "two" }
+        }""")
+    q = "SELECT ?o WHERE { <urn:ex:a> <urn:ex:p> ?o }"
+    plain = sorted(r.o.lex for r in st.query(q).collect())
+    assert plain == ["default"]
+    union = sorted(r.o.lex for r in st.query(
+        q, use_default_graph_as_union=True).collect())
+    assert union == ["default", "one", "two"]
+    # FROM overrides the union flag (explicit dataset wins, as upstream)
+    fq = ("SELECT ?o FROM <urn:ex:g1> WHERE "
+          "{ <urn:ex:a> <urn:ex:p> ?o }")
+    got = sorted(r.o.lex for r in st.query(
+        fq, use_default_graph_as_union=True).collect())
+    assert got == ["one"]
