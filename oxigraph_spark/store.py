@@ -86,6 +86,40 @@ class Store:
             df._jdf.queryExecution(), mode)
         return f"== SPARQL algebra ==\n{ast!r}\n\n{plan}"
 
+    def quads_for_pattern(self, s=None, p=None, o=None, g=None) -> DataFrame:
+        """Programmatic pattern scan (``Store::quads_for_pattern``,
+        pyoxigraph ``PyStore::quads_for_pattern``): each argument is an
+        algebra ground term (``A.NamedNode`` / ``A.Literal`` / …) or
+        None for a wildcard; returns the matching quads DataFrame.  A
+        bound predicate routes to the pruned per-predicate scan."""
+        from .plans.compiler import _same_term_const_sql
+        p_lex = p.iri if isinstance(p, A.NamedNode) else None
+        df = self.source.scan(p_lex)
+        for pos, term in (("s", s), ("p", p), ("o", o), ("g", g)):
+            if term is None or (pos == "p" and p_lex is not None):
+                continue
+            df = df.where(F.expr(_same_term_const_sql(pos, term)))
+        return df
+
+    def named_graphs(self) -> DataFrame:
+        """Distinct named-graph terms in the store (pyoxigraph
+        ``named_graphs``): one TERM column ``g``."""
+        from .model import terms as T
+        q = self.source.quads()
+        named = q.where(q["g"]["kind"] != T.KIND_DEFAULT_GRAPH)
+        return named.select("g", T.join_key(named["g"]).alias("__k")) \
+                    .dropDuplicates(["__k"]).select("g")
+
+    def contains(self, s, p, o, g=None) -> bool:
+        """True iff the ground quad is in the store (``Store::contains``)."""
+        return len(self.quads_for_pattern(s, p, o, g).take(1)) > 0
+
+    def count_quads(self) -> int:
+        """Total quads (``len(store)`` in pyoxigraph) — a full-scan
+        count; Spark computes it as a metadata-only parquet count when
+        the source allows."""
+        return self.source.quads().count()
+
     def ask(self, sparql: str) -> bool:
         # take(1) bounds work even on engines that don't push the limit
         # (compile_query already emits limit(1) for ASK)

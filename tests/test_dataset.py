@@ -121,3 +121,37 @@ def test_use_default_graph_as_union(spark):
     got = sorted(r.o.lex for r in st.query(
         fq, use_default_graph_as_union=True).collect())
     assert got == ["one"]
+
+
+def test_store_parity_apis(spark):
+    """quads_for_pattern / named_graphs / contains / count_quads mirror
+    the reference Store API (store.rs quads_for_pattern/contains/len,
+    pyoxigraph named_graphs)."""
+    from oxigraph_spark.algebra import ast as A
+    from tests.test_semantics import iri, lit, quads_store
+    st = quads_store(spark, [
+        (iri("a"), iri("p"), lit("x")),
+        (iri("a"), iri("q"), lit("y")),
+        (iri("b"), iri("p"), iri("a")),
+    ])
+    st = st.update(
+        'INSERT DATA { GRAPH <urn:ex:g1> { <urn:ex:c> <urn:ex:p> "z" } }')
+    assert st.count_quads() == 4
+    # bound predicate
+    rows = st.quads_for_pattern(p=A.NamedNode("urn:ex:p")).collect()
+    assert len(rows) == 3
+    # bound subject + object
+    rows = st.quads_for_pattern(s=A.NamedNode("urn:ex:a"),
+                                o=A.Literal("y")).collect()
+    assert len(rows) == 1 and rows[0].p.lex == "urn:ex:q"
+    # graph-bound
+    rows = st.quads_for_pattern(g=A.NamedNode("urn:ex:g1")).collect()
+    assert len(rows) == 1 and rows[0].s.lex == "urn:ex:c"
+    # contains
+    assert st.contains(A.NamedNode("urn:ex:a"), A.NamedNode("urn:ex:p"),
+                       A.Literal("x"))
+    assert not st.contains(A.NamedNode("urn:ex:a"), A.NamedNode("urn:ex:p"),
+                           A.Literal("nope"))
+    # named graphs
+    gs = sorted(r.g.lex for r in st.named_graphs().collect())
+    assert gs == ["urn:ex:g1"]
