@@ -118,3 +118,18 @@ def test_fuzz_optimized_matches_unoptimized(spark, sf_dir, seed):
     opt = Compiler(spark, src, optimize=True).compile_query(ast)
     raw = Compiler(spark, src, optimize=False).compile_query(ast)
     assert _multiset(opt) == _multiset(raw), q
+
+
+@pytest.mark.parametrize("seed", range(15, 25))
+def test_fuzz_key64_matches_key128(spark, sf_dir, seed):
+    """Round-4 key-width differential: the same seeded random query over
+    compact 64-bit dictionary keys must match the 128-bit default —
+    continuously exercises the opt-in mode across joins, OPTIONAL,
+    UNION, MINUS, EXISTS and aggregates."""
+    q = gen_query(seed)
+    ast = parse_query(q)
+    w128 = DirectMappingSource(spark, sf_dir)
+    w64 = DirectMappingSource(spark, sf_dir, key_width=64)
+    a = Compiler(spark, w128, optimize=True).compile_query(ast)
+    b = Compiler(spark, w64, optimize=True).compile_query(ast)
+    assert _multiset(a) == _multiset(b), q
