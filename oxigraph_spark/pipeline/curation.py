@@ -482,3 +482,67 @@ def streaming_exact_dedup(df: DataFrame, text_col: str,
                    .dropDuplicatesWithinWatermark(["__h"])
                    .drop("__h"))
     return out.dropDuplicates(["__h"]).drop("__h")
+
+
+# ---------------------------------------------------------------------------
+# document chunking (RAG / context-window preparation)
+# ---------------------------------------------------------------------------
+
+def chunk_documents(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", size: int = 512,
+                    overlap: int = 0, by: str = "chars") -> DataFrame:
+    """Split documents into fixed-size chunks with optional overlap —
+    the windowing step every RAG / context-length-bounded training
+    pipeline needs before embedding or packing.
+
+    ``by='chars'`` windows the raw string; ``by='tokens'`` windows the
+    whitespace-token sequence (chunk text rejoined with single spaces).
+    Output: one row per chunk with (id_col, chunk_id, chunk_start,
+    chunk_text); ``chunk_start`` is the char / token offset.  Documents
+    shorter than ``size`` yield exactly one chunk; empty/NULL text
+    yields none.
+
+    Scale shape: pure JVM expressions (``sequence`` + ``posexplode`` +
+    ``substring``/``slice``) — map-side only, no shuffle, no Python.
+    100 TB of documents chunk at full scan speed and downstream
+    operators see a narrow (id, chunk) table."""
+    if overlap >= size:
+        raise ValueError(f"overlap {overlap} must be < size {size}")
+    step = size - overlap
+    t = F.col(text_col)
+    if by == "chars":
+        n = F.length(t)
+        starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)),
+                            F.lit(step))
+        out = (df.where(t.isNotNull() & (n > 0))
+                 .select(id_col,
+                         F.posexplode(starts).alias("chunk_id",
+                                                    "chunk_start"),
+                         t.alias("__t"))
+                 # a start past the end (last seq element when step
+                 # overshoots) contributes an empty chunk: drop it
+                 .withColumn("chunk_text",
+                             F.expr(f"substring(__t, chunk_start + 1, "
+                                    f"{size})"))
+                 .where(F.length("chunk_text") > 0)
+                 .drop("__t"))
+        return out
+    if by == "tokens":
+        toks = F.split(F.trim(t), r"\s+")
+        n = F.size(toks)
+        starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)),
+                            F.lit(step))
+        out = (df.where(t.isNotNull() & (F.length(F.trim(t)) > 0))
+                 .select(id_col,
+                         F.posexplode(starts).alias("chunk_id",
+                                                    "chunk_start"),
+                         toks.alias("__toks"))
+                 .withColumn("chunk_text",
+                             F.array_join(
+                                 F.slice(F.col("__toks"),
+                                         F.col("chunk_start") + 1, size),
+                                 " "))
+                 .where(F.length("chunk_text") > 0)
+                 .drop("__toks"))
+        return out
+    raise ValueError(f"by must be 'chars' or 'tokens', got {by!r}")

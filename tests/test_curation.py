@@ -169,3 +169,44 @@ def test_leakage_safe_split(spark):
                                seed=3)
     assert again.where(F.col("split") == "train").count() \
         == out.where(F.col("split") == "train").count()
+
+
+def test_chunk_documents_chars(spark):
+    from oxigraph_spark.pipeline.curation import chunk_documents
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "xy"), (3, ""), (4, None)],
+        "doc_id long, text string")
+    out = chunk_documents(df, size=4, overlap=1).orderBy(
+        "doc_id", "chunk_id").collect()
+    got = [(r.doc_id, r.chunk_id, r.chunk_start, r.chunk_text) for r in out]
+    # step=3: starts 0,3,6,9 -> 'abcd','defg','ghij','j'
+    assert got == [(1, 0, 0, "abcd"), (1, 1, 3, "defg"),
+                   (1, 2, 6, "ghij"), (1, 3, 9, "j"),
+                   (2, 0, 0, "xy")]
+    # overlap property: consecutive chunks share `overlap` chars
+    assert got[0][3][-1] == got[1][3][0]
+
+
+def test_chunk_documents_tokens(spark):
+    from oxigraph_spark.pipeline.curation import chunk_documents
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "  one   two  ")],
+        "doc_id long, text string")
+    out = chunk_documents(df, size=3, overlap=1, by="tokens").orderBy(
+        "doc_id", "chunk_id").collect()
+    got = [(r.doc_id, r.chunk_id, r.chunk_text) for r in out]
+    # step=2: starts 0,2,4,6 -> 'a b c','c d e','e f g','g'
+    assert got == [(1, 0, "a b c"), (1, 1, "c d e"), (1, 2, "e f g"),
+                   (1, 3, "g"), (2, 0, "one two")]
+
+
+def test_chunk_documents_no_python_in_plan(spark):
+    """Chunking stays JVM-side: no BatchEvalPython / ArrowEvalPython in
+    the physical plan (the 100 TB scan-speed property)."""
+    from oxigraph_spark.pipeline.curation import chunk_documents
+    df = spark.createDataFrame([(1, "hello world")],
+                               "doc_id long, text string")
+    out = chunk_documents(df, size=5, overlap=2)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted")
+    assert "EvalPython" not in plan
