@@ -1505,10 +1505,34 @@ class Compiler:
                        [t.df for t in targets]).distinct()
         quads = self.source.scan().where(
             F.col("g")["kind"] == T.KIND_DEFAULT_GRAPH)
-        out = quads.join(
-            F.broadcast(nodes),
-            self._jk(quads["s"]) == self._jk(nodes["node"]), "leftsemi")
-        return out.select("s", "p", "o")
+
+        def outgoing(frontier: DataFrame) -> DataFrame:
+            return quads.join(
+                F.broadcast(frontier),
+                self._jk(quads["s"]) == self._jk(frontier["node"]),
+                "leftsemi")
+
+        out = outgoing(nodes).localCheckpoint(eager=False)
+        # concise-bounded-description closure: a blank-node OBJECT cannot
+        # be referenced from outside the result, so its own description
+        # is recursively included (matches upstream's DESCRIBE eval).
+        # Bounded driver loop; the frontier is bnode keys only and stays
+        # broadcast-sized by construction.
+        seen = nodes.select(self._jk(nodes["node"]).alias("k")).distinct()
+        described = out
+        for _ in range(16):
+            bn = described.where(F.col("o")["kind"] == T.KIND_BNODE) \
+                          .select(F.col("o").alias("node")).distinct()
+            bn = bn.join(F.broadcast(seen),
+                         self._jk(bn["node"]) == seen["k"], "leftanti") \
+                   .localCheckpoint(eager=False)
+            if bn.count() == 0:
+                break
+            seen = seen.unionByName(
+                bn.select(self._jk(bn["node"]).alias("k")))
+            described = outgoing(bn).localCheckpoint(eager=False)
+            out = out.unionByName(described)
+        return out.select("s", "p", "o").distinct()
 
 
 # ---------------------------------------------------------------------------

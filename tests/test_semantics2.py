@@ -288,3 +288,29 @@ def test_exists_unbound_shared_var_multiplicity(store):
     # and the complement: NOT EXISTS drops all of them
     df2 = store.query(q.replace("FILTER EXISTS", "FILTER NOT EXISTS"))
     assert df2.count() == 0
+
+
+def test_describe_bnode_closure(spark):
+    """DESCRIBE recursively includes descriptions of blank-node objects
+    (concise-bounded-description shape): a bnode reached through the
+    described node brings its own outgoing triples, IRIs do not recurse."""
+    from oxigraph_spark.algebra import ast as A
+    from tests.test_semantics import iri, lit, quads_store
+    b1, b2 = A.BlankNode("b1"), A.BlankNode("b2")
+    st = quads_store(spark, [
+        (iri("a"), iri("addr"), b1),
+        (b1, iri("city"), lit("Springfield")),
+        (b1, iri("geo"), b2),
+        (b2, iri("lat"), lit("1.5")),
+        (iri("a"), iri("knows"), iri("z")),
+        (iri("z"), iri("name"), lit("zed")),      # NOT included (IRI)
+        (iri("other"), iri("p"), lit("x")),       # unrelated
+    ])
+    rows = st.query("DESCRIBE <urn:ex:a>").collect()
+    got = sorted((r.s.lex, r.p.lex, r.o.lex) for r in rows)
+    labels = {s for s, _, _ in got}
+    preds = sorted(p for _, p, _ in got)
+    assert preds == ["urn:ex:addr", "urn:ex:city", "urn:ex:geo",
+                     "urn:ex:knows", "urn:ex:lat"]
+    # z's own description is NOT pulled in; both bnodes' are
+    assert not any(p == "urn:ex:name" for _, p, _ in got)
