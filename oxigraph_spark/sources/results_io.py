@@ -152,6 +152,32 @@ def to_xml_document(df: DataFrame, limit: Optional[int] = None) -> str:
     return "".join(out)
 
 
+def to_csv_document(df: DataFrame, limit: Optional[int] = None) -> str:
+    """Results CSV document (driver-side, bounded — endpoint responses).
+    Spec-lossy like :func:`write_csv`: plain lexical forms, RFC-4180
+    quoting when a cell holds comma/quote/newline."""
+    c = F.concat_ws(",", *[
+        F.when(csv_cell(df[x]).rlike('[",\n\r]'),
+               F.concat(F.lit('"'),
+                        F.regexp_replace(csv_cell(df[x]), '"', '""'),
+                        F.lit('"')))
+         .otherwise(csv_cell(df[x])) for x in df.columns])
+    rows = (df if limit is None else df.limit(limit)) \
+        .select(c.alias("line")).collect()
+    return "\r\n".join([",".join(df.columns)] + [r.line for r in rows]) \
+        + "\r\n"
+
+
+def to_tsv_document(df: DataFrame, limit: Optional[int] = None) -> str:
+    """Results TSV document (driver-side, bounded — endpoint responses):
+    W3C ``?var`` header + N-Triples-style term tokens."""
+    c = F.concat_ws("\t", *[tsv_cell(df[x]) for x in df.columns])
+    rows = (df if limit is None else df.limit(limit)) \
+        .select(c.alias("line")).collect()
+    hdr = "\t".join("?" + x for x in df.columns)
+    return "\n".join([hdr] + [r.line for r in rows]) + "\n"
+
+
 def parse_json_results(doc: str) -> List[Dict[str, dict]]:
     """Results JSON parser (sparesults reader analog; for tests/interop)."""
     data = json.loads(doc)
