@@ -17,8 +17,10 @@ from ..model import terms as T
 from . import kernels as K
 
 def err() -> Column:
-    """NULL TERM (a SPARQL evaluation error / unbound)."""
-    return F.lit(None).cast(T.TERM_SCHEMA)
+    """NULL TERM (a SPARQL evaluation error / unbound).  Cached Column
+    (immutable, reused): this is the single most-constructed expression
+    in the compiler — every builtin's otherwise-branch."""
+    return T._cached(("err",), lambda: F.lit(None).cast(T.TERM_SCHEMA))
 
 
 def bool_term(c: Column) -> Column:

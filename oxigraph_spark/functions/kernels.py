@@ -18,6 +18,11 @@ from pyspark.sql import Column, functions as F
 
 from ..model import terms as T
 
+
+def _null_term():
+    """Cached NULL TERM Column (see terms._cached)."""
+    return T._cached(("err",), lambda: F.lit(None).cast(T.TERM_SCHEMA))
+
 # value classes for operator dispatch
 VC_NONLIT = -1
 VC_OTHER = 0
@@ -293,7 +298,7 @@ def arith_typed(op: str, a: Column, b: Column, nta, ntb) -> Column:
                  .when(da > 0, inf).when(da < 0, -inf).otherwise(nan))
         out = T.term_struct(T.KIND_LITERAL, d.cast("string"),
                             datatype=F.lit(T.XSD_DOUBLE), dbl=d)
-        return F.when(d.isNotNull(), out).otherwise(F.lit(None).cast(T.TERM_SCHEMA))
+        return F.when(d.isNotNull(), out).otherwise(_null_term())
     exact = ("integer", "decimal")
     if nta in exact and ntb in exact:
         na, nb = a["num"], b["num"]
@@ -312,7 +317,7 @@ def arith_typed(op: str, a: Column, b: Column, nta, ntb) -> Column:
         else:
             out = T.term_struct(T.KIND_LITERAL, _decimal_lex(n),
                                 datatype=F.lit(T.XSD_DECIMAL), num=n)
-        return F.when(n.isNotNull(), out).otherwise(F.lit(None).cast(T.TERM_SCHEMA))
+        return F.when(n.isNotNull(), out).otherwise(_null_term())
     return arith(op, a, b)
 
 
@@ -394,7 +399,7 @@ def _dur_arith(op: str, a: Column, b: Column) -> Column:
     # mixed-sign results are errors
     ok = (m == 0) | (s == 0.0) | (F.signum(m.cast("double")) == F.signum(s))
     return F.when(ok, duration_term(m, s)) \
-            .otherwise(F.lit(None).cast(T.TERM_SCHEMA))
+            .otherwise(_null_term())
 
 
 def arith(op: str, a: Column, b: Column) -> Column:
@@ -457,7 +462,7 @@ def arith(op: str, a: Column, b: Column) -> Column:
             out = out.when(_is_dur(a) & _is_dt_val(b), _dt_shift(b, a, 1))
         else:
             out = out.when(_is_dt_val(a) & _is_dt_val(b), _dt_diff(a, b))
-    return out.otherwise(F.lit(None).cast(T.TERM_SCHEMA))
+    return out.otherwise(_null_term())
 
 
 def neg(a: Column) -> Column:

@@ -119,6 +119,29 @@ def _lit(v) -> Column:
     return v if isinstance(v, Column) else F.lit(v)
 
 
+# Column-object memo for the constant pieces every term_struct carries
+# (typed-NULL fields, constant kind bytes, common datatype IRIs).
+# Columns are immutable JVM-expression wrappers, safe to share across
+# DataFrames; the cache clears if the SparkContext restarts.  Cuts
+# term_struct from ~30 py4j round-trips to ~8 for the common
+# constructors — a top-3 item in compile profiles.
+_COL_CACHE: dict = {}
+_COL_CTX: Optional[int] = None
+
+
+def _cached(key, build) -> Column:
+    from pyspark import SparkContext
+    global _COL_CTX
+    ctx = id(SparkContext._active_spark_context)
+    if ctx != _COL_CTX:
+        _COL_CACHE.clear()
+        _COL_CTX = ctx
+    col = _COL_CACHE.get(key)
+    if col is None:
+        col = _COL_CACHE[key] = build()
+    return col
+
+
 def term_struct(
     kind: ColumnOrName,
     lex: Column,
@@ -131,17 +154,32 @@ def term_struct(
     bool_: Optional[Column] = None,
 ) -> Column:
     """Assemble a TERM struct column with correct field types/names."""
-    nul = F.lit(None)
+    def nul(name, t):
+        return _cached(("null", name),
+                       lambda: F.lit(None).cast(t).alias(name))
+
+    if isinstance(kind, int):
+        k = _cached(("kind", kind),
+                    lambda: F.lit(kind).cast(ByteType()).alias("kind"))
+    else:
+        k = _lit(kind).cast(ByteType()).alias("kind")
     return F.struct(
-        _lit(kind).cast(ByteType()).alias("kind"),
+        k,
         lex.cast(StringType()).alias("lex"),
-        (datatype if datatype is not None else nul).cast(StringType()).alias("datatype"),
-        (lang if lang is not None else nul).cast(StringType()).alias("lang"),
-        (num if num is not None else nul).cast(DECIMAL_T).alias("num"),
-        (dbl if dbl is not None else nul).cast(DoubleType()).alias("dbl"),
-        (ts if ts is not None else nul).cast(TimestampType()).alias("ts"),
-        (tz_min if tz_min is not None else nul).cast(ShortType()).alias("tz_min"),
-        (bool_ if bool_ is not None else nul).cast(BooleanType()).alias("bool"),
+        (datatype.cast(StringType()).alias("datatype")
+         if datatype is not None else nul("datatype", StringType())),
+        (lang.cast(StringType()).alias("lang")
+         if lang is not None else nul("lang", StringType())),
+        (num.cast(DECIMAL_T).alias("num")
+         if num is not None else nul("num", DECIMAL_T)),
+        (dbl.cast(DoubleType()).alias("dbl")
+         if dbl is not None else nul("dbl", DoubleType())),
+        (ts.cast(TimestampType()).alias("ts")
+         if ts is not None else nul("ts", TimestampType())),
+        (tz_min.cast(ShortType()).alias("tz_min")
+         if tz_min is not None else nul("tz_min", ShortType())),
+        (bool_.cast(BooleanType()).alias("bool")
+         if bool_ is not None else nul("bool", BooleanType())),
     )
 
 
@@ -160,37 +198,42 @@ def default_graph() -> Column:
     return term_struct(KIND_DEFAULT_GRAPH, F.lit(""))
 
 
+
+def _dtlit(iri_str: str) -> Column:
+    """Cached F.lit of a constant datatype IRI (see _COL_CACHE)."""
+    return _cached(("dtlit", iri_str), lambda: F.lit(iri_str))
+
 def str_lit(lex: ColumnOrName) -> Column:
-    return term_struct(KIND_LITERAL, _lit(lex), datatype=F.lit(XSD_STRING))
+    return term_struct(KIND_LITERAL, _lit(lex), datatype=_dtlit(XSD_STRING))
 
 
 def lang_lit(lex: ColumnOrName, lang: ColumnOrName) -> Column:
     return term_struct(KIND_LITERAL, _lit(lex),
-                       datatype=F.lit(RDF_LANGSTRING), lang=_lit(lang))
+                       datatype=_dtlit(RDF_LANGSTRING), lang=_lit(lang))
 
 
 def int_lit(value: ColumnOrName) -> Column:
     v = _lit(value).cast("long")
     return term_struct(KIND_LITERAL, v.cast("string"),
-                       datatype=F.lit(XSD_INTEGER), num=v.cast(DECIMAL_T))
+                       datatype=_dtlit(XSD_INTEGER), num=v.cast(DECIMAL_T))
 
 
 def decimal_lit(value: ColumnOrName) -> Column:
     v = _lit(value).cast(DECIMAL_T)
     return term_struct(KIND_LITERAL, v.cast("string"),
-                       datatype=F.lit(XSD_DECIMAL), num=v)
+                       datatype=_dtlit(XSD_DECIMAL), num=v)
 
 
 def double_lit(value: ColumnOrName) -> Column:
     v = _lit(value).cast("double")
     return term_struct(KIND_LITERAL, v.cast("string"),
-                       datatype=F.lit(XSD_DOUBLE), dbl=v)
+                       datatype=_dtlit(XSD_DOUBLE), dbl=v)
 
 
 def bool_lit(value: ColumnOrName) -> Column:
     v = _lit(value).cast("boolean")
     return term_struct(KIND_LITERAL, v.cast("string"),
-                       datatype=F.lit(XSD_BOOLEAN), bool_=v)
+                       datatype=_dtlit(XSD_BOOLEAN), bool_=v)
 
 
 def datetime_lit(value: ColumnOrName, tz_min: Optional[ColumnOrName] = None) -> Column:
@@ -205,7 +248,7 @@ def datetime_lit(value: ColumnOrName, tz_min: Optional[ColumnOrName] = None) -> 
     # the lexical form from date_format calls, and keeps full microsecond
     # fidelity between lex and the ts payload
     lex = F.replace(v.cast(StringType()), F.lit(" "), F.lit("T"))
-    return term_struct(KIND_LITERAL, lex, datatype=F.lit(XSD_DATETIME),
+    return term_struct(KIND_LITERAL, lex, datatype=_dtlit(XSD_DATETIME),
                        ts=v, tz_min=None if tz_min is None else _lit(tz_min))
 
 

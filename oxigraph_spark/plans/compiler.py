@@ -1180,7 +1180,7 @@ class Compiler:
                          T.term_struct(T.KIND_LITERAL, lex, datatype=dt,
                                        lang=lang)) \
                    .otherwise(typed)
-            rep = (F.when(kind.isNull(), F.lit(None).cast(T.TERM_SCHEMA))
+            rep = (F.when(kind.isNull(), B.err())
                     .when(kind == T.KIND_LITERAL, lit)
                     .otherwise(T.term_struct(kind, lex)))
             out_cols.append(rep.alias(v))
