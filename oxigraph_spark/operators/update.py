@@ -94,9 +94,13 @@ class MutableQuadSource:
     """In-memory quads DataFrame usable as a compiler source AND as the
     target of update operations."""
 
-    def __init__(self, spark: SparkSession, df: DataFrame):
+    def __init__(self, spark: SparkSession, df: DataFrame,
+                 key_width: int = 128):
         self.spark = spark
         self.df = df
+        # identity-key width the compiler uses over this source (64 =
+        # compact single-xxhash64 longs, model.terms.join_key64)
+        self.key_width = key_width
         # bumped on every mutation; Store's compiled-plan cache keys on
         # it so cached plans over a mutated source are never served
         self.generation = 0

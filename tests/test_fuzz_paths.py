@@ -153,3 +153,38 @@ def test_fuzz_paths_vs_reference(spark, seed):
         assert got2 == want2, (
             f"seed={seed} q{qi} seeded from {start}: "
             f"path {_to_sparql(tree)}")
+
+
+@pytest.mark.parametrize("seed", [55, 66])
+def test_fuzz_paths_key64_vs_reference(spark, seed):
+    """Same seeded graph/path differential under the compact 64-bit
+    dictionary keys (round 4): the closure/seed/zero-length machinery
+    must agree with the reference evaluator in both key widths."""
+    rng = random.Random(seed)
+    n_nodes = rng.randint(8, 14)
+    names = [f"n{i}" for i in range(n_nodes)]
+    edges = set()
+    for _ in range(rng.randint(15, 35)):
+        edges.add((rng.choice(names), rng.choice(PREDS), rng.choice(names)))
+    edges = sorted(edges)
+    nodes = sorted({s for s, _, _ in edges} | {o for _, _, o in edges})
+    schema = StructType([StructField(c, T.TERM_SCHEMA)
+                         for c in ("s", "p", "o", "g")])
+    default_g = (T.KIND_DEFAULT_GRAPH, "", None, None, None, None, None,
+                 None, None)
+    rows = [(_term_to_py(A.NamedNode(EX + s)),
+             _term_to_py(A.NamedNode(EX + p)),
+             _term_to_py(A.NamedNode(EX + o)), default_g)
+            for s, p, o in edges]
+    df = spark.createDataFrame(rows, schema)
+    store = Store(spark, MutableQuadSource(spark, df, key_width=64))
+
+    for qi in range(4):
+        tree = _gen_path(rng, 2)
+        sparql = ("PREFIX ex: <urn:ex:>\n"
+                  f"SELECT ?s ?o WHERE {{ ?s {_to_sparql(tree)} ?o }}")
+        got = {(r["s"]["lex"].removeprefix(EX),
+                r["o"]["lex"].removeprefix(EX))
+               for r in store.query(sparql).collect()}
+        want = _eval_ref(tree, edges, nodes)
+        assert got == want, sparql
