@@ -28,6 +28,8 @@ def _store(spark: SparkSession, sf_dir: str):
     from oxigraph_spark.store import Store
     key = (id(spark), sf_dir)
     if key not in _STORES:
+        if len(_STORES) > 64:
+            _STORES.clear()
         configure(spark)
         _STORES[key] = Store.from_tables(spark, sf_dir)
     return _STORES[key]
@@ -1092,6 +1094,8 @@ def _memo(name: str, fn):
         key = (name, id(spark), sf)
         hit = _PLANS.get(key)
         if hit is None:
+            if len(_PLANS) > 512:   # bound across many sf dirs/sessions
+                _PLANS.clear()
             hit = _PLANS[key] = fn(spark, sf)
         return hit
     return wrapped
