@@ -29,31 +29,44 @@ def _with_g(df: DataFrame) -> DataFrame:
     return df.withColumn("g", T.default_graph())
 
 
-def dataset_stats(quads: DataFrame) -> DataFrame:
+def dataset_stats(quads: DataFrame, approx: bool = False,
+                  rsd: float = 0.02) -> DataFrame:
     """One-row VoID core: ``triples``, ``distinct_subjects``,
     ``distinct_predicates``, ``distinct_objects``, ``distinct_graphs``.
-    Distincts are exact (count_distinct on 64-bit term keys — one
-    aggregate, map-side partials); swap in approx_count_distinct when an
-    estimate is enough at extreme scale."""
+
+    ``approx=False``: exact count_distinct on term keys (one aggregate,
+    map-side partials — but each distinct carries its own hash set
+    through the shuffle).  ``approx=True``: HyperLogLog++
+    (``approx_count_distinct``, relative error ``rsd``) — fixed-size
+    sketches regardless of cardinality, THE right default at 100 TB
+    where exact distincts of ~10¹² subjects would shuffle terabytes of
+    intermediate sets for a dashboard number."""
     quads = _with_g(quads)
+    cd = ((lambda c: F.approx_count_distinct(c, rsd)) if approx
+          else F.count_distinct)
     return quads.agg(
         F.count(F.lit(1)).alias("triples"),
-        F.count_distinct(T.join_key(quads["s"])).alias("distinct_subjects"),
-        F.count_distinct(T.join_key(quads["p"])).alias("distinct_predicates"),
-        F.count_distinct(T.join_key(quads["o"])).alias("distinct_objects"),
-        F.count_distinct(T.join_key(quads["g"])).alias("distinct_graphs"))
+        cd(T.join_key(quads["s"])).alias("distinct_subjects"),
+        cd(T.join_key(quads["p"])).alias("distinct_predicates"),
+        cd(T.join_key(quads["o"])).alias("distinct_objects"),
+        cd(T.join_key(quads["g"])).alias("distinct_graphs"))
 
 
-def predicate_partition(quads: DataFrame) -> DataFrame:
+def predicate_partition(quads: DataFrame, approx: bool = False,
+                        rsd: float = 0.02) -> DataFrame:
     """VoID property partition: per-predicate triple counts + distinct
     subject/object counts, descending — the dataset shape dashboard and
-    the input every vertical-partitioning decision reads."""
+    the input every vertical-partitioning decision reads.
+    ``approx=True`` switches to HyperLogLog++ sketches (see
+    :func:`dataset_stats`)."""
     quads = _with_g(quads)
+    cd = ((lambda c: F.approx_count_distinct(c, rsd)) if approx
+          else F.count_distinct)
     return (quads.groupBy(quads["p"]["lex"].alias("predicate"))
                  .agg(F.count(F.lit(1)).alias("triples"),
-                      F.count_distinct(T.join_key(quads["s"]))
+                      cd(T.join_key(quads["s"]))
                        .alias("distinct_subjects"),
-                      F.count_distinct(T.join_key(quads["o"]))
+                      cd(T.join_key(quads["o"]))
                        .alias("distinct_objects"))
                  .orderBy(F.col("triples").desc(), "predicate"))
 

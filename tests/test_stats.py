@@ -52,3 +52,25 @@ def test_graph_diff_canonical_isomorphic(spark):
     b = _load(spark, "ex:a ex:knows _:y . _:y ex:name \"N\" .")
     assert graph_diff(a, b).count() == 4  # labels differ raw
     assert graph_diff(a, b, canonicalize=True).count() == 0
+
+
+def test_stats_approx_mode(spark, sf_dir):
+    """approx=True (HyperLogLog++) agrees with exact counts within the
+    configured relative error on the direct-mapped graph."""
+    from oxigraph_spark.operators.stats import (dataset_stats,
+                                                predicate_partition)
+    from oxigraph_spark.sources.direct_mapping import DirectMappingSource
+    quads = DirectMappingSource(spark, sf_dir,
+                                tables=["customer", "nation"]).quads()
+    exact = dataset_stats(quads).first()
+    est = dataset_stats(quads, approx=True, rsd=0.02).first()
+    for c in ("triples", "distinct_subjects", "distinct_predicates",
+              "distinct_objects"):
+        assert abs(est[c] - exact[c]) <= max(2, 0.1 * exact[c]), c
+    pp_exact = {r.predicate: r.distinct_subjects
+                for r in predicate_partition(quads).collect()}
+    pp_est = {r.predicate: r.distinct_subjects
+              for r in predicate_partition(quads, approx=True).collect()}
+    assert pp_exact.keys() == pp_est.keys()
+    for k, v in pp_exact.items():
+        assert abs(pp_est[k] - v) <= max(2, 0.1 * v), k
