@@ -504,6 +504,15 @@ class Parser:
                 v = A.Var(self.next().value[1:])
                 self.eat_op(")")
                 flush_triples()
+                # grammar note 12 (§19.8): the assigned variable must not
+                # already be in-scope from the elements of this group up
+                # to the BIND (pattern_vars implements §18.2.1 in-scope:
+                # MINUS right sides and non-projected subquery vars
+                # do NOT count)
+                if acc is not None and v.name in A.pattern_vars(acc):
+                    raise ParseError(
+                        f"BIND: variable ?{v.name} is already in scope "
+                        "in this group (grammar note 12, §19.8)")
                 acc = A.Extend(acc if acc is not None else A.BGP(), v, e)
             elif self.at_kw("VALUES"):
                 values = self._values_clause()
@@ -1318,6 +1327,29 @@ def _free_vars(e):
 
 def _assemble_select(pattern, proj, star, distinct, reduced, group_by,
                      having, order, offset, limit, counter):
+    # grammar note 12 (§19.8): a variable assigned with AS — in a SELECT
+    # expression or a GROUP BY binding — must not already be in-scope of
+    # the WHERE pattern, and SELECT aliases must not collide with any
+    # other projection entry
+    scope = A.pattern_vars(pattern) if pattern is not None else frozenset()
+    names = [v.name for v, _ in proj]
+    for v, e in proj:
+        if e is not None:
+            if v.name in scope:
+                raise ParseError(
+                    f"SELECT expression assigns ?{v.name}, which is "
+                    "already in scope in the WHERE pattern (grammar "
+                    "note 12, §19.8)")
+            if names.count(v.name) > 1:
+                raise ParseError(
+                    f"SELECT expression assigns ?{v.name} more than "
+                    "once (grammar note 12, §19.8)")
+    for v, e in group_by:
+        if e is not None and v.name in scope:
+            raise ParseError(
+                f"GROUP BY assigns ?{v.name}, which is already in "
+                "scope in the WHERE pattern (grammar note 12, §19.8)")
+
     needs_group = bool(group_by) or any(
         e is not None and _has_aggregate(e) for _, e in proj) or any(
         _has_aggregate(h) for h in having) or any(

@@ -211,3 +211,44 @@ def test_group_validation_select_expressions():
     with _pytest.raises(ParseError, match="SELECT expression"):
         parse_query("SELECT (?d * 2 AS ?s) (SUM(?b) AS ?d) "
                     "WHERE { ?a <urn:p> ?b } GROUP BY ?a")
+
+
+def test_bind_in_scope_variable_rejected():
+    """Grammar note 12 (§19.8): BIND's target must not already be
+    in-scope in the group; MINUS right sides and non-projected subquery
+    variables do not count as in-scope."""
+    import pytest as _pytest
+    from oxigraph_spark.algebra.parser import ParseError, parse_query
+    with _pytest.raises(ParseError, match="already in scope"):
+        parse_query("SELECT ?o WHERE { ?s <urn:p> ?o BIND(1 AS ?o) }")
+    with _pytest.raises(ParseError, match="already in scope"):
+        parse_query("SELECT ?x WHERE { BIND(1 AS ?x) BIND(2 AS ?x) }")
+    # legal: target only used in LATER elements
+    parse_query("SELECT ?o WHERE { BIND(1 AS ?o) ?s <urn:p> ?o }")
+    # legal: var appears only in a MINUS right side (not in-scope)
+    parse_query("SELECT ?z WHERE { ?s <urn:p> ?x "
+                "MINUS { ?y <urn:q> ?z } BIND(1 AS ?z) }")
+    # legal: var not projected out of the subselect
+    parse_query("SELECT ?v WHERE { { SELECT ?s WHERE "
+                "{ ?s <urn:p> ?v } } BIND(2 AS ?v) }")
+
+
+def test_select_and_groupby_alias_scope_rejected():
+    """Grammar note 12 also covers SELECT-expression and GROUP BY AS
+    assignments: the target must not be in-scope of the WHERE pattern,
+    and SELECT aliases must be unique."""
+    import pytest as _pytest
+    from oxigraph_spark.algebra.parser import ParseError, parse_query
+    with _pytest.raises(ParseError, match="already in scope"):
+        parse_query("SELECT (1 AS ?o) WHERE { ?s <urn:p> ?o }")
+    with _pytest.raises(ParseError, match="more than once"):
+        parse_query("SELECT (1 AS ?x) (2 AS ?x) WHERE { ?s <urn:p> ?o }")
+    with _pytest.raises(ParseError, match="GROUP BY assigns"):
+        parse_query("SELECT ?o WHERE { ?s <urn:p> ?o } "
+                    "GROUP BY (STR(?o) AS ?o)")
+    # legal shapes stay legal
+    parse_query("SELECT (1 AS ?x) WHERE { ?s <urn:p> ?o }")
+    parse_query("SELECT (SUM(?o) AS ?t) (?t+1 AS ?u) WHERE "
+                "{ ?s <urn:p> ?o } GROUP BY ?s")
+    parse_query("SELECT ?o WHERE { ?s <urn:p> ?x } "
+                "GROUP BY (STR(?x) AS ?o)")
