@@ -1042,6 +1042,10 @@ class Parser:
             self.eat_op("=")
             sep = self._rdf_literal().lex
         self.eat_op(")")
+        if expr is not None and _has_aggregate(expr):
+            raise ParseError(
+                f"aggregate inside the argument of {name}() — "
+                "aggregates cannot nest (§18.2.4.4/§19.8)")
         return A.ECall("__agg", (AggMarker(A.AggExpr(name, expr, distinct, sep)),))
 
 

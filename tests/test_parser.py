@@ -252,3 +252,16 @@ def test_select_and_groupby_alias_scope_rejected():
                 "{ ?s <urn:p> ?o } GROUP BY ?s")
     parse_query("SELECT ?o WHERE { ?s <urn:p> ?x } "
                 "GROUP BY (STR(?x) AS ?o)")
+
+
+def test_nested_aggregates_rejected():
+    import pytest as _pytest
+    from oxigraph_spark.algebra.parser import ParseError, parse_query
+    with _pytest.raises(ParseError, match="cannot nest"):
+        parse_query("SELECT (SUM(COUNT(?x)) AS ?c) WHERE { ?s <urn:p> ?x }")
+    with _pytest.raises(ParseError, match="cannot nest"):
+        parse_query("SELECT (MAX(1 + MIN(?x)) AS ?c) WHERE "
+                    "{ ?s <urn:p> ?x }")
+    # non-nested composition stays fine
+    parse_query("SELECT (SUM(?x) + COUNT(*) AS ?c) WHERE "
+                "{ ?s <urn:p> ?x }")
