@@ -72,8 +72,8 @@ def fn_lang(t: Column) -> Column:
 def fn_datatype(t: Column) -> Column:
     dt = F.coalesce(
         t["datatype"],
-        F.when(t["lang"].isNotNull(), F.lit(T.RDF_LANGSTRING))
-         .otherwise(F.lit(T.XSD_STRING)))
+        F.when(t["lang"].isNotNull(), T._dtlit(T.RDF_LANGSTRING))
+         .otherwise(T._dtlit(T.XSD_STRING)))
     return F.when(t["kind"] == T.KIND_LITERAL, T.iri(dt)).otherwise(err())
 
 
@@ -194,7 +194,7 @@ def fn_concat(*args: Column) -> Column:
         lang = F.when(same_lang & lang0.isNotNull(), lang0)
     else:
         lang = F.lit(None).cast("string")
-    dt = F.when(lang.isNotNull(), F.lit(T.RDF_LANGSTRING)).otherwise(F.lit(T.XSD_STRING))
+    dt = F.when(lang.isNotNull(), T._dtlit(T.RDF_LANGSTRING)).otherwise(T._dtlit(T.XSD_STRING))
     out = T.term_struct(T.KIND_LITERAL, lex, datatype=dt, lang=lang)
     return F.when(all_str, out).otherwise(err())
 
@@ -295,7 +295,7 @@ def fn_seconds(t: Column) -> Column:
     micros = F.unix_micros(t["ts"]) % 60_000_000
     val = (micros.cast(T.DECIMAL_T) / 1_000_000).cast(T.DECIMAL_T)
     out = T.term_struct(T.KIND_LITERAL, K._decimal_lex(val),
-                        datatype=F.lit(T.XSD_DECIMAL), num=val)
+                        datatype=T._dtlit(T.XSD_DECIMAL), num=val)
     return F.when(_dt_ok(t), out).otherwise(err())
 
 
@@ -319,7 +319,7 @@ def fn_timezone(t: Column) -> Column:
         F.when(h > 0, F.concat(h.cast("string"), F.lit("H"))).otherwise(F.lit("")),
         F.when((mn > 0) | (h == 0), F.concat(mn.cast("string"), F.lit("M"))).otherwise(F.lit("")))
     out = T.term_struct(T.KIND_LITERAL, lex,
-                        datatype=F.lit(T.XSD_DT_DURATION),
+                        datatype=T._dtlit(T.XSD_DT_DURATION),
                         num=F.lit(0).cast(T.DECIMAL_T),
                         dbl=(m * 60).cast("double"))
     return F.when(_dt_ok(t) & m.isNotNull(), out).otherwise(err())
@@ -358,10 +358,10 @@ def _cast_numeric_exact(t: Column, datatype: str) -> Column:
         v = F.when(_is_plain_string(t) & ~t["lex"].rlike(r"^[+-]?\d+$"),
                    F.lit(None).cast("long")).otherwise(v)
         out = T.term_struct(T.KIND_LITERAL, v.cast("string"),
-                            datatype=F.lit(T.XSD_INTEGER), num=v.cast(T.DECIMAL_T))
+                            datatype=T._dtlit(T.XSD_INTEGER), num=v.cast(T.DECIMAL_T))
         return F.when(v.isNotNull(), out).otherwise(err())
     out = T.term_struct(T.KIND_LITERAL, K._decimal_lex(src_num),
-                        datatype=F.lit(T.XSD_DECIMAL), num=src_num)
+                        datatype=T._dtlit(T.XSD_DECIMAL), num=src_num)
     return F.when(src_num.isNotNull(), out).otherwise(err())
 
 

@@ -297,7 +297,7 @@ def arith_typed(op: str, a: Column, b: Column, nta, ntb) -> Column:
                  .when(F.isnan(da) | F.isnan(db_), nan)
                  .when(da > 0, inf).when(da < 0, -inf).otherwise(nan))
         out = T.term_struct(T.KIND_LITERAL, d.cast("string"),
-                            datatype=F.lit(T.XSD_DOUBLE), dbl=d)
+                            datatype=T._dtlit(T.XSD_DOUBLE), dbl=d)
         return F.when(d.isNotNull(), out).otherwise(_null_term())
     exact = ("integer", "decimal")
     if nta in exact and ntb in exact:
@@ -313,10 +313,10 @@ def arith_typed(op: str, a: Column, b: Column, nta, ntb) -> Column:
         n = n.cast(T.DECIMAL_T)
         if nta == ntb == "integer" and op != "/":
             out = T.term_struct(T.KIND_LITERAL, n.cast("long").cast("string"),
-                                datatype=F.lit(T.XSD_INTEGER), num=n)
+                                datatype=T._dtlit(T.XSD_INTEGER), num=n)
         else:
             out = T.term_struct(T.KIND_LITERAL, _decimal_lex(n),
-                                datatype=F.lit(T.XSD_DECIMAL), num=n)
+                                datatype=T._dtlit(T.XSD_DECIMAL), num=n)
         return F.when(n.isNotNull(), out).otherwise(_null_term())
     return arith(op, a, b)
 
@@ -365,9 +365,9 @@ def duration_term(months: Column, seconds: Column) -> Column:
     body = F.concat(part(y, "Y"), part(mo, "M"), part(d, "D"),
                     F.when(has_time, F.concat(F.lit("T"), tpart))
                      .otherwise(F.lit("")))
-    dt = (F.when((s == 0) & (m != 0), F.lit(T.XSD_YM_DURATION))
-           .when(m == 0, F.lit(T.XSD_DT_DURATION))
-           .otherwise(F.lit(T.XSD_DURATION)))
+    dt = (F.when((s == 0) & (m != 0), T._dtlit(T.XSD_YM_DURATION))
+           .when(m == 0, T._dtlit(T.XSD_DT_DURATION))
+           .otherwise(T._dtlit(T.XSD_DURATION)))
     lex = F.concat(F.when(neg, F.lit("-")).otherwise(F.lit("")), F.lit("P"),
                    F.when(has_any, body).otherwise(F.lit("T0S")))
     return T.term_struct(T.KIND_LITERAL, lex, datatype=dt,
@@ -432,12 +432,12 @@ def arith(op: str, a: Column, b: Column) -> Column:
     both_integer = (a["datatype"].isin(*T.INTEGER_DATATYPES)
                     & b["datatype"].isin(*T.INTEGER_DATATYPES))
     # result datatype per the promotion lattice
-    dt_exact = F.when(both_integer & F.lit(op != "/"), F.lit(T.XSD_INTEGER)) \
-                .otherwise(F.lit(T.XSD_DECIMAL))
+    dt_exact = F.when(both_integer & F.lit(op != "/"), T._dtlit(T.XSD_INTEGER)) \
+                .otherwise(T._dtlit(T.XSD_DECIMAL))
     has_float = (a["datatype"] == T.XSD_FLOAT) | (b["datatype"] == T.XSD_FLOAT)
     only_float = has_float & ~((a["datatype"] == T.XSD_DOUBLE)
                                | (b["datatype"] == T.XSD_DOUBLE))
-    dt_dbl = F.when(only_float, F.lit(T.XSD_FLOAT)).otherwise(F.lit(T.XSD_DOUBLE))
+    dt_dbl = F.when(only_float, T._dtlit(T.XSD_FLOAT)).otherwise(T._dtlit(T.XSD_DOUBLE))
 
     nres = nres.cast(T.DECIMAL_T)
     exact_term = T.term_struct(
