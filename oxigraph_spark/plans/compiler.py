@@ -688,11 +688,18 @@ class Compiler:
         return c
 
     def _order_patterns(self, pats: List) -> List:
-        """Greedy join ordering by bound-term selectivity — a port of the
-        reference's statistics-free heuristic (``lib/sparopt/src/optimizer.rs``
-        join reordering): start with the most-bound pattern, then repeatedly
+        """Greedy join ordering by bound-term selectivity — the
+        reference's heuristic (``lib/sparopt/src/optimizer.rs`` join
+        reordering): start with the most-bound pattern, then repeatedly
         pick the most-bound pattern connected to the bound-variable set
-        (avoids Cartesian products); AQE fixes residual skew at runtime."""
+        (avoids Cartesian products).  Equally-bound candidates tie-break
+        on ESTIMATED CARDINALITY when the source exposes zero-cost
+        statistics (``source.pred_card``: parquet-footer row counts, no
+        Spark job) — smaller relation first shrinks every downstream
+        shuffle, and at 100 TB the per-predicate size spread is many
+        orders of magnitude, past what AQE can recover after the fact
+        (selectivity-guided BGP ordering per Stocker et al., WWW 2008).
+        AQE still fixes residual skew at runtime."""
         def bound_score(tp, bound_vars) -> int:
             if isinstance(tp, A.PathPattern):
                 terms = [tp.s, tp.o]
@@ -705,6 +712,16 @@ class Compiler:
                     score += 2
             return score
 
+        card_fn = getattr(self.source, "pred_card", None)
+        unknown = 1 << 62
+
+        def est_card(tp) -> int:
+            if (card_fn is None or not isinstance(tp, A.TriplePattern)
+                    or not isinstance(tp.p, A.NamedNode)):
+                return unknown
+            n = card_fn(tp.p.iri)
+            return n if n is not None else unknown
+
         remaining = list(pats)
         out: List = []
         bound: set = set()
@@ -712,7 +729,8 @@ class Compiler:
             connected = [tp for tp in remaining
                          if not out or (A.pattern_vars(tp) & bound)]
             pool = connected or remaining
-            best = max(pool, key=lambda tp: bound_score(tp, bound))
+            best = max(pool,
+                       key=lambda tp: (bound_score(tp, bound), -est_card(tp)))
             out.append(best)
             remaining.remove(best)
             bound |= A.pattern_vars(best)

@@ -25,7 +25,7 @@ from typing import Dict, Iterable, Optional, Tuple
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from ..model import terms as T
-from .tables import load_table
+from .tables import load_table, parquet_num_rows as _parquet_num_rows
 
 G = "urn:g:"  # base namespace for the direct mapping
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
@@ -205,6 +205,42 @@ class DirectMappingSource:
         if out is None:
             raise ValueError("no tables mapped")
         return out
+
+    def pred_card(self, p_lex: str) -> Optional[int]:
+        """Upper-bound cardinality of the bound-predicate relation
+        ``?s <p_lex> ?o`` — the base table's parquet row count, read
+        driver-side from the file footers (no Spark job, ~µs per file,
+        memoized).  NULL-valued rows contribute no triple, so this is an
+        upper bound; that is exactly the right direction for the join
+        optimizer (a relation can only be smaller than its estimate).
+        Feeds ``Compiler._order_patterns`` as a tie-break: when two
+        patterns are equally bound, starting from the smaller relation
+        shrinks every downstream shuffle — at 100 TB the lineitem/region
+        gap is 7 orders of magnitude, far past what AQE can recover once
+        the big relation was picked first (upstream keeps per-pattern
+        counts for the same decision: ``lib/oxigraph/src/sparql/mod.rs``
+        cardinality-guided plans; statistics literature: Stocker et al.,
+        "SPARQL basic graph pattern optimization using selectivity
+        estimation", WWW 2008)."""
+        memo = self.__dict__.setdefault("_card_memo", {})
+        if p_lex in memo:
+            return memo[p_lex]
+        if p_lex == RDF_TYPE:
+            n: Optional[int] = sum(
+                self._table_rows(t) or 0 for t in self._raw)
+        else:
+            info = self._pred_info.get(p_lex)
+            n = self._table_rows(info[0]) if info is not None else None
+        memo[p_lex] = n
+        return n
+
+    def _table_rows(self, table: str) -> Optional[int]:
+        """Parquet-footer row count of one base table (memoized)."""
+        memo = self.__dict__.setdefault("_rows_memo", {})
+        if table not in memo:
+            path = os.path.join(self.sf_dir, f"{table}.parquet")
+            memo[table] = _parquet_num_rows(path)
+        return memo[table]
 
     def pred_types(self, p_lex: str):
         """(value_class, numeric_subtype) guaranteed for objects of this

@@ -109,3 +109,16 @@ class ParquetQuadStore:
         # plain quad schema (no key sidecars): update ops and exporters
         # union this with freshly instantiated quads
         return self.scan().select("s", "p", "o", "g")
+
+    def pred_card(self, p_lex: str) -> Optional[int]:
+        """Upper-bound cardinality of the ``p_lex`` vertical partition —
+        the partition directory's parquet-footer row count (driver-side
+        metadata read, no Spark job; hash-folded ``__other`` buckets
+        over-count, which is the safe direction).  Same contract as
+        ``DirectMappingSource.pred_card``: feeds cardinality-guided join
+        ordering in the compiler."""
+        from .tables import parquet_num_rows
+        part_dir = os.path.join(self.path, f"p_part={self._part_value(p_lex)}")
+        if not os.path.isdir(part_dir):
+            return 0 if os.path.isdir(self.path) else None
+        return parquet_num_rows(part_dir)

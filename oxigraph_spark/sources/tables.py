@@ -61,3 +61,33 @@ def normalize_ntz(df: DataFrame) -> DataFrame:
         if f.dataType.simpleString() == "timestamp_ntz":
             df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
+
+
+@lru_cache(maxsize=4096)
+def parquet_num_rows(path: str) -> "int | None":
+    """Total row count of a parquet file or directory, read driver-side
+    from the file footers (pyarrow metadata — no Spark job).  Returns
+    None when the path has no readable parquet footer.  This is the
+    engine's zero-cost statistics source: cardinality-guided join
+    ordering reads it once per (path) and memoizes."""
+    try:
+        import pyarrow.parquet as pq
+    except Exception:  # pragma: no cover - pyarrow is baked in
+        return None
+    total = 0
+    seen = False
+    if os.path.isfile(path):
+        candidates = [path]
+    else:
+        candidates = []
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    candidates.append(os.path.join(root, f))
+    for f in candidates:
+        try:
+            total += pq.read_metadata(f).num_rows
+            seen = True
+        except Exception:
+            continue
+    return total if seen else None

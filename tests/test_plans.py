@@ -135,3 +135,64 @@ def test_quad_store_64bit_keys_roundtrip(spark, sf_dir, tmp_path):
         SELECT ?nn ?rn WHERE { ?n n:n_name ?nn ; n:ref_region ?r .
                                ?r r:r_name ?rn }""").collect()
     assert len(rows) == 25
+
+
+def test_pred_card_footer_statistics(spark, sf_dir):
+    """pred_card serves parquet-footer row counts with no Spark job and
+    orders the relation sizes correctly (lineitem >> nation > region)."""
+    from oxigraph_spark.sources.direct_mapping import (
+        DirectMappingSource, pred_iri, RDF_TYPE)
+    src = DirectMappingSource(spark, sf_dir)
+    li = src.pred_card(pred_iri("lineitem", "l_quantity"))
+    na = src.pred_card(pred_iri("nation", "n_name"))
+    re_ = src.pred_card(pred_iri("region", "r_name"))
+    assert li and na and re_ and li > na > re_
+    # rdf:type spans every table; unknown predicates have no estimate
+    assert src.pred_card(RDF_TYPE) >= li
+    assert src.pred_card("urn:nope#p") is None
+
+
+def test_cardinality_tiebreak_orders_small_relation_first(spark, sf_dir):
+    """Equally-bound patterns start from the smaller relation: with
+    `?c c:ref_nation ?n . ?n n:n_name ?nm` both patterns carry one
+    constant (the predicate), so the statistics tie-break must pick the
+    nation pattern (25 rows) before the customer pattern (150 rows at
+    sf0.001)."""
+    from oxigraph_spark.algebra import parser as P
+    from oxigraph_spark.algebra import ast as A
+    from oxigraph_spark.sources.direct_mapping import (
+        DirectMappingSource, pred_iri, ref_pred_iri)
+    from oxigraph_spark.plans.compiler import Compiler
+    src = DirectMappingSource(spark, sf_dir)
+    comp = Compiler(spark, src)
+    pats = [
+        A.TriplePattern(A.Var("c"), A.NamedNode(ref_pred_iri(
+            "customer", "nation")), A.Var("n")),
+        A.TriplePattern(A.Var("n"), A.NamedNode(pred_iri(
+            "nation", "n_name")), A.Var("nm")),
+    ]
+    ordered = comp._order_patterns(pats)
+    assert ordered[0].p.iri == pred_iri("nation", "n_name")
+    # and the result stays correct end-to-end
+    from oxigraph_spark.store import Store
+    st = Store(spark, src)
+    n = st.query("""
+        PREFIX c: <urn:g:customer#> PREFIX n: <urn:g:nation#>
+        SELECT ?nm WHERE { ?c c:ref_nation ?n . ?n n:n_name ?nm }
+    """).count()
+    assert n == src._table_rows("customer")
+
+
+def test_quad_store_pred_card(spark, sf_dir, tmp_path):
+    """The native layout serves per-predicate footer counts too."""
+    from oxigraph_spark.sources.quad_store import ParquetQuadStore
+    from oxigraph_spark.sources.direct_mapping import (
+        DirectMappingSource, pred_iri)
+    src = DirectMappingSource(spark, sf_dir, tables=["nation", "region"])
+    path = str(tmp_path / "qs")
+    ParquetQuadStore.write(src.quads(), path)
+    qs = ParquetQuadStore(spark, path)
+    na = qs.pred_card(pred_iri("nation", "n_name"))
+    re_ = qs.pred_card(pred_iri("region", "r_name"))
+    assert na == 25 and re_ == 5
+    assert qs.pred_card("urn:nope#p") == 0
