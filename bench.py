@@ -82,9 +82,11 @@ def mixed_templates(i: int) -> list[str]:
         # 6 group aggregate over a key range
         f"""SELECT ?st (COUNT(*) AS ?cnt) WHERE {{ ?o o:o_orderstatus ?st ;
             o:o_custkey ?ck . FILTER(?ck < {500 * (i + 1)}) }} GROUP BY ?st""",
-        # 7 OPTIONAL
-        f"""SELECT ?nm ?com WHERE {{ ?n n:n_name ?nm .
-            OPTIONAL {{ ?n n:n_comment ?com }} FILTER(STRLEN(?nm) > {i}) }}""",
+        # 7 OPTIONAL with filter in the join condition (real left join:
+        # s_acctbal exists, unlike the n_comment column this used before)
+        f"""SELECT ?nm ?bal WHERE {{ ?s s:s_name ?nm .
+            OPTIONAL {{ ?s s:s_acctbal ?bal . FILTER(?bal > {4000.0 + i}) }}
+            FILTER(STRLEN(?nm) > {i}) }}""",
         # 8 EXISTS
         f"""SELECT ?nm WHERE {{ ?n n:n_name ?nm . FILTER EXISTS {{
             ?c c:ref_nation ?n ; c:c_mktsegment "{seg}" }} }}""",

@@ -622,20 +622,56 @@ class Compiler:
         if not self.optimize or star_scan is None or graph_ctx is not None:
             return [], pats
         from collections import defaultdict
+        const_pred = getattr(self.source, "const_object_pred", None)
         groups = defaultdict(list)
         loose: List = []
         for tp in pats:
-            if (isinstance(tp, A.TriplePattern) and isinstance(tp.s, A.Var)
-                    and isinstance(tp.p, A.NamedNode)
-                    and isinstance(tp.o, A.Var) and tp.o.name != tp.s.name):
-                groups[tp.s.name].append(tp)
+            if not (isinstance(tp, A.TriplePattern)
+                    and isinstance(tp.p, A.NamedNode)):
+                loose.append(tp)
+                continue
+            var_o = isinstance(tp.o, A.Var)
+            const_o = isinstance(tp.o, (A.NamedNode, A.Literal))
+            if isinstance(tp.s, A.Var) and (const_o or (
+                    var_o and tp.o.name != tp.s.name)):
+                groups[("v", tp.s.name)].append(tp)
+            elif isinstance(tp.s, A.NamedNode) and (var_o or const_o):
+                groups[("c", tp.s.iri)].append(tp)
             else:
                 loose.append(tp)
         compiled: List[Compiled] = []
-        for svar, tps in groups.items():
-            ovars = [tp.o.name for tp in tps]
-            if len(tps) < 2 or len(set(ovars)) != len(ovars):
-                loose.extend(tps)
+        for (skind, skey), tps in groups.items():
+            proj = [tp for tp in tps if isinstance(tp.o, A.Var)]
+            # constant-object members (?s <p> "const") become EXACT native
+            # column predicates inside the scan instead of a separate scan
+            # + self-join — the dominant point-lookup/segment-filter shape
+            # in short-query mixes; untranslatable constants (non-canonical
+            # lexicals, lang tags, type mismatches) stay on the term path
+            consts, const_preds = [], []
+            for tp in tps:
+                if isinstance(tp.o, A.Var):
+                    continue
+                tr = None
+                if const_pred is not None:
+                    o = tp.o
+                    tr = const_pred(tp.p.iri, "iri", o.iri) \
+                        if isinstance(o, A.NamedNode) else \
+                        const_pred(tp.p.iri, "lit", o.lex, o.datatype, o.lang)
+                if tr is None:
+                    loose.append(tp)
+                else:
+                    consts.append(tp)
+                    const_preds.extend(
+                        (tp.p.iri, op, val) for op, val in tr)
+            ovars = [tp.o.name for tp in proj]
+            subject_iri = skey if skind == "c" else None
+            # collapse when it saves a join (≥2 members) or turns a
+            # constant-subject star into a native pk point lookup
+            if (len(set(ovars)) != len(ovars)
+                    or (skind == "v" and len(proj) + len(consts) < 2)
+                    or (skind == "c" and not proj)):
+                loose.extend(proj)
+                loose.extend(consts)
                 continue
             # translate single-variable FILTER conjuncts into native
             # column predicates and hand them to the scan — they reach
@@ -648,30 +684,34 @@ class Compiler:
                 if len(vs) != 1:
                     continue
                 (v0,) = tuple(vs)
-                for i, tp in enumerate(tps):
+                for i, tp in enumerate(proj):
                     if tp.o.name == v0 and pt0 is not None:
                         vc, _ = pt0(tp.p.iri)
                         tr = _native_preds(e, v0, vc)
                         if tr:
                             nf.setdefault(i, []).extend(tr)
-            df = star_scan([tp.p.iri for tp in tps], native_filters=nf or None)
+            df = star_scan([tp.p.iri for tp in proj], native_filters=nf or None,
+                           const_preds=const_preds or None,
+                           subject_iri=subject_iri)
             if df is None:
-                loose.extend(tps)
+                loose.extend(proj)
+                loose.extend(consts)
                 continue
-            sel = [df["s"].alias(svar)] + [
+            sel = ([df["s"].alias(skey)] if skind == "v" else []) + [
                 df[f"o{i}"].alias(v) for i, v in enumerate(ovars)]
             ids: Dict[str, str] = {}
             if self.use_ids:
-                for v, cn in [(svar, "s")] + [
-                        (vv, f"o{i}") for i, vv in enumerate(ovars)]:
+                keyed = ([(skey, "s")] if skind == "v" else []) + [
+                    (vv, f"o{i}") for i, vv in enumerate(ovars)]
+                for v, cn in keyed:
                     ids[v] = _idname(v)
                     sel.append(self._jk_named(cn).alias(ids[v]))
-            names = frozenset([svar] + ovars)
-            st: Dict[str, int] = {svar: K.VC_NONLIT}
+            names = frozenset(([skey] if skind == "v" else []) + ovars)
+            st: Dict[str, int] = {skey: K.VC_NONLIT} if skind == "v" else {}
             nt: Dict[str, str] = {}
             pt = getattr(self.source, "pred_types", None)
             if pt is not None:
-                for tp in tps:
+                for tp in proj:
                     vc, nsub = pt(tp.p.iri)
                     if vc is not None:
                         st[tp.o.name] = vc

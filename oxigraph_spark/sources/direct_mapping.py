@@ -96,6 +96,24 @@ def _object_literal(df: DataFrame, col: str) -> Optional[Column]:
     return None  # arrays/maps (e.g. embeddings.embedding) are not mapped
 
 
+def _canonical_int(lex: str) -> Optional[int]:
+    """``lex`` as an int iff it is the canonical xsd:integer lexical form
+    (no leading zeros / '+' / '-0'): the form the direct mapping emits."""
+    digits = lex[1:] if lex[:1] == "-" else lex
+    if not digits.isdigit():
+        return None
+    v = int(lex)
+    return v if str(v) == lex else None
+
+
+def _iri_int_suffix(iri: str, base: str) -> Optional[int]:
+    """Integer key encoded by ``base<key>``, or None (non-matching base
+    or non-canonical key ⇒ the IRI names no row of this table)."""
+    if not iri.startswith(base):
+        return None
+    return _canonical_int(iri[len(base):])
+
+
 def _native_cond(c: Column, dtype: str, op: str, val) -> Column:
     """One pushable predicate on a raw source column.  The literal is cast
     to the COLUMN's exact type (a foldable cast on the constant side) so
@@ -266,7 +284,8 @@ class DirectMappingSource:
             return (K.VC_BOOLEAN, None)
         return (None, None)
 
-    def star_scan(self, p_lexes, native_filters=None) -> Optional[DataFrame]:
+    def star_scan(self, p_lexes, native_filters=None, const_preds=None,
+                  subject_iri=None) -> Optional[DataFrame]:
         """Single-scan star group (property-table optimization, à la the
         S2RDF/property-table literature): if every predicate maps to the
         SAME source table, return one DataFrame with column ``s`` plus one
@@ -281,8 +300,20 @@ class DirectMappingSource:
         columns they reach the parquet scan as PushedFilters (row-group/
         page pruning — the thing that matters at 100 TB); the compiler
         keeps the full term-level filter above, so these are pure pruning
-        hints and never change semantics."""
-        memo_key = (tuple(p_lexes), repr(sorted((native_filters or {}).items())))
+        hints and never change semantics.
+
+        ``const_preds`` is a list of (p_lex, op, value) EXACT native
+        predicates from collapsed constant-object patterns
+        (``?s <p> "const"``) — translated by :meth:`const_object_pred`,
+        so they carry full term-equality semantics; no term-level filter
+        re-applies above.  ``subject_iri`` collapses a constant-subject
+        star (``<iri> p1 ?a ; p2 ?b``) to a native primary-key equality
+        instead of a string comparison on the concatenated subject IRI —
+        the difference between a parquet point lookup and a full scan.
+        Returns None when the group is not exactly translatable; the
+        caller keeps those patterns on the term-level path."""
+        memo_key = (tuple(p_lexes), repr(sorted((native_filters or {}).items())),
+                    repr(const_preds), subject_iri)
         if memo_key in self._scan_memo:
             return self._scan_memo[memo_key]
         infos = []
@@ -291,12 +322,29 @@ class DirectMappingSource:
             if info is None:
                 return None
             infos.append(info)
-        tables = {t for t, _c, _r in infos}
+        cinfos = []
+        for p, op, val in (const_preds or ()):
+            info = self._pred_info.get(p)
+            if info is None:
+                return None
+            cinfos.append((info, op, val))
+        tables = {t for t, _c, _r in infos} \
+            | {t for (t, _c, _r), _o, _v in cinfos}
         if len(tables) != 1:
             return None
         t = tables.pop()
         df = self._raw[t]
         pk, _fks = TABLE_DEFS[t]
+        dtypes = dict(df.dtypes)
+        out = df
+        if subject_iri is not None:
+            if len(pk) != 1:
+                return None  # row-hash subjects: no native key column
+            key = _iri_int_suffix(subject_iri, table_iri_base(t))
+            if key is None or dtypes[pk[0]].lower() not in (
+                    "bigint", "int", "smallint", "tinyint"):
+                return None
+            out = out.where(F.col(pk[0]) == key)
         cols = [_subject(t, df, pk).alias("s")]
         notnull = []
         for i, (_t, col, target) in enumerate(infos):
@@ -307,10 +355,10 @@ class DirectMappingSource:
                 obj = _object_literal(df, col)
             cols.append(obj.alias(f"o{i}"))
             notnull.append(F.col(col).isNotNull())
-        out = df
         for c in notnull:
             out = out.where(c)
-        dtypes = dict(df.dtypes)
+        for (_t, col, _target), op, val in cinfos:
+            out = out.where(_native_cond(F.col(col), dtypes[col], op, val))
         for i, conds in (native_filters or {}).items():
             _t, col, target = infos[i]
             if target is not None:
@@ -321,6 +369,41 @@ class DirectMappingSource:
         out = out.select(*cols)
         self._scan_memo[memo_key] = out
         return out
+
+    def const_object_pred(self, p_lex, kind, lex, datatype=None, lang=None):
+        """Exact native [(op, value)] predicates for a CONSTANT-object
+        pattern ``?s <p_lex> const`` on the predicate's raw source
+        column, or None when term semantics aren't natively
+        representable (caller keeps the term-equality path, which is
+        always correct).  Translation is TERM equality, not value
+        equality: the direct-mapped graph holds canonical lexical forms,
+        so only canonical constants translate — ``"05"^^xsd:integer`` is
+        a different term from ``"5"^^xsd:integer`` and must NOT match."""
+        info = self._pred_info.get(p_lex)
+        if info is None:
+            return None
+        t, col, target = info
+        if kind == "iri":
+            if target is None:
+                return None
+            key = _iri_int_suffix(lex, table_iri_base(target))
+            return None if key is None else [("eq", key)]
+        if kind != "lit" or lang:
+            return None
+        dt = dict(self._raw[t].dtypes)[col].lower()
+        if dt == "string":
+            if datatype is None or datatype == T.XSD_STRING:
+                return [("eq", lex)]
+            return None
+        if dt in ("bigint", "int", "smallint", "tinyint"):
+            if datatype != T.XSD_INTEGER:
+                return None
+            key = _canonical_int(lex)
+            return None if key is None else [("eq", key)]
+        if dt == "boolean" and datatype == T.XSD + "boolean" \
+                and lex in ("true", "false"):
+            return [("eq", lex == "true")]
+        return None
 
     def scan(self, p_lex: Optional[str] = None,
              native_filters=None) -> DataFrame:

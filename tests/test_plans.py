@@ -196,3 +196,70 @@ def test_quad_store_pred_card(spark, sf_dir, tmp_path):
     re_ = qs.pred_card(pred_iri("region", "r_name"))
     assert na == 25 and re_ == 5
     assert qs.pred_card("urn:nope#p") == 0
+
+
+def test_const_object_star_collapse(spark, sf_dir):
+    """Constant-object members of a subject star (?o o:o_totalprice ?tp ;
+    o:o_orderstatus "O") collapse into the SAME scan as native equality
+    predicates — no self-join, constant pushed to parquet."""
+    import __spark_entry__ as E
+    store = E._store(spark, sf_dir)
+    df = store.query(E.PFX + """
+        SELECT ?o ?tp WHERE { ?o o:o_totalprice ?tp ;
+                                 o:o_orderstatus "O" }""", use_cache=False)
+    plan = _plan(df)
+    assert len(re.findall(r"Scan parquet|FileScan parquet", plan)) == 1
+    assert "Join" not in plan
+    assert re.search(r"PushedFilters: \[[^\]]*o_orderstatus,O", plan)
+    # term semantics survive: results equal the unoptimized path
+    from oxigraph_spark.store import Store
+    un = Store(spark, store.source, optimize=False)
+    q = E.PFX + 'SELECT ?nm WHERE { ?c c:c_mktsegment "BUILDING" ; c:c_name ?nm }'
+    a = sorted(r["nm"]["lex"] for r in store.query(q, use_cache=False).collect())
+    b = sorted(r["nm"]["lex"] for r in un.query(q, use_cache=False).collect())
+    assert a == b and len(a) > 0
+
+
+def test_const_subject_star_native_point_lookup(spark, sf_dir):
+    """A constant-subject star (<urn:g:customer/7> c:c_name ?nm ;
+    c:c_acctbal ?b) compiles to ONE scan with the primary key pushed as
+    a native EqualTo — a parquet point lookup, not a string comparison
+    over concatenated IRIs."""
+    import __spark_entry__ as E
+    store = E._store(spark, sf_dir)
+    df = store.query(E.PFX + """
+        SELECT ?nm ?b WHERE { <urn:g:customer/7> c:c_name ?nm ;
+                                                 c:c_acctbal ?b }""",
+                     use_cache=False)
+    plan = _plan(df)
+    assert len(re.findall(r"Scan parquet|FileScan parquet", plan)) == 1
+    assert "Join" not in plan
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(c_custkey,7\)", plan)
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["nm"]["lex"]
+
+
+def test_const_object_star_term_semantics(spark, sf_dir):
+    """Non-canonical / lang-tagged / type-mismatched constants do NOT
+    translate natively — term equality is preserved (they match nothing
+    in the direct-mapped graph, same as the unoptimized path)."""
+    import __spark_entry__ as E
+    store = E._store(spark, sf_dir)
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    for q in (
+        # non-canonical integer lexical is a DIFFERENT term
+        f'SELECT ?o WHERE {{ ?o o:o_orderstatus "O" ; '
+        f'o:o_custkey "07"^^<{xsd}integer> }}',
+        # lang tag never matches a direct-mapped plain literal
+        'SELECT ?nm WHERE { ?c c:c_mktsegment "BUILDING"@en ; c:c_name ?nm }',
+        # IRI with a non-numeric key names no row
+        'SELECT ?nm WHERE { ?c c:ref_nation <urn:g:nation/xx> ; c:c_name ?nm }',
+    ):
+        assert store.query(E.PFX + q, use_cache=False).count() == 0, q
+    # canonical FK IRI object collapses and matches
+    df = store.query(E.PFX + """
+        SELECT ?c WHERE { ?c c:ref_nation <urn:g:nation/5> ;
+                             c:c_mktsegment "BUILDING" }""", use_cache=False)
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert df.count() > 0
