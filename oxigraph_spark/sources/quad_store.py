@@ -122,3 +122,80 @@ class ParquetQuadStore:
         if not os.path.isdir(part_dir):
             return 0 if os.path.isdir(self.path) else None
         return parquet_num_rows(part_dir)
+
+
+class BucketedQuadStore(ParquetQuadStore):
+    """Subject-bucketed variant of the native layout (the brief's
+    "bucketing for co-located joins"): predicate-partitioned like the
+    parent, PLUS ``bucketBy(n, s_key).sortBy(s_key)`` within each
+    partition.  Every pattern scan then reports
+    ``HashPartitioning(s_key, n)`` to Catalyst, so:
+
+    - subject-subject joins (``?x p1 ?a . ?x p2 ?b`` across predicates
+      the star collapse can't merge — i.e. different storage partitions)
+      need NO exchange on either side, and no sort (buckets are sorted);
+    - FK-chain joins (pattern object → pattern subject) shuffle only the
+      probe side to the bucket count — half the exchange volume;
+    - the property-path fixpoint re-joins the (small) delta frontier
+      against edges every round; bucketed edges mean each round shuffles
+      ONLY the delta, never the 100 TB edge set.
+
+    Constraints: requires ``key_width=64`` (Spark buckets on a primitive
+    column; the BIGINT dictionary id — bounded to ≲10⁹ distinct terms,
+    see ``model.terms.join_key64``) and a session catalog for the table
+    metadata (in-memory catalog is fine within one session; production
+    uses a metastore).  Upstream anchor: the six RocksDB orderings
+    (``storage/mod.rs``) solve co-location by clustering on key order;
+    bucketing is the Spark-native equivalent for equi-join locality."""
+
+    def __init__(self, spark: SparkSession, path: str, table: str,
+                 key_width: int = 64):
+        if key_width != 64:
+            raise ValueError("BucketedQuadStore requires key_width=64 "
+                             "(bucket column must be a primitive id)")
+        super().__init__(spark, path, key_width=key_width)
+        self.table = table
+
+    @staticmethod
+    def write_bucketed(df: DataFrame, table: str, path: str,
+                       n_buckets: int = 64) -> None:
+        """Write quads predicate-partitioned AND subject-bucketed.
+
+        ``repartition`` by (partition, bucket-id) first so each task owns
+        whole buckets — without it every write task emits a file per
+        bucket per partition dir (task × bucket small-file explosion).
+        ``pmod(hash(s_key), n)`` is exactly Spark's bucket-id function
+        (Murmur3, seed 42), so the pre-shuffle lines up 1:1 with the
+        writer's bucket assignment."""
+        from ..model import terms as T
+        spark = df.sparkSession
+        keyed = df.withColumn(
+            "p_part",
+            F.concat(
+                F.regexp_replace(F.expr("right(p.lex, 80)"),
+                                 "[^A-Za-z0-9_]+", "_"),
+                F.lit("_"),
+                F.substring(F.sha1(F.encode(F.col("p.lex"), "UTF-8")), 1, 8)))
+        for pos in ("s", "p", "o", "g"):
+            keyed = keyed.withColumn(f"{pos}_key", T.join_key64(F.col(pos)))
+        out = keyed.repartition(
+            F.col("p_part"), F.expr(f"pmod(hash(s_key), {n_buckets})"))
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        (out.write.mode("overwrite")
+            .partitionBy("p_part")
+            .bucketBy(n_buckets, "s_key")
+            .sortBy("s_key")
+            .option("path", path)
+            .saveAsTable(table))
+
+    def scan(self, p_lex: Optional[str] = None) -> DataFrame:
+        # spark.table (NOT read.parquet): only the catalog relation
+        # carries the bucket spec that planning uses to elide exchanges
+        df = self.spark.table(self.table)
+        if p_lex is not None:
+            df = df.where((F.col("p_part") == self._part_value(p_lex))
+                          & (F.col("p.lex") == p_lex))
+        cols = ["s", "p", "o", "g"] + [
+            k for k in ("s_key", "p_key", "o_key", "g_key")
+            if k in df.columns]
+        return df.select(*cols)

@@ -263,3 +263,42 @@ def test_const_object_star_term_semantics(spark, sf_dir):
     plan = _plan(df)
     assert "Join" not in plan
     assert df.count() > 0
+
+
+def test_bucketed_quad_store_colocated_join(spark, sf_dir, tmp_path):
+    """Subject-bucketed native layout: an s-s join across predicate
+    partitions runs with ZERO exchanges (both sides co-located by
+    bucket), an FK-chain join shuffles only the probe side, and results
+    equal the unbucketed store's."""
+    from oxigraph_spark.sources.direct_mapping import DirectMappingSource
+    from oxigraph_spark.sources.quad_store import (BucketedQuadStore,
+                                                   ParquetQuadStore)
+    from oxigraph_spark.store import Store
+    src = DirectMappingSource(spark, sf_dir, tables=["customer", "nation"])
+    BucketedQuadStore.write_bucketed(src.quads(), "bq_t",
+                                     str(tmp_path / "bq"), n_buckets=8)
+    bstore = Store(spark, BucketedQuadStore(spark, str(tmp_path / "bq"),
+                                            "bq_t"))
+    pfx = "PREFIX c: <urn:g:customer#> PREFIX n: <urn:g:nation#>\n"
+    q = pfx + "SELECT ?a ?b WHERE { ?x c:c_name ?a . ?x c:c_acctbal ?b }"
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = bstore.query(q, use_cache=False)
+        assert _plan(df).count("Exchange") == 0
+        ParquetQuadStore.write(src.quads(), str(tmp_path / "pq"),
+                               key_width=64)
+        pstore = Store(spark, ParquetQuadStore(spark, str(tmp_path / "pq"),
+                                               key_width=64))
+        dfp = pstore.query(q, use_cache=False)
+        assert _plan(dfp).count("Exchange") == 2
+        key = lambda rows: sorted(
+            (r["a"]["lex"], r["b"]["lex"]) for r in rows)
+        assert key(df.collect()) == key(dfp.collect())
+        fk = pfx + "SELECT ?nm WHERE { ?c c:ref_nation ?n . ?n n:n_name ?nm }"
+        dfk = bstore.query(fk, use_cache=False)
+        assert _plan(dfk).count("Exchange") == 1  # probe side only
+        assert dfk.count() == src._table_rows("customer")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bq_t")
