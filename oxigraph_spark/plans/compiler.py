@@ -868,9 +868,130 @@ class Compiler:
         # not a post-filter (SPARQL §8.3; reference GraphPattern::LeftJoin)
         if n.expr is not None and _find_exists(n.expr):
             return self._c_leftjoin_exists(n, graph_ctx)
+        fused = self._try_optional_star_fuse(n, graph_ctx)
+        if fused is not None:
+            return fused
         return self._join(self.compile_pattern(n.left, graph_ctx),
                           self.compile_pattern(n.right, graph_ctx), "left",
                           extra_expr=n.expr)
+
+    def _try_optional_star_fuse(self, n: A.LeftJoin,
+                                graph_ctx) -> Optional[Compiled]:
+        """LeftJoin of two stars on the SAME subject over ONE source
+        table → a single scan with nullable optional columns (the
+        "optional property table" rewrite): ``?s p1 ?a OPTIONAL { ?s p2
+        ?b FILTER(e) }`` keeps every left row and binds ?b only where
+        the optional column is present AND e holds — expressible as a
+        per-row projection because the source guarantees at most one
+        object per (subject, predicate) (``single_valued_stars``; a
+        multi-valued store would need the real left join for its
+        multiplicities).  Replaces a scan + left-outer join (one
+        exchange each side at scale) with zero joins."""
+        star_scan = getattr(self.source, "star_scan", None)
+        if (not self.optimize or star_scan is None or graph_ctx is not None
+                or not getattr(self.source, "single_valued_stars", False)
+                or not isinstance(n.left, A.BGP)
+                or not isinstance(n.right, A.BGP)
+                or not n.left.patterns or not n.right.patterns):
+            return None
+
+        def star_shape(pats):
+            svar, proj, consts = None, [], []
+            for tp in pats:
+                if not (isinstance(tp, A.TriplePattern)
+                        and isinstance(tp.s, A.Var)
+                        and isinstance(tp.p, A.NamedNode)):
+                    return None
+                if svar is None:
+                    svar = tp.s.name
+                elif tp.s.name != svar:
+                    return None
+                if isinstance(tp.o, A.Var):
+                    if tp.o.name == svar:
+                        return None
+                    proj.append(tp)
+                elif isinstance(tp.o, (A.NamedNode, A.Literal)):
+                    consts.append(tp)
+                else:
+                    return None
+            return svar, proj, consts
+
+        lsh = star_shape(n.left.patterns)
+        rsh = star_shape(n.right.patterns)
+        if lsh is None or rsh is None:
+            return None
+        lsvar, lproj, lconsts = lsh
+        rsvar, rproj, rconsts = rsh
+        # right side must share exactly the subject and bind fresh vars
+        if lsvar != rsvar or rconsts or not rproj:
+            return None
+        lovars = [tp.o.name for tp in lproj]
+        rovars = [tp.o.name for tp in rproj]
+        allv = [lsvar] + lovars + rovars
+        if len(set(allv)) != len(allv):
+            return None
+        const_pred = getattr(self.source, "const_object_pred", None)
+        const_preds = []
+        for tp in lconsts:
+            tr = None
+            if const_pred is not None:
+                o = tp.o
+                tr = const_pred(tp.p.iri, "iri", o.iri) \
+                    if isinstance(o, A.NamedNode) else \
+                    const_pred(tp.p.iri, "lit", o.lex, o.datatype, o.lang)
+            if tr is None:
+                return None
+            const_preds.extend((tp.p.iri, op, val) for op, val in tr)
+        p_lexes = [tp.p.iri for tp in lproj + rproj]
+        opt_idx = frozenset(range(len(lproj), len(p_lexes)))
+        try:
+            df = star_scan(p_lexes, const_preds=const_preds or None,
+                           optional_idx=opt_idx)
+        except TypeError:  # source without optional-fusion support
+            return None
+        if df is None:
+            return None
+        st: Dict[str, int] = {lsvar: K.VC_NONLIT}
+        nt: Dict[str, str] = {}
+        pt = getattr(self.source, "pred_types", None)
+        if pt is not None:
+            for tp in lproj + rproj:
+                vc, nsub = pt(tp.p.iri)
+                if vc is not None:
+                    st[tp.o.name] = vc
+                if nsub is not None:
+                    nt[tp.o.name] = nsub
+        # §8.3: μ2 exists iff every optional column is present; the
+        # embedded filter evaluates over the MERGED row (error ⇒ false)
+        succ = reduce(lambda a, b: a & b,
+                      [df[f"o{i}"].isNotNull() for i in sorted(opt_idx)])
+        if n.expr is not None:
+            env = {lsvar: df["s"]}
+            for i, v in enumerate(lovars + rovars):
+                env[v] = df[f"o{i}"]
+            self._env_st = dict(st)
+            self._env_nt = dict(nt)
+            cond = K.ebv(self.compile_expr(n.expr, env))
+            succ = succ & F.coalesce(cond, F.lit(False))
+        nlo = len(lovars)
+        sel = [df["s"].alias(lsvar)] + [
+            df[f"o{i}"].alias(v) for i, v in enumerate(lovars)] + [
+            F.when(succ, df[f"o{nlo + j}"]).alias(v)
+            for j, v in enumerate(rovars)]
+        ids: Dict[str, str] = {}
+        if self.use_ids:
+            ids[lsvar] = _idname(lsvar)
+            sel.append(self._jk_named("s").alias(ids[lsvar]))
+            for i, v in enumerate(lovars):
+                ids[v] = _idname(v)
+                sel.append(self._jk_named(f"o{i}").alias(ids[v]))
+            for j, v in enumerate(rovars):
+                ids[v] = _idname(v)
+                sel.append(F.when(succ, self._jk_named(f"o{nlo + j}"))
+                           .alias(ids[v]))
+        names = frozenset(allv)
+        certain = frozenset([lsvar] + lovars)
+        return Compiled(df.select(*sel), names, certain, st, nt, ids)
 
     def _c_leftjoin_exists(self, n: A.LeftJoin, graph_ctx) -> Compiled:
         """LeftJoin whose embedded filter contains EXISTS/NOT EXISTS.

@@ -150,6 +150,11 @@ class DirectMappingSource:
     the pattern-scan entry point the compiler uses (SURVEY.md §2.1 S1).
     """
 
+    # each (subject, predicate) holds at most ONE object (one row per
+    # subject, one value per column) — licenses the compiler's
+    # OPTIONAL-star fusion, which is unsound for multi-valued stores
+    single_valued_stars = True
+
     def __init__(self, spark: SparkSession, sf_dir: str,
                  tables: Optional[Iterable[str]] = None,
                  key_width: int = 128):
@@ -285,7 +290,7 @@ class DirectMappingSource:
         return (None, None)
 
     def star_scan(self, p_lexes, native_filters=None, const_preds=None,
-                  subject_iri=None) -> Optional[DataFrame]:
+                  subject_iri=None, optional_idx=None) -> Optional[DataFrame]:
         """Single-scan star group (property-table optimization, à la the
         S2RDF/property-table literature): if every predicate maps to the
         SAME source table, return one DataFrame with column ``s`` plus one
@@ -311,9 +316,15 @@ class DirectMappingSource:
         instead of a string comparison on the concatenated subject IRI —
         the difference between a parquet point lookup and a full scan.
         Returns None when the group is not exactly translatable; the
-        caller keeps those patterns on the term-level path."""
+        caller keeps those patterns on the term-level path.
+
+        ``optional_idx`` marks indexes whose NULL rows are KEPT (the
+        OPTIONAL-star fusion: optional attributes ride the same scan as
+        nullable columns instead of a left join; sound because the
+        direct mapping is single-valued per (subject, predicate))."""
         memo_key = (tuple(p_lexes), repr(sorted((native_filters or {}).items())),
-                    repr(const_preds), subject_iri)
+                    repr(const_preds), subject_iri,
+                    repr(sorted(optional_idx or ())))
         if memo_key in self._scan_memo:
             return self._scan_memo[memo_key]
         infos = []
@@ -353,8 +364,14 @@ class DirectMappingSource:
                                      F.col(col).cast("string")))
             else:
                 obj = _object_literal(df, col)
+            if i in (optional_idx or ()):
+                # NULL raw value ⇒ NULL term (the struct builders yield a
+                # non-null struct with null fields, which would read as
+                # "bound" downstream)
+                obj = F.when(F.col(col).isNotNull(), obj)
+            else:
+                notnull.append(F.col(col).isNotNull())
             cols.append(obj.alias(f"o{i}"))
-            notnull.append(F.col(col).isNotNull())
         for c in notnull:
             out = out.where(c)
         for (_t, col, _target), op, val in cinfos:

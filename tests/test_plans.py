@@ -302,3 +302,36 @@ def test_bucketed_quad_store_colocated_join(spark, sf_dir, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bq_t")
+
+
+def test_optional_star_fusion(spark, sf_dir):
+    """LeftJoin of two same-subject stars over one table fuses into a
+    single scan with nullable optional columns (sound because the
+    direct mapping is single-valued per predicate): zero joins, and
+    results identical to the unoptimized left-join path — including an
+    erroring embedded filter (error ⇒ optional unbound, §8.3)."""
+    import __spark_entry__ as E
+    from oxigraph_spark.store import Store
+    store = E._store(spark, sf_dir)
+    un = Store(spark, store.source, optimize=False)
+    q = E.PFX + """
+        SELECT ?nm ?bal WHERE { ?s s:s_name ?nm .
+          OPTIONAL { ?s s:s_acctbal ?bal . FILTER(?bal > 4000) } }"""
+    df = store.query(q, use_cache=False)
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert len(re.findall(r"Scan parquet|FileScan parquet", plan)) == 1
+    key = lambda rows: sorted(
+        (r["nm"]["lex"], r["bal"]["lex"] if r["bal"] else None) for r in rows)
+    assert key(df.collect()) == key(un.query(q, use_cache=False).collect())
+    # bound vs unbound split is real (filter excludes some, not all)
+    rows = df.collect()
+    bound = sum(1 for r in rows if r["bal"] is not None)
+    assert 0 < bound < len(rows)
+    # erroring filter ⇒ optional unbound everywhere, rows kept
+    qe = E.PFX + """
+        SELECT ?nm ?bal WHERE { ?s s:s_name ?nm .
+          OPTIONAL { ?s s:s_acctbal ?bal . FILTER(?bal > "abc") } }"""
+    re_rows = store.query(qe, use_cache=False).collect()
+    assert len(re_rows) == len(rows)
+    assert all(r["bal"] is None for r in re_rows)
