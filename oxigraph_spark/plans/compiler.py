@@ -877,22 +877,35 @@ class Compiler:
 
     def _try_optional_star_fuse(self, n: A.LeftJoin,
                                 graph_ctx) -> Optional[Compiled]:
-        """LeftJoin of two stars on the SAME subject over ONE source
+        """LeftJoin (chain) of stars on the SAME subject over ONE source
         table → a single scan with nullable optional columns (the
         "optional property table" rewrite): ``?s p1 ?a OPTIONAL { ?s p2
-        ?b FILTER(e) }`` keeps every left row and binds ?b only where
-        the optional column is present AND e holds — expressible as a
-        per-row projection because the source guarantees at most one
-        object per (subject, predicate) (``single_valued_stars``; a
-        multi-valued store would need the real left join for its
-        multiplicities).  Replaces a scan + left-outer join (one
-        exchange each side at scale) with zero joins."""
+        ?b FILTER(e) } OPTIONAL { ?s p3 ?c }`` keeps every left row and
+        binds each optional group only where its columns are present AND
+        its filter holds — expressible as per-row projections because
+        the source guarantees at most one object per (subject,
+        predicate) (``single_valued_stars``; a multi-valued store would
+        need the real left joins for their multiplicities).  Replaces
+        k+1 scans + k left-outer joins (an exchange per side at scale)
+        with zero joins.  Later filters see EARLIER optional vars in
+        their post-fusion (nulled-when-unmatched) form, matching the
+        nested LeftJoin evaluation order."""
         star_scan = getattr(self.source, "star_scan", None)
         if (not self.optimize or star_scan is None or graph_ctx is not None
-                or not getattr(self.source, "single_valued_stars", False)
-                or not isinstance(n.left, A.BGP)
-                or not isinstance(n.right, A.BGP)
-                or not n.left.patterns or not n.right.patterns):
+                or not getattr(self.source, "single_valued_stars", False)):
+            return None
+        # flatten LeftJoin(LeftJoin(base, O1, e1), O2, e2) inner-first
+        opts: List = []
+        cur = n
+        while isinstance(cur, A.LeftJoin):
+            if cur.expr is not None and _find_exists(cur.expr):
+                return None
+            if not isinstance(cur.right, A.BGP) or not cur.right.patterns:
+                return None
+            opts.append((cur.right, cur.expr))
+            cur = cur.left
+        opts.reverse()
+        if not isinstance(cur, A.BGP) or not cur.patterns:
             return None
 
         def star_shape(pats):
@@ -916,19 +929,28 @@ class Compiler:
                     return None
             return svar, proj, consts
 
-        lsh = star_shape(n.left.patterns)
-        rsh = star_shape(n.right.patterns)
-        if lsh is None or rsh is None:
+        lsh = star_shape(cur.patterns)
+        if lsh is None:
             return None
         lsvar, lproj, lconsts = lsh
-        rsvar, rproj, rconsts = rsh
-        # right side must share exactly the subject and bind fresh vars
-        if lsvar != rsvar or rconsts or not rproj:
-            return None
+        groups = []                    # [(proj_patterns, expr)] per OPTIONAL
+        seen = {lsvar} | {tp.o.name for tp in lproj}
+        for rbgp, rexpr in opts:
+            rsh = star_shape(rbgp.patterns)
+            if rsh is None:
+                return None
+            rsvar, rproj, rconsts = rsh
+            # each optional must share exactly the subject, bind only
+            # fresh vars, and carry no constant members
+            if rsvar != lsvar or rconsts or not rproj:
+                return None
+            rv = [tp.o.name for tp in rproj]
+            if len(set(rv)) != len(rv) or seen & set(rv):
+                return None
+            seen |= set(rv)
+            groups.append((rproj, rexpr))
         lovars = [tp.o.name for tp in lproj]
-        rovars = [tp.o.name for tp in rproj]
-        allv = [lsvar] + lovars + rovars
-        if len(set(allv)) != len(allv):
+        if len(set(lovars)) != len(lovars):
             return None
         const_pred = getattr(self.source, "const_object_pred", None)
         const_preds = []
@@ -942,7 +964,8 @@ class Compiler:
             if tr is None:
                 return None
             const_preds.extend((tp.p.iri, op, val) for op, val in tr)
-        p_lexes = [tp.p.iri for tp in lproj + rproj]
+        all_proj = lproj + [tp for g, _e in groups for tp in g]
+        p_lexes = [tp.p.iri for tp in all_proj]
         opt_idx = frozenset(range(len(lproj), len(p_lexes)))
         try:
             df = star_scan(p_lexes, const_preds=const_preds or None,
@@ -955,29 +978,42 @@ class Compiler:
         nt: Dict[str, str] = {}
         pt = getattr(self.source, "pred_types", None)
         if pt is not None:
-            for tp in lproj + rproj:
+            for tp in all_proj:
                 vc, nsub = pt(tp.p.iri)
                 if vc is not None:
                     st[tp.o.name] = vc
                 if nsub is not None:
                     nt[tp.o.name] = nsub
-        # §8.3: μ2 exists iff every optional column is present; the
-        # embedded filter evaluates over the MERGED row (error ⇒ false)
-        succ = reduce(lambda a, b: a & b,
-                      [df[f"o{i}"].isNotNull() for i in sorted(opt_idx)])
-        if n.expr is not None:
-            env = {lsvar: df["s"]}
-            for i, v in enumerate(lovars + rovars):
-                env[v] = df[f"o{i}"]
-            self._env_st = dict(st)
-            self._env_nt = dict(nt)
-            cond = K.ebv(self.compile_expr(n.expr, env))
-            succ = succ & F.coalesce(cond, F.lit(False))
-        nlo = len(lovars)
+        # §8.3 per group, inner-to-outer: μ2 exists iff every column of
+        # the group is present AND the embedded filter holds over the
+        # merged row (error ⇒ false).  env carries EARLIER groups'
+        # post-fusion (nulled-when-unmatched) columns so a later filter
+        # referencing an unmatched earlier optional sees it unbound.
+        env: Dict[str, Column] = {lsvar: df["s"]}
+        for i, v in enumerate(lovars):
+            env[v] = df[f"o{i}"]
+        out_opt: List[Tuple[str, Column, int]] = []   # (var, wrapped, idx)
+        base = len(lovars)
+        for gproj, gexpr in groups:
+            idxs = list(range(base, base + len(gproj)))
+            base += len(gproj)
+            succ = reduce(lambda a, b: a & b,
+                          [df[f"o{i}"].isNotNull() for i in idxs])
+            if gexpr is not None:
+                genv = dict(env)
+                for i, tp in zip(idxs, gproj):
+                    genv[tp.o.name] = df[f"o{i}"]   # own group: raw values
+                self._env_st = dict(st)
+                self._env_nt = dict(nt)
+                cond = K.ebv(self.compile_expr(gexpr, genv))
+                succ = succ & F.coalesce(cond, F.lit(False))
+            for i, tp in zip(idxs, gproj):
+                wrapped = F.when(succ, df[f"o{i}"])
+                env[tp.o.name] = wrapped
+                out_opt.append((tp.o.name, wrapped, i))
         sel = [df["s"].alias(lsvar)] + [
             df[f"o{i}"].alias(v) for i, v in enumerate(lovars)] + [
-            F.when(succ, df[f"o{nlo + j}"]).alias(v)
-            for j, v in enumerate(rovars)]
+            c.alias(v) for v, c, _i in out_opt]
         ids: Dict[str, str] = {}
         if self.use_ids:
             ids[lsvar] = _idname(lsvar)
@@ -985,11 +1021,11 @@ class Compiler:
             for i, v in enumerate(lovars):
                 ids[v] = _idname(v)
                 sel.append(self._jk_named(f"o{i}").alias(ids[v]))
-            for j, v in enumerate(rovars):
+            for v, _c, i in out_opt:
                 ids[v] = _idname(v)
-                sel.append(F.when(succ, self._jk_named(f"o{nlo + j}"))
+                sel.append(F.when(env[v].isNotNull(), self._jk_named(f"o{i}"))
                            .alias(ids[v]))
-        names = frozenset(allv)
+        names = frozenset(seen)
         certain = frozenset([lsvar] + lovars)
         return Compiled(df.select(*sel), names, certain, st, nt, ids)
 

@@ -335,3 +335,30 @@ def test_optional_star_fusion(spark, sf_dir):
     re_rows = store.query(qe, use_cache=False).collect()
     assert len(re_rows) == len(rows)
     assert all(r["bal"] is None for r in re_rows)
+
+
+def test_optional_chain_star_fusion(spark, sf_dir):
+    """A CHAIN of OPTIONALs on the same subject/table fuses into one
+    scan; a later filter referencing an EARLIER optional var sees its
+    post-fusion (unbound-when-unmatched) value, matching nested
+    LeftJoin evaluation order."""
+    import __spark_entry__ as E
+    from oxigraph_spark.store import Store
+    store = E._store(spark, sf_dir)
+    un = Store(spark, store.source, optimize=False)
+    q = E.PFX + """
+        SELECT ?p ?st ?tp WHERE { ?o o:o_orderpriority ?p .
+          OPTIONAL { ?o o:o_orderstatus ?st . FILTER(?st = "NOPE") }
+          OPTIONAL { ?o o:o_totalprice ?tp . FILTER(!BOUND(?st)) } }"""
+    df = store.query(q, use_cache=False)
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert len(re.findall(r"Scan parquet|FileScan parquet", plan)) == 1
+    key = lambda rows: sorted(
+        tuple("N" if r[f] is None else r[f]["lex"] for f in ("p", "st", "tp"))
+        for r in rows)
+    assert key(df.collect()) == key(un.query(q, use_cache=False).collect())
+    # group 1 never matches, so group 2's !BOUND(?st) passes everywhere
+    rows = df.collect()
+    assert all(r["st"] is None for r in rows)
+    assert all(r["tp"] is not None for r in rows)
