@@ -36,8 +36,8 @@ HEADLINE = [
 ]
 
 # ---------------------------------------------------------------------------
-# BSBM-explore-style mixed mix: 12 short-query templates × 3 parameter
-# variants = 36 executions per pass.  Parameters vary PER EXECUTION, so
+# BSBM-explore-style mixed mix: 13 short-query templates × 3 parameter
+# variants = 39 executions per pass.  Parameters vary PER EXECUTION, so
 # every query text is new — this measures the COLD plan-build + execute
 # path that dominates a many-short-query workload (round-3 verdict item
 # 1: plan latency scales with query count, not data).
@@ -59,7 +59,7 @@ _STATUS = ["F", "O", "P"]
 
 
 def mixed_templates(i: int) -> list[str]:
-    """The 12 templates instantiated with variant ``i`` (0..2)."""
+    """The 13 templates instantiated with variant ``i`` (0..2)."""
     k = 7 + i * 13
     seg, reg, stat = _SEGS[i], _REGIONS[i], _STATUS[i]
     lo = 900.0 + 50 * i
@@ -103,6 +103,12 @@ def mixed_templates(i: int) -> list[str]:
         # 12 order + slice
         f"""SELECT ?o ?tp WHERE {{ ?o o:o_totalprice ?tp ;
             o:o_orderstatus "{stat}" }} ORDER BY DESC(?tp) LIMIT 5""",
+        # 13 entity page: star + OPTIONAL chain (BSBM explore Q2 shape;
+        # exercises the OPTIONAL-star fusion)
+        f"""SELECT ?nm ?bal ?nat WHERE {{ ?c c:c_mktsegment "{seg}" ;
+            c:c_name ?nm .
+            OPTIONAL {{ ?c c:c_acctbal ?bal . FILTER(?bal > {500.0 * i}) }}
+            OPTIONAL {{ ?c c:ref_nation ?nat }} }} LIMIT 20""",
     ]]
 
 
@@ -155,9 +161,10 @@ def main() -> None:
     # mixed short-query mix (cold plans by construction: use_cache=False
     # and per-execution parameters)
     store = entry._store(spark, SF_DIR)
-    mixed_walls = []
+    mixed_walls, n_mixed = [], 0
     for _ in range(N_RUNS):
         wall, nq = run_mixed(spark, store)
+        n_mixed = nq
         mixed_walls.append(wall)
         print(f"# mixed: {nq} queries in {round(wall, 2)}s "
               f"({round(nq / wall, 1)} q/s)", file=sys.stderr)
@@ -171,9 +178,9 @@ def main() -> None:
         "queries": times,
         "plan_sec": compile_times,      # median plan portion (cached path)
         "plan_first_sec": first_plan,   # cold first-run plan build
-        "mixed_sec": mixed_sec,         # 36-query BSBM-style mix, cold plans
-        "mixed_queries": 36,
-        "mixed_qps": round(36 / mixed_sec, 2) if mixed_sec else None,
+        "mixed_sec": mixed_sec,         # 39-query BSBM-style mix, cold plans
+        "mixed_queries": n_mixed,
+        "mixed_qps": round(n_mixed / mixed_sec, 2) if mixed_sec else None,
         "n": N_RUNS,                    # per-query runs; values are medians
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
