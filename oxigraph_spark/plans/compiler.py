@@ -989,10 +989,17 @@ class Compiler:
         # merged row (error ⇒ false).  env carries EARLIER groups'
         # post-fusion (nulled-when-unmatched) columns so a later filter
         # referencing an unmatched earlier optional sees it unbound.
-        env: Dict[str, Column] = {lsvar: df["s"]}
-        for i, v in enumerate(lovars):
-            env[v] = df[f"o{i}"]
-        out_opt: List[Tuple[str, Column, int]] = []   # (var, wrapped, idx)
+        # Materialize each group's wrapped (nulled-when-unmatched)
+        # columns with ONE narrow Project per group rather than carrying
+        # `succ` as a shared inline expression: inlined, the compiled
+        # filter tree is duplicated into every wrapped value AND id
+        # column, and Spark's EAGER per-transformation analysis walks the
+        # multiplied tree (measured 0.7 s of a 0.8 s compile on a
+        # 2-OPTIONAL star).  After materialization every later reference
+        # is a plain column ref; Catalyst's CollapseProject folds the k
+        # extra Projects back into one.
+        all_names = ["s"] + [f"o{i}" for i in range(len(all_proj))]
+        opt_members: List[Tuple[str, int]] = []       # (var, idx)
         base = len(lovars)
         for gproj, gexpr in groups:
             idxs = list(range(base, base + len(gproj)))
@@ -1000,20 +1007,31 @@ class Compiler:
             succ = reduce(lambda a, b: a & b,
                           [df[f"o{i}"].isNotNull() for i in idxs])
             if gexpr is not None:
-                genv = dict(env)
+                genv: Dict[str, Column] = {lsvar: df["s"]}
+                for i, v in enumerate(lovars):
+                    genv[v] = df[f"o{i}"]
+                for v, i in opt_members:              # earlier groups:
+                    genv[v] = df[f"o{i}"]             # materialized form
                 for i, tp in zip(idxs, gproj):
-                    genv[tp.o.name] = df[f"o{i}"]   # own group: raw values
+                    genv[tp.o.name] = df[f"o{i}"]     # own group: raw
                 self._env_st = dict(st)
                 self._env_nt = dict(nt)
-                cond = K.ebv(self.compile_expr(gexpr, genv))
-                succ = succ & F.coalesce(cond, F.lit(False))
-            for i, tp in zip(idxs, gproj):
-                wrapped = F.when(succ, df[f"o{i}"])
-                env[tp.o.name] = wrapped
-                out_opt.append((tp.o.name, wrapped, i))
+                # SSA, not plain compile_expr: inlined, the nested
+                # ebv/error wrappers multiply the constant-term subtrees
+                # (a 1-comparison filter analyzed to a 273 KB tree and
+                # 0.8 s of eager analysis)
+                df, cond, _temps = self.compile_expr_ssa(df, gexpr, genv)
+                succ = succ & F.coalesce(
+                    K.ebv_typed(cond, self._stype(gexpr)), F.lit(False))
+            wrap = {f"o{i}": F.when(succ, df[f"o{i}"]).alias(f"o{i}")
+                    for i in idxs}
+            # temps are dropped here: the wrap Project selects only the
+            # star columns
+            df = df.select(*[wrap.get(c, df[c]) for c in all_names])
+            opt_members.extend((tp.o.name, i) for i, tp in zip(idxs, gproj))
         sel = [df["s"].alias(lsvar)] + [
             df[f"o{i}"].alias(v) for i, v in enumerate(lovars)] + [
-            c.alias(v) for v, c, _i in out_opt]
+            df[f"o{i}"].alias(v) for v, i in opt_members]
         ids: Dict[str, str] = {}
         if self.use_ids:
             ids[lsvar] = _idname(lsvar)
@@ -1021,9 +1039,12 @@ class Compiler:
             for i, v in enumerate(lovars):
                 ids[v] = _idname(v)
                 sel.append(self._jk_named(f"o{i}").alias(ids[v]))
-            for v, _c, i in out_opt:
+            for v, i in opt_members:
                 ids[v] = _idname(v)
-                sel.append(F.when(env[v].isNotNull(), self._jk_named(f"o{i}"))
+                # o{i} is already the wrapped term, so key-of-null is
+                # guarded by its own nullness
+                sel.append(F.when(df[f"o{i}"].isNotNull(),
+                                  self._jk_named(f"o{i}"))
                            .alias(ids[v]))
         names = frozenset(seen)
         certain = frozenset([lsvar] + lovars)

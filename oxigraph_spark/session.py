@@ -32,6 +32,8 @@ def get_spark(app: str = "oxigraph-spark", shuffle_partitions: int | None = None
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # static conf: Python-side call-site capture off (see configure())
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     spark = b.getOrCreate()
     configure(spark)
@@ -67,3 +69,19 @@ def configure(spark: SparkSession) -> None:
     # ("key not found: src#N") on the path-closure union plans; the
     # compiler emits all needed predicates explicitly anyway.
     spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    # PySpark 4 wraps every DataFrame/Column method to capture the Python
+    # call site for error enrichment (pyspark/errors/utils.py _with_origin):
+    # per call that is a stack walk plus ~4 extra py4j round-trips
+    # (getActiveSession, conf.get, origin set/clear).  Our compiler issues
+    # hundreds of Column calls per query, so this is a double-digit share
+    # of cold plan-build latency; error messages merely lose the
+    # "user call site" decoration.  The gate
+    # (spark.python.sql.dataFrameDebugging.enabled) is a STATIC conf read
+    # only by Python through a module-global cache, so on an
+    # externally-created session the supported off-switch is priming that
+    # cache (get_spark also sets the conf properly at builder time).
+    try:
+        from pyspark.errors import utils as _pyspark_err_utils
+        _pyspark_err_utils._enable_debugging_cache = False
+    except (ImportError, AttributeError):  # pragma: no cover
+        pass
