@@ -171,6 +171,13 @@ class DirectMappingSource:
         # (round-4 plan-build latency work; DataFrames are immutable
         # and safe to share across queries)
         self._scan_memo: Dict = {}
+        # parameter-INDEPENDENT column pieces (term-struct select lists,
+        # not-null guards): a templated workload (same shapes, different
+        # constants) misses _scan_memo on every execution but shares
+        # these — and building a TERM struct is ~30 py4j round-trips,
+        # so reusing the Column objects (immutable, name-resolved
+        # against the same base table) is most of a scan's build cost
+        self._piece_memo: Dict = {}
         names = list(tables) if tables is not None else list(TABLE_DEFS)
         for t in names:
             path = os.path.join(sf_dir, f"{t}.parquet")
@@ -356,22 +363,28 @@ class DirectMappingSource:
                     "bigint", "int", "smallint", "tinyint"):
                 return None
             out = out.where(F.col(pk[0]) == key)
-        cols = [_subject(t, df, pk).alias("s")]
-        notnull = []
-        for i, (_t, col, target) in enumerate(infos):
-            if target is not None:
-                obj = T.iri(F.concat(F.lit(table_iri_base(target)),
-                                     F.col(col).cast("string")))
-            else:
-                obj = _object_literal(df, col)
-            if i in (optional_idx or ()):
-                # NULL raw value ⇒ NULL term (the struct builders yield a
-                # non-null struct with null fields, which would read as
-                # "bound" downstream)
-                obj = F.when(F.col(col).isNotNull(), obj)
-            else:
-                notnull.append(F.col(col).isNotNull())
-            cols.append(obj.alias(f"o{i}"))
+        piece_key = ("star_cols", t, tuple(infos),
+                     frozenset(optional_idx or ()))
+        if piece_key in self._piece_memo:
+            cols, notnull = self._piece_memo[piece_key]
+        else:
+            cols = [_subject(t, df, pk).alias("s")]
+            notnull = []
+            for i, (_t, col, target) in enumerate(infos):
+                if target is not None:
+                    obj = T.iri(F.concat(F.lit(table_iri_base(target)),
+                                         F.col(col).cast("string")))
+                else:
+                    obj = _object_literal(df, col)
+                if i in (optional_idx or ()):
+                    # NULL raw value ⇒ NULL term (the struct builders
+                    # yield a non-null struct with null fields, which
+                    # would read as "bound" downstream)
+                    obj = F.when(F.col(col).isNotNull(), obj)
+                else:
+                    notnull.append(F.col(col).isNotNull())
+                cols.append(obj.alias(f"o{i}"))
+            self._piece_memo[piece_key] = (cols, notnull)
         for c in notnull:
             out = out.where(c)
         for (_t, col, _target), op, val in cinfos:
@@ -445,13 +458,17 @@ class DirectMappingSource:
                         df = df.where(F.col(col).isNotNull())
                         for op, val in native_filters:
                             df = df.where(_native_cond(F.col(col), dt, op, val))
-                        pk, _fks = TABLE_DEFS[t]
-                        g = T.default_graph()
-                        out = df.select(
-                            _subject(t, df, pk).alias("s"),
-                            T.iri(F.lit(p_lex)).alias("p"),
-                            _object_literal(df, col).alias("o"),
-                            g.alias("g"))
+                        piece_key = ("scan_cols", p_lex)
+                        cols = self._piece_memo.get(piece_key)
+                        if cols is None:
+                            pk, _fks = TABLE_DEFS[t]
+                            cols = [
+                                _subject(t, df, pk).alias("s"),
+                                T.iri(F.lit(p_lex)).alias("p"),
+                                _object_literal(df, col).alias("o"),
+                                T.default_graph().alias("g")]
+                            self._piece_memo[piece_key] = cols
+                        out = df.select(*cols)
                         self._scan_memo[memo_key] = out
                         return out
                 return self._frames[p_lex]
