@@ -1,0 +1,162 @@
+"""Graph analytics over edge frames: PageRank, degree statistics, and an
+adapter from the RDF graph.
+
+Not in the reference engine — this is the "beyond the reference" curation
+surface: link-graph authority scores are a standard web-scale quality
+signal for training-data pipelines (Common Crawl publishes exactly this —
+harmonic-centrality/PageRank domain rankings — and CCNet/RefinedWeb-style
+curation joins them against the corpus).  The engine side of that join is
+here; the corpus side is :mod:`oxigraph_spark.pipeline.urls`
+(``registrable_domain``).
+
+Scale shape (the part that matters at 100 TB):
+
+- Nodes are 8-byte ``xxhash64`` ids; the (id → lexical) dictionary is a
+  separate frame joined back ONCE at output.  Per-iteration exchanges
+  ship ``(long, double)`` rows only — never strings.
+- The edge set is hash-partitioned by ``src`` and persisted once; each
+  iteration re-shuffles only the rank vector (N rows) to meet it.  With a
+  bucketed/pre-partitioned edge store even that exchange is one-sided.
+- Dangling mass (nodes with no out-edges) is folded in via one scalar
+  ``agg`` per iteration — a driver round-trip of one double, not a join.
+- ``localCheckpoint`` every ``checkpoint_every`` iterations truncates the
+  lineage so the logical plan stays O(1) in the iteration count (same
+  discipline as the property-path fixpoint, operators/paths.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["pagerank", "degree_stats", "rdf_edges", "pagerank_terms"]
+
+
+def _node_id(c: Column) -> Column:
+    return F.xxhash64(c)
+
+
+def rdf_edges(quads: DataFrame, predicate: Optional[str] = None,
+              ) -> tuple[DataFrame, DataFrame]:
+    """``(edges, nodes)`` of the IRI→IRI link graph in ``quads``.
+
+    ``edges`` is ``(src BIGINT, dst BIGINT)`` (xxhash64 of the IRI — the
+    8-byte shuffle discipline); ``nodes`` is the ``(id, iri)`` decode
+    dictionary.  Only triples whose subject AND object are IRIs
+    contribute (literal objects are attributes, not links).
+    ``predicate`` restricts to one link predicate (e.g. only
+    ``ref_nation`` edges); None takes every IRI→IRI triple.
+    """
+    q = quads.where((F.col("s")["kind"] == 0) & (F.col("o")["kind"] == 0))
+    if predicate is not None:
+        q = q.where(F.col("p")["lex"] == predicate)
+    pairs = q.select(F.col("s")["lex"].alias("s_iri"),
+                     F.col("o")["lex"].alias("o_iri"))
+    edges = pairs.select(_node_id(F.col("s_iri")).alias("src"),
+                         _node_id(F.col("o_iri")).alias("dst"))
+    nodes = (pairs.select(F.col("s_iri").alias("iri"))
+             .unionAll(pairs.select(F.col("o_iri").alias("iri")))
+             .distinct()
+             .select(_node_id(F.col("iri")).alias("id"), "iri"))
+    return edges, nodes
+
+
+def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
+             damping: float = 0.85, max_iter: int = 20,
+             num_partitions: Optional[int] = None,
+             checkpoint_every: int = 4,
+             dedup_edges: bool = True) -> DataFrame:
+    """PageRank over ``edges`` → ``(node BIGINT, rank DOUBLE)``.
+
+    Standard power iteration with uniform teleport and dangling-mass
+    redistribution; ``sum(rank) == 1`` at every step (a test asserts it).
+    ``edges`` columns may be any orderable type; they are used as join
+    keys verbatim (callers with string node names should pre-hash — see
+    :func:`rdf_edges`).
+
+    ``dedup_edges=False`` skips the parallel-edge distinct for inputs
+    that are already edge-unique (saves one shuffle at build).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
+             .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    if dedup_edges:
+        e = e.distinct()
+    if num_partitions:
+        e = e.repartition(num_partitions, "src")
+    else:
+        e = e.repartition("src")
+    # edges + per-source out-degree materialized ONCE; every iteration
+    # reads this frame, so persist it (deg rides along → the per-iter
+    # join needs no second lookup)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e = e.join(deg, "src").persist()
+
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionAll(e.select(F.col("dst").alias("node")))
+             .distinct()
+             .repartition("node")
+             .persist())
+    n = nodes.count()  # also materializes the persisted frames
+    if n == 0:
+        return nodes.select("node", F.lit(1.0).alias("rank"))
+
+    teleport = (1.0 - damping) / n
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    # graphs where every node links out (common after domain-graph
+    # closure) skip the per-iteration dangling scalar entirely
+    dangling_nodes = nodes.join(deg, nodes["node"] == deg["src"],
+                                "leftanti").persist()
+    has_dangling = bool(dangling_nodes.take(1))
+
+    for i in range(max_iter):
+        # mass leaving via links: rank/deg per edge, summed per target.
+        # join key is src on BOTH sides of the co-partitioned layout —
+        # only the N-row rank vector moves.
+        contrib = (e.join(ranks.withColumnRenamed("node", "src"), "src")
+                   .groupBy(F.col("dst").alias("node"))
+                   .agg(F.sum(F.col("rank") / F.col("deg")).alias("in_mass")))
+        # dangling mass: rank held by nodes with no out-edges — one
+        # scalar per iteration, redistributed uniformly
+        if has_dangling:
+            dangling = (ranks.join(dangling_nodes, "node", "leftsemi")
+                        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                        .first()[0])
+        else:
+            dangling = 0.0
+        base = teleport + damping * dangling / n
+        ranks = (nodes.join(contrib, "node", "left")
+                 .select("node",
+                         (F.lit(base) + F.lit(damping)
+                          * F.coalesce(F.col("in_mass"), F.lit(0.0))
+                          ).alias("rank")))
+        if (i + 1) % checkpoint_every == 0 and i + 1 < max_iter:
+            ranks = ranks.localCheckpoint(eager=False)
+
+    return ranks
+
+
+def pagerank_terms(quads: DataFrame, predicate: Optional[str] = None,
+                   **kw) -> DataFrame:
+    """:func:`pagerank` over the RDF link graph, decoded back to IRIs:
+    ``(iri STRING, rank DOUBLE)``, descending.  The dictionary join is
+    the ONLY place strings appear; iterations ran on 8-byte ids."""
+    edges, nodes = rdf_edges(quads, predicate)
+    ranks = pagerank(edges, **kw)
+    return (ranks.join(nodes, ranks["node"] == nodes["id"])
+            .select("iri", "rank")
+            .orderBy(F.desc("rank"), "iri"))
+
+
+def degree_stats(edges: DataFrame, *, src: str = "src", dst: str = "dst",
+                 ) -> DataFrame:
+    """Per-node ``(node, out_deg, in_deg)`` — one pass, two partial aggs,
+    full-outer on the 8-byte key."""
+    out_d = edges.groupBy(F.col(src).alias("node")) \
+                 .agg(F.count(F.lit(1)).alias("out_deg"))
+    in_d = edges.groupBy(F.col(dst).alias("node")) \
+                .agg(F.count(F.lit(1)).alias("in_deg"))
+    return (out_d.join(in_d, "node", "full")
+            .select("node",
+                    F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+                    F.coalesce("in_deg", F.lit(0)).alias("in_deg")))

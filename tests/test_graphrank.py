@@ -1,0 +1,111 @@
+"""PageRank / degree stats: NumPy power-iteration oracle, mass
+conservation with dangling nodes, and the RDF-graph adapter."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from oxigraph_spark.operators.graphrank import (
+    degree_stats, pagerank, pagerank_terms, rdf_edges)
+
+EDGES = [  # Wikipedia's classic example shape + a dangling node (5)
+    (0, 1), (1, 2), (2, 0), (2, 1), (3, 2), (4, 2), (4, 0), (0, 5),
+]
+
+
+def numpy_pagerank(edges, n, damping=0.85, iters=20):
+    deg = np.zeros(n)
+    for s, _ in edges:
+        deg[s] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.full(n, (1.0 - damping) / n)
+        dangling = r[deg == 0].sum()
+        nxt += damping * dangling / n
+        for s, d in edges:
+            nxt[d] += damping * r[s] / deg[s]
+        r = nxt
+    return r
+
+
+def test_pagerank_matches_power_iteration(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {row["node"]: row["rank"]
+           for row in pagerank(df, max_iter=20).collect()}
+    want = numpy_pagerank(EDGES, 6)
+    assert set(got) == set(range(6))
+    for v in range(6):
+        assert got[v] == pytest.approx(want[v], abs=1e-9)
+
+
+def test_pagerank_mass_conserved_and_checkpointed(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    ranks = pagerank(df, max_iter=9, checkpoint_every=2)
+    total = ranks.agg(F.sum("rank")).first()[0]
+    assert total == pytest.approx(1.0, abs=1e-9)
+    # lineage stays bounded: the plan string must not grow with the
+    # iteration count past the last checkpoint (scale invariant)
+    assert len(ranks._jdf.queryExecution().logical().toString()) < 20_000
+
+
+def test_pagerank_no_dangling_fast_path(spark):
+    # a 3-cycle: every node has out-degree 1, stationary rank = 1/3
+    df = spark.createDataFrame([(0, 1), (1, 2), (2, 0)],
+                               "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, max_iter=5).collect()}
+    for v in range(3):
+        assert got[v] == pytest.approx(1 / 3, abs=1e-12)
+
+
+def test_parallel_edges_deduped(spark):
+    df = spark.createDataFrame([(0, 1), (0, 1), (1, 0)],
+                               "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, max_iter=8).collect()}
+    want = numpy_pagerank([(0, 1), (1, 0)], 2, iters=8)
+    for v in range(2):
+        assert got[v] == pytest.approx(want[v], abs=1e-9)
+
+
+def test_degree_stats(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {r["node"]: (r["out_deg"], r["in_deg"])
+           for r in degree_stats(df).collect()}
+    assert got[2] == (2, 3)
+    assert got[5] == (0, 1)   # dangling: in only
+    assert got[3] == (1, 0)   # source: out only
+
+
+@pytest.fixture(scope="module")
+def link_quads(spark, sf_dir):
+    from oxigraph_spark.store import Store
+    st = Store.from_tables(spark, sf_dir,
+                           tables=["region", "nation", "customer",
+                                   "supplier"])
+    return st.source.quads()
+
+
+def test_rdf_graph_ranks(spark, link_quads):
+    """Over the FK link graph, regions (the only sinks every chain ends
+    in) must out-rank every nation, and nations every customer."""
+    quads = link_quads
+    ranked = pagerank_terms(quads, max_iter=10).collect()
+    rank = {r["iri"]: r["rank"] for r in ranked}
+    regions = [v for k, v in rank.items() if ":region/" in k]
+    nations = [v for k, v in rank.items() if ":nation/" in k]
+    custs = [v for k, v in rank.items() if ":customer/" in k]
+    assert regions and nations and custs
+    assert min(regions) > max(nations) > max(custs)
+    total = sum(rank.values())
+    assert total == pytest.approx(1.0, abs=1e-6)
+
+
+def test_rdf_edges_predicate_filter(spark, link_quads):
+    quads = link_quads
+    edges, nodes = rdf_edges(quads, "urn:g:nation#ref_region")
+    n_nations = quads.where(
+        F.col("p")["lex"] == "urn:g:nation#ref_region").count()
+    assert edges.count() == n_nations
+    # dictionary decodes every endpoint
+    ids = edges.select(F.col("src").alias("id")) \
+        .unionAll(edges.select(F.col("dst").alias("id"))).distinct()
+    assert ids.join(nodes, "id", "leftanti").count() == 0
