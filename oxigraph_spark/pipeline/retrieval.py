@@ -32,7 +32,8 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from .dedup import normalize_text
 
-__all__ = ["TextIndex", "build_text_index", "bm25_topk", "tfidf_topk"]
+__all__ = ["TextIndex", "build_text_index", "bm25_topk", "tfidf_topk",
+           "rrf_fuse"]
 
 
 def _tokens(c: Column) -> Column:
@@ -156,3 +157,35 @@ def tfidf_topk(index: TextIndex, query: str, k: int = 10) -> DataFrame:
               .agg(F.sum((F.lit(1.0) + F.log("tf")) * F.col("idf"))
                    .alias("score")))
     return scored.orderBy(F.desc("score"), "doc_id").limit(k)
+
+
+def rrf_fuse(*rankings, id_col: str = "doc_id", k: int = 10,
+             c: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of N ranked
+    lists: ``score = Σ 1/(c + rank_i)`` — the standard way to combine a
+    lexical (BM25) and a dense (ANN cosine) retriever without score
+    calibration.
+
+    Each input is ``(df, score_col)`` or a bare DataFrame with a
+    ``score`` column; ranks are recomputed from the score (descending,
+    id tie-break) so they're deterministic regardless of physical row
+    order.  Inputs must be small (top-k results, not corpora) — rank
+    assignment uses a single-partition window, exactly right for k-row
+    frames and wrong for anything larger.
+    """
+    from pyspark.sql import Window
+    parts = []
+    for r in rankings:
+        df, score_col = r if isinstance(r, tuple) else (r, "score")
+        w = Window.orderBy(F.desc(score_col), F.col(id_col))
+        parts.append(df.select(F.col(id_col), F.col(score_col))
+                     .withColumn("__rank", F.row_number().over(w))
+                     .select(id_col, "__rank"))
+    fused = parts[0]
+    for p in parts[1:]:
+        fused = fused.unionAll(p)
+    return (fused.groupBy(id_col)
+            .agg(F.sum(1.0 / (F.lit(float(c)) + F.col("__rank")))
+                 .alias("score"))
+            .orderBy(F.desc("score"), id_col)
+            .limit(k))

@@ -122,3 +122,38 @@ def test_documents_corpus(spark, sf_dir):
     # scores descend
     scores = [r["score"] for r in top]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_rrf_fuse_exact(index, spark):
+    """Fusion score equals Σ 1/(60+rank) computed from a Python replica."""
+    from oxigraph_spark.pipeline.retrieval import rrf_fuse
+    a = bm25_topk(index, "quick fox", k=5)
+    b = bm25_topk(index, "dog park", k=5)
+    rows_a = [r["doc_id"] for r in a.collect()]
+    rows_b = [r["doc_id"] for r in b.collect()]
+    want = {}
+    for lst in (rows_a, rows_b):
+        for i, d in enumerate(lst):
+            want[d] = want.get(d, 0.0) + 1.0 / (60 + i + 1)
+    got = {r["doc_id"]: r["score"] for r in rrf_fuse(a, b, k=10).collect()}
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-12)
+
+
+def test_hybrid_lexical_dense(spark, sf_dir):
+    """BM25 over documents fused with dense cosine over embeddings:
+    the hybrid-retrieval shape (ids align doc_id == vec_id here)."""
+    from oxigraph_spark.pipeline.retrieval import rrf_fuse
+    from oxigraph_spark.pipeline.simsearch import brute_force_topk
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    embs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    idx = build_text_index(docs)
+    lex = bm25_topk(idx, "spark hash join", k=10)
+    qvec = embs.select("embedding").first()["embedding"]
+    dense = brute_force_topk(embs, "embedding", "vec_id", qvec, k=10) \
+        .withColumnRenamed("id", "doc_id").withColumnRenamed("sim", "score")
+    fused = rrf_fuse(lex, dense, k=5).collect()
+    assert 0 < len(fused) <= 5
+    scores = [r["score"] for r in fused]
+    assert scores == sorted(scores, reverse=True)
