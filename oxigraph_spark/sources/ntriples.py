@@ -200,7 +200,14 @@ def read_ntriples(spark: SparkSession, path: str,
     DataFrame (s, p, o, g).  Malformed/comment/blank lines are dropped
     (the reference's ``unchecked()`` lenient path; strict mode would
     count non-matching non-empty lines)."""
-    lines = spark.read.text(path)
+    return parse_nt_lines(spark.read.text(path), quads=quads)
+
+
+def parse_nt_lines(lines: DataFrame, quads: bool = False) -> DataFrame:
+    """:func:`read_ntriples` body over an existing frame of raw lines
+    (column ``value``) — shared by the file reader and the streaming
+    ingest path (continuous queries parse each micro-batch with the
+    same pure-column expressions)."""
     parts = lines.select(
         F.regexp_extract("value", _LINE, 1).alias("rs"),
         F.regexp_extract("value", _LINE, 2).alias("rp"),

@@ -99,3 +99,38 @@ def test_incremental_dedup_stream(spark, tmp_path):
     planted = pairs.where((F.col("id_b") == F.col("id_a") + 1000000)
                           & (F.col("sim") >= 0.999))
     assert planted.count() == docs.count()
+
+
+def test_continuous_sparql(spark, tmp_path):
+    """Standing queries re-evaluated per micro-batch over the quad log:
+    two drops of N-Triples, snapshot reflects the union after drain."""
+    import os
+    from oxigraph_spark.streaming.sparql import (
+        continuous_sparql, stream_ntriples)
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    (drop / "a.nt").write_text(
+        '<urn:x:s1> <urn:x:p> "1"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+        '<urn:x:s2> <urn:x:p> "2"^^<http://www.w3.org/2001/XMLSchema#integer> .\n')
+    (drop / "b.nt").write_text(
+        '<urn:x:s3> <urn:x:p> "3"^^<http://www.w3.org/2001/XMLSchema#integer> .\n')
+
+    lines = stream_ntriples(spark, str(drop))
+    q = continuous_sparql(
+        lines,
+        {"sum": "SELECT (SUM(?v) AS ?total) WHERE { ?s <urn:x:p> ?v }",
+         "all": "SELECT ?s WHERE { ?s <urn:x:p> ?v }"},
+        quad_log=str(tmp_path / "log"),
+        results_dir=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    total = spark.read.parquet(str(tmp_path / "out" / "sum")).collect()
+    assert len(total) == 1
+    assert total[0]["total"]["lex"] == "6"
+    subs = spark.read.parquet(str(tmp_path / "out" / "all")).collect()
+    assert {r["s"]["lex"] for r in subs} == {"urn:x:s1", "urn:x:s2",
+                                             "urn:x:s3"}
+    # quad log accumulated every batch
+    assert spark.read.parquet(str(tmp_path / "log")).count() == 3
