@@ -86,6 +86,56 @@ class Store:
             df._jdf.queryExecution(), mode)
         return f"== SPARQL algebra ==\n{ast!r}\n\n{plan}"
 
+    def profile(self, sparql: str) -> str:
+        """Run the query and return a per-operator execution profile:
+        the physical plan tree annotated with each node's runtime
+        metrics (output rows, spill, build/scan times).  The analog of
+        the reference's ``QueryExplanation`` per-node statistics
+        (upstream ``lib/spareval`` · ``QueryEvaluator::explain``) —
+        there the evaluator counts per-closure, here the numbers come
+        from Spark's SQLMetrics after a real run.  AQE-replanned
+        subtrees report their FINAL shape."""
+        df = self.query(sparql)
+        # execute THIS DataFrame's queryExecution (a derived action like
+        # .count() would run a different plan whose metrics we can't see)
+        df.collect()
+
+        def node_children(node):
+            name = node.nodeName()
+            # AQE wrappers: descend into the executed/materialized plan
+            for acc in ("executedPlan", "plan"):
+                if name.startswith(("AdaptiveSparkPlan",
+                                    "ShuffleQueryStage",
+                                    "BroadcastQueryStage",
+                                    "ResultQueryStage")):
+                    try:
+                        return [getattr(node, acc)()]
+                    except Exception:  # noqa: BLE001 — try next accessor
+                        continue
+            ch = node.children()
+            return [ch.apply(i) for i in range(ch.size())]
+
+        lines = []
+
+        def walk(node, depth):
+            mets = node.metrics()
+            it = mets.iterator()
+            parts = []
+            while it.hasNext():
+                kv = it.next()
+                m = kv._2()
+                v = m.value()
+                if v:  # only populated metrics
+                    parts.append(f"{kv._1()}={v}")
+            lines.append("  " * depth + node.nodeName()
+                         + (f"  [{', '.join(sorted(parts))}]"
+                            if parts else ""))
+            for c in node_children(node):
+                walk(c, depth + 1)
+
+        walk(df._jdf.queryExecution().executedPlan(), 0)
+        return "\n".join(lines)
+
     def quads_for_pattern(self, s=None, p=None, o=None, g=None) -> DataFrame:
         """Programmatic pattern scan (``Store::quads_for_pattern``,
         pyoxigraph ``PyStore::quads_for_pattern``): each argument is an

@@ -74,3 +74,17 @@ def test_stats_approx_mode(spark, sf_dir):
     assert pp_exact.keys() == pp_est.keys()
     for k, v in pp_exact.items():
         assert abs(pp_est[k] - v) <= max(2, 0.1 * v), k
+
+
+def test_store_profile(spark, sf_dir):
+    from oxigraph_spark.store import Store
+    st = Store.from_tables(spark, sf_dir, tables=["region", "nation"])
+    rep = st.profile("""
+        SELECT ?rn (COUNT(*) AS ?n) WHERE {
+          ?x <urn:g:nation#ref_region> ?r .
+          ?r <urn:g:region#r_name> ?rn
+        } GROUP BY ?rn""")
+    assert "Scan parquet" in rep
+    assert "numOutputRows" in rep
+    # aggregation executed: a HashAggregate node reports rows
+    assert "HashAggregate" in rep
