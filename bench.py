@@ -170,6 +170,38 @@ def main() -> None:
               f"({round(nq / wall, 1)} q/s)", file=sys.stderr)
     mixed_sec = round(statistics.median(mixed_walls), 3)
 
+    # informational extras (not part of the headline total): the round-4
+    # graph-analytics and retrieval operators at the same SF
+    from functools import reduce as _reduce
+
+    from oxigraph_spark.operators.graphrank import pagerank_terms
+    from oxigraph_spark.pipeline.retrieval import bm25_topk, build_text_index
+
+    # FK link graph via per-predicate scans (pruned by construction —
+    # a p-filter over the full quads union would still scan every
+    # predicate frame); n=1: the fixpoint is inherently multi-job
+    link_preds = ["urn:g:customer#ref_nation", "urn:g:nation#ref_region",
+                  "urn:g:supplier#ref_nation", "urn:g:orders#ref_customer"]
+    link_quads = _reduce(lambda a, b: a.unionByName(b),
+                         [store.source.scan(p) for p in link_preds])
+    t0 = time.time()
+    pagerank_terms(link_quads, max_iter=5).count()
+    pr_walls = [time.time() - t0]
+    bm_walls = []
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for _ in range(N_RUNS):
+        t0 = time.time()
+        idx = build_text_index(docs)
+        for q in ("hash join table", "window sort spark", "scan value row"):
+            bm25_topk(idx, q, k=10).count()
+        idx.postings.unpersist()
+        idx.terms.unpersist()
+        bm_walls.append(time.time() - t0)
+    pagerank_sec = round(statistics.median(pr_walls), 3)
+    bm25_sec = round(statistics.median(bm_walls), 3)
+    print(f"# pagerank(5 iters): {pagerank_sec}s; bm25 build+3 queries: "
+          f"{bm25_sec}s", file=sys.stderr)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "headline_total_wall",
@@ -181,6 +213,8 @@ def main() -> None:
         "mixed_sec": mixed_sec,         # 39-query BSBM-style mix, cold plans
         "mixed_queries": n_mixed,
         "mixed_qps": round(n_mixed / mixed_sec, 2) if mixed_sec else None,
+        "pagerank_sec": pagerank_sec,   # 5 power iterations, full FK graph
+        "bm25_sec": bm25_sec,           # index build + 3 top-k queries
         "n": N_RUNS,                    # per-query runs; values are medians
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))

@@ -51,8 +51,13 @@ def rdf_edges(quads: DataFrame, predicate: Optional[str] = None,
     q = quads.where((F.col("s")["kind"] == 0) & (F.col("o")["kind"] == 0))
     if predicate is not None:
         q = q.where(F.col("p")["lex"] == predicate)
+    # materialize the (tiny relative to the store) IRI pair list ONCE:
+    # edges, the node dictionary, the parallel-edge distinct, and the
+    # degree agg all consume it, and each would otherwise re-execute
+    # the full union-of-predicate-frames quad scan (measured 6x the
+    # whole PageRank loop at sf0.1)
     pairs = q.select(F.col("s")["lex"].alias("s_iri"),
-                     F.col("o")["lex"].alias("o_iri"))
+                     F.col("o")["lex"].alias("o_iri")).localCheckpoint()
     edges = pairs.select(_node_id(F.col("s_iri")).alias("src"),
                          _node_id(F.col("o_iri")).alias("dst"))
     nodes = (pairs.select(F.col("s_iri").alias("iri"))
@@ -65,7 +70,7 @@ def rdf_edges(quads: DataFrame, predicate: Optional[str] = None,
 def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
              damping: float = 0.85, max_iter: int = 20,
              num_partitions: Optional[int] = None,
-             checkpoint_every: int = 4,
+             checkpoint_every: int = 1,
              dedup_edges: bool = True) -> DataFrame:
     """PageRank over ``edges`` → ``(node BIGINT, rank DOUBLE)``.
 
@@ -104,7 +109,7 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     teleport = (1.0 - damping) / n
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     # graphs where every node links out (common after domain-graph
-    # closure) skip the per-iteration dangling scalar entirely
+    # closure) skip the dangling-mass machinery entirely
     dangling_nodes = nodes.join(deg, nodes["node"] == deg["src"],
                                 "leftanti").persist()
     has_dangling = bool(dangling_nodes.take(1))
@@ -116,22 +121,33 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
         contrib = (e.join(ranks.withColumnRenamed("node", "src"), "src")
                    .groupBy(F.col("dst").alias("node"))
                    .agg(F.sum(F.col("rank") / F.col("deg")).alias("in_mass")))
-        # dangling mass: rank held by nodes with no out-edges — one
-        # scalar per iteration, redistributed uniformly
+        # dangling mass (rank held by nodes with no out-edges,
+        # redistributed uniformly) rides along as a broadcast 1-row
+        # frame — NO per-iteration driver action; an eager action here
+        # would force a recompute of the whole unmaterialized lineage
+        # every round, compounding between checkpoints
+        base = F.lit(teleport)
         if has_dangling:
-            dangling = (ranks.join(dangling_nodes, "node", "leftsemi")
-                        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-                        .first()[0])
-        else:
-            dangling = 0.0
-        base = teleport + damping * dangling / n
-        ranks = (nodes.join(contrib, "node", "left")
-                 .select("node",
-                         (F.lit(base) + F.lit(damping)
-                          * F.coalesce(F.col("in_mass"), F.lit(0.0))
-                          ).alias("rank")))
+            dng = (ranks.join(dangling_nodes, "node", "leftsemi")
+                   .agg((F.lit(damping / n)
+                         * F.coalesce(F.sum("rank"), F.lit(0.0)))
+                        .alias("__dng")))
+            base = base + F.col("__dng")
+        nxt = (nodes.join(contrib, "node", "left"))
+        if has_dangling:
+            nxt = nxt.crossJoin(F.broadcast(dng))
+        ranks = nxt.select(
+            "node",
+            (base + F.lit(damping)
+             * F.coalesce(F.col("in_mass"), F.lit(0.0))).alias("rank"))
         if (i + 1) % checkpoint_every == 0 and i + 1 < max_iter:
-            ranks = ranks.localCheckpoint(eager=False)
+            # EAGER materialization (paths.py fixpoint discipline): the
+            # NEXT round consumes this frame twice (dangling agg +
+            # contribution join), so an unmaterialized plan would double
+            # its lineage per round — exponential recompute.  One cheap
+            # (node, rank) checkpoint per round keeps every iteration
+            # O(edges) and the logical plan O(1)-deep.
+            ranks = ranks.localCheckpoint()
 
     return ranks
 
