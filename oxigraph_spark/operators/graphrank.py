@@ -26,7 +26,7 @@ Scale shape (the part that matters at 100 TB):
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -71,7 +71,8 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
              damping: float = 0.85, max_iter: int = 20,
              num_partitions: Optional[int] = None,
              checkpoint_every: int = 1,
-             dedup_edges: bool = True) -> DataFrame:
+             dedup_edges: bool = True,
+             personalize: Optional[Sequence] = None) -> DataFrame:
     """PageRank over ``edges`` → ``(node BIGINT, rank DOUBLE)``.
 
     Standard power iteration with uniform teleport and dangling-mass
@@ -79,6 +80,12 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     ``edges`` columns may be any orderable type; they are used as join
     keys verbatim (callers with string node names should pre-hash — see
     :func:`rdf_edges`).
+
+    ``personalize`` is a (small) seed-node list: teleport AND dangling
+    mass then restart uniformly over the SEEDS instead of all nodes —
+    personalized PageRank (Haveliwala, WWW 2002), the entity-relatedness
+    score for "what's close to these nodes in link space".  Seeds ride
+    as a broadcast literal set; nothing else changes shape.
 
     ``dedup_edges=False`` skips the parallel-edge distinct for inputs
     that are already edge-unique (saves one shuffle at build).
@@ -106,8 +113,18 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     if n == 0:
         return nodes.select("node", F.lit(1.0).alias("rank"))
 
-    teleport = (1.0 - damping) / n
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    # teleport distribution: uniform, or uniform over the seed set
+    if personalize is not None:
+        seeds = list(personalize)
+        if not seeds:
+            raise ValueError("personalize: empty seed set")
+        tele = F.when(F.col("node").isin(seeds),
+                      F.lit(1.0 / len(seeds))).otherwise(F.lit(0.0))
+    else:
+        tele = F.lit(1.0 / n)
+    nodes = nodes.select("node", tele.alias("tele")).persist()
+
+    ranks = nodes.select("node", F.col("tele").alias("rank"))
     # graphs where every node links out (common after domain-graph
     # closure) skip the dangling-mass machinery entirely
     dangling_nodes = nodes.join(deg, nodes["node"] == deg["src"],
@@ -121,24 +138,24 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
         contrib = (e.join(ranks.withColumnRenamed("node", "src"), "src")
                    .groupBy(F.col("dst").alias("node"))
                    .agg(F.sum(F.col("rank") / F.col("deg")).alias("in_mass")))
-        # dangling mass (rank held by nodes with no out-edges,
-        # redistributed uniformly) rides along as a broadcast 1-row
-        # frame — NO per-iteration driver action; an eager action here
-        # would force a recompute of the whole unmaterialized lineage
-        # every round, compounding between checkpoints
-        base = F.lit(teleport)
+        # dangling mass (rank held by nodes with no out-edges, restarted
+        # over the teleport distribution) rides along as a broadcast
+        # 1-row frame — NO per-iteration driver action; an eager action
+        # here would force a recompute of the whole unmaterialized
+        # lineage every round, compounding between checkpoints
+        restart = F.lit(1.0 - damping)
         if has_dangling:
             dng = (ranks.join(dangling_nodes, "node", "leftsemi")
-                   .agg((F.lit(damping / n)
+                   .agg((F.lit(damping)
                          * F.coalesce(F.sum("rank"), F.lit(0.0)))
                         .alias("__dng")))
-            base = base + F.col("__dng")
+            restart = restart + F.col("__dng")
         nxt = (nodes.join(contrib, "node", "left"))
         if has_dangling:
             nxt = nxt.crossJoin(F.broadcast(dng))
         ranks = nxt.select(
             "node",
-            (base + F.lit(damping)
+            (F.col("tele") * restart + F.lit(damping)
              * F.coalesce(F.col("in_mass"), F.lit(0.0))).alias("rank"))
         if (i + 1) % checkpoint_every == 0 and i + 1 < max_iter:
             # EAGER materialization (paths.py fixpoint discipline): the
@@ -153,11 +170,21 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
 
 
 def pagerank_terms(quads: DataFrame, predicate: Optional[str] = None,
+                   personalize_iris: Optional[Sequence[str]] = None,
                    **kw) -> DataFrame:
     """:func:`pagerank` over the RDF link graph, decoded back to IRIs:
     ``(iri STRING, rank DOUBLE)``, descending.  The dictionary join is
-    the ONLY place strings appear; iterations ran on 8-byte ids."""
+    the ONLY place strings appear; iterations ran on 8-byte ids.
+    ``personalize_iris`` restarts over the given seed IRIs (personalized
+    PageRank — entity relatedness); resolved to ids via one bounded
+    |seeds|-row collect of the dictionary."""
     edges, nodes = rdf_edges(quads, predicate)
+    if personalize_iris is not None:
+        rows = (nodes.where(F.col("iri").isin(list(personalize_iris)))
+                .select("id").collect())
+        if not rows:
+            raise ValueError("personalize_iris: no seed found in graph")
+        kw["personalize"] = [r["id"] for r in rows]
     ranks = pagerank(edges, **kw)
     return (ranks.join(nodes, ranks["node"] == nodes["id"])
             .select("iri", "rank")
