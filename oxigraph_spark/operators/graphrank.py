@@ -17,11 +17,14 @@ Scale shape (the part that matters at 100 TB):
 - The edge set is hash-partitioned by ``src`` and persisted once; each
   iteration re-shuffles only the rank vector (N rows) to meet it.  With a
   bucketed/pre-partitioned edge store even that exchange is one-sided.
-- Dangling mass (nodes with no out-edges) is folded in via one scalar
-  ``agg`` per iteration — a driver round-trip of one double, not a join.
-- ``localCheckpoint`` every ``checkpoint_every`` iterations truncates the
-  lineage so the logical plan stays O(1) in the iteration count (same
-  discipline as the property-path fixpoint, operators/paths.py).
+- Dangling mass (nodes with no out-edges) folds in as a broadcast 1-row
+  aggregate INSIDE the plan — no per-iteration driver action, so nothing
+  forces recomputation of unmaterialized lineage mid-loop.
+- Eager ``localCheckpoint`` per round truncates lineage: the next round
+  consumes the score vector twice (mass aggregate + contribution join),
+  and an unmaterialized plan would double per round — exponential
+  recompute (same discipline as the property-path fixpoint,
+  operators/paths.py).
 """
 
 from __future__ import annotations
@@ -30,7 +33,8 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["pagerank", "degree_stats", "rdf_edges", "pagerank_terms"]
+__all__ = ["pagerank", "degree_stats", "rdf_edges", "pagerank_terms",
+           "hits", "connected_components"]
 
 
 def _node_id(c: Column) -> Column:
@@ -203,3 +207,68 @@ def degree_stats(edges: DataFrame, *, src: str = "src", dst: str = "dst",
             .select("node",
                     F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
                     F.coalesce("in_deg", F.lit(0)).alias("in_deg")))
+
+
+def hits(edges: DataFrame, *, src: str = "src", dst: str = "dst",
+         max_iter: int = 20, dedup_edges: bool = True) -> DataFrame:
+    """Kleinberg HITS → ``(node, hub, auth)``, both L2-normalized.
+
+    Same execution discipline as :func:`pagerank`: the edge set persists
+    once, each half-step shuffles only the (long, double) score vector,
+    the L2 norm rides along as a broadcast 1-row frame (no per-iteration
+    driver action), and both vectors are eagerly checkpointed per round
+    so the dual consumption (norm agg + next half-step join) never
+    recomputes lineage.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
+             .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    if dedup_edges:
+        e = e.distinct()
+    e = e.repartition("src").persist()
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionAll(e.select(F.col("dst").alias("node")))
+             .distinct().repartition("node").persist())
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("hub"),
+                            F.lit(0.0).alias("auth"))
+
+    def _normed(df: DataFrame, col: str) -> DataFrame:
+        nrm = df.agg(F.sqrt(F.sum(F.col(col) * F.col(col)))
+                     .alias("__nrm"))
+        return (df.crossJoin(F.broadcast(nrm))
+                .select("node",
+                        F.when(F.col("__nrm") > 0,
+                               F.col(col) / F.col("__nrm"))
+                        .otherwise(F.lit(0.0)).alias(col)))
+
+    hubs = nodes.select("node", F.lit(1.0 / (n ** 0.5)).alias("hub")) \
+                .localCheckpoint()
+    auths = None
+    for _ in range(max_iter):
+        raw_a = (e.join(hubs.withColumnRenamed("node", "src"), "src")
+                 .groupBy(F.col("dst").alias("node"))
+                 .agg(F.sum("hub").alias("auth")))
+        auths = _normed(
+            nodes.join(raw_a, "node", "left")
+            .select("node", F.coalesce("auth", F.lit(0.0)).alias("auth")),
+            "auth").localCheckpoint()
+        raw_h = (e.join(auths.withColumnRenamed("node", "dst"), "dst")
+                 .groupBy(F.col("src").alias("node"))
+                 .agg(F.sum("auth").alias("hub")))
+        hubs = _normed(
+            nodes.join(raw_h, "node", "left")
+            .select("node", F.coalesce("hub", F.lit(0.0)).alias("hub")),
+            "hub").localCheckpoint()
+    return hubs.join(auths, "node")
+
+
+def connected_components(edges: DataFrame, *, src: str = "src",
+                         dst: str = "dst") -> DataFrame:
+    """Weakly connected components → ``(id, cluster)`` with the
+    component's minimum member id as the label.  Thin graph-API alias
+    of the dedup family's min-label propagation
+    (:func:`oxigraph_spark.pipeline.dedup.dedup_clusters`) — one
+    shuffle join + one aggregate per round, ids only."""
+    from ..pipeline.dedup import dedup_clusters
+    return dedup_clusters(edges, left_col=src, right_col=dst)

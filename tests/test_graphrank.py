@@ -168,3 +168,42 @@ def test_personalized_pagerank_terms(spark, link_quads):
     others = [v for k, v in rank.items()
               if ":region/" in k and k != seed_region]
     assert all(v == pytest.approx(0.0, abs=1e-12) for v in others)
+
+
+def numpy_hits(edges, n, iters=20):
+    h = np.full(n, 1.0 / np.sqrt(n))
+    a = np.zeros(n)
+    for _ in range(iters):
+        a = np.zeros(n)
+        for s, d in edges:
+            a[d] += h[s]
+        if a.any():
+            a /= np.sqrt((a ** 2).sum())
+        h = np.zeros(n)
+        for s, d in edges:
+            h[s] += a[d]
+        if h.any():
+            h /= np.sqrt((h ** 2).sum())
+    return h, a
+
+
+def test_hits_matches_oracle(spark):
+    from oxigraph_spark.operators.graphrank import hits
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {r["node"]: (r["hub"], r["auth"])
+           for r in hits(df, max_iter=12).collect()}
+    h, a = numpy_hits(sorted(set(EDGES)), 6, iters=12)
+    for v in range(6):
+        assert got[v][0] == pytest.approx(h[v], abs=1e-9)
+        assert got[v][1] == pytest.approx(a[v], abs=1e-9)
+    # node 2 receives from the most hubs: top authority
+    assert max(got, key=lambda v: got[v][1]) == 2
+
+
+def test_connected_components_alias(spark):
+    from oxigraph_spark.operators.graphrank import connected_components
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (12, 11)], "src long, dst long")
+    got = {r["id"]: r["cluster"]
+           for r in connected_components(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
