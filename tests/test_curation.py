@@ -210,3 +210,24 @@ def test_chunk_documents_no_python_in_plan(spark):
     plan = out._sc._jvm.PythonSQLUtils.explainString(
         out._jdf.queryExecution(), "formatted")
     assert "EvalPython" not in plan
+
+
+def test_domain_authority(spark):
+    """Hyperlink pairs → domain PageRank: heavily-cited domain wins;
+    intra-domain links and invalid hosts are ignored."""
+    from oxigraph_spark.pipeline.urls import domain_authority
+    links = [
+        ("http://a.com/1", "https://www.hub.co.uk/x"),
+        ("http://b.org/2", "https://hub.co.uk/y"),
+        ("http://c.net/3", "http://hub.co.uk/z"),
+        ("http://hub.co.uk/a", "http://a.com/1"),
+        ("http://a.com/5", "http://a.com/6"),      # intra-domain: dropped
+        ("not a url", "http://a.com/1"),           # invalid src: dropped
+    ]
+    df = spark.createDataFrame(links, "src_url string, dst_url string")
+    got = domain_authority(df, max_iter=20).collect()
+    ranks = {r["domain"]: r["rank"] for r in got}
+    assert set(ranks) == {"a.com", "b.org", "c.net", "hub.co.uk"}
+    assert max(ranks, key=ranks.get) == "hub.co.uk"
+    # www. and scheme/port variations collapsed into one domain node
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-9)
