@@ -32,7 +32,7 @@ from __future__ import annotations
 import os
 from typing import Dict, Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..sources.ntriples import parse_nt_lines
 
@@ -52,7 +52,8 @@ def continuous_sparql(lines: DataFrame, queries: Dict[str, str], *,
                       quad_log: str, results_dir: str,
                       base_store=None, quads: bool = False,
                       checkpoint: Optional[str] = None,
-                      available_now: bool = True):
+                      available_now: bool = True,
+                      window_batches: Optional[int] = None):
     """Start the standing-query stream; returns the StreamingQuery
     (callers own ``awaitTermination``/``stop``).
 
@@ -61,6 +62,14 @@ def continuous_sparql(lines: DataFrame, queries: Dict[str, str], *,
     everything ingested so far (∪ ``base_store``'s quads if given).
     ``available_now=True`` drains what's already in the drop dir and
     stops — the testable mode; pass False for a long-running stream.
+
+    ``window_batches=W`` gives C-SPARQL's sliding window: only quads
+    from the most recent W micro-batches participate in re-evaluation
+    (the base store, if given, always does).  The quad log carries a
+    ``__batch`` partition column, so the window filter prunes log
+    PARTITIONS — an evaluation never reads expired data, and expired
+    partitions can be dropped by retention jobs without touching the
+    stream.
     """
     from ..operators.update import MutableQuadSource
     from ..store import Store
@@ -69,8 +78,13 @@ def continuous_sparql(lines: DataFrame, queries: Dict[str, str], *,
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         new_quads = parse_nt_lines(batch_df, quads=quads)
-        new_quads.write.mode("append").parquet(quad_log)
-        all_quads = spark.read.parquet(quad_log)
+        new_quads.withColumn("__batch", F.lit(batch_id)) \
+            .write.mode("append").partitionBy("__batch").parquet(quad_log)
+        log = spark.read.parquet(quad_log)
+        if window_batches is not None:
+            log = log.where(
+                F.col("__batch") > batch_id - window_batches)
+        all_quads = log.drop("__batch")
         if base_store is not None:
             all_quads = base_store.source.quads().unionByName(all_quads)
         # localCheckpoint: every registered query pattern-scans this

@@ -134,3 +134,35 @@ def test_continuous_sparql(spark, tmp_path):
                                              "urn:x:s3"}
     # quad log accumulated every batch
     assert spark.read.parquet(str(tmp_path / "log")).count() == 3
+
+
+def test_continuous_sparql_windowed(spark, tmp_path):
+    """window_batches=1: after draining two single-file batches, the
+    snapshot reflects ONLY the newest batch; the quad log keeps all."""
+    import os
+    from oxigraph_spark.streaming.sparql import (
+        continuous_sparql, stream_ntriples)
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    (drop / "a.nt").write_text('<urn:w:s1> <urn:w:p> "old" .\n')
+    (drop / "b.nt").write_text('<urn:w:s2> <urn:w:p> "new" .\n')
+
+    q = continuous_sparql(
+        stream_ntriples(spark, str(drop)),
+        {"win": "SELECT ?s WHERE { ?s <urn:w:p> ?v }"},
+        quad_log=str(tmp_path / "log"),
+        results_dir=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"),
+        window_batches=1)
+    q.awaitTermination(120)
+
+    subs = {r["s"]["lex"] for r in
+            spark.read.parquet(str(tmp_path / "out" / "win")).collect()}
+    # one batch per file (maxFilesPerTrigger=1): only the second
+    # batch's subject survives the 1-batch window
+    assert len(subs) == 1
+    # full log retains both, partitioned by batch for retention drops
+    log = spark.read.parquet(str(tmp_path / "log"))
+    assert log.count() == 2
+    assert log.select("__batch").distinct().count() == 2
