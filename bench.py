@@ -194,8 +194,7 @@ def main() -> None:
         idx = build_text_index(docs)
         for q in ("hash join table", "window sort spark", "scan value row"):
             bm25_topk(idx, q, k=10).count()
-        idx.postings.unpersist()
-        idx.terms.unpersist()
+        idx.unpersist()
         bm_walls.append(time.time() - t0)
     pagerank_sec = round(statistics.median(pr_walls), 3)
     bm25_sec = round(statistics.median(bm_walls), 3)

@@ -74,6 +74,13 @@ class TextIndex:
                               "n_docs long, avgdl double") \
             .write.mode("overwrite").parquet(f"{path}/stats")
 
+    def unpersist(self) -> None:
+        """Release the cached postings/term frames (long-lived sessions
+        that rebuild indexes repeatedly should call this — Spark's cache
+        registry holds persisted plans until told otherwise)."""
+        self.postings.unpersist()
+        self.terms.unpersist()
+
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "TextIndex":
         stats = spark.read.parquet(f"{path}/stats").first()
