@@ -108,25 +108,32 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     e = e.join(deg, "src").persist()
 
-    nodes = (e.select(F.col("src").alias("node"))
-             .unionAll(e.select(F.col("dst").alias("node")))
-             .distinct()
-             .repartition("node")
-             .persist())
-    n = nodes.count()  # also materializes the persisted frames
+    bare_nodes = (e.select(F.col("src").alias("node"))
+                  .unionAll(e.select(F.col("dst").alias("node")))
+                  .distinct()
+                  .repartition("node"))
+    n = bare_nodes.count()  # also materializes the persisted edge frame
     if n == 0:
-        return nodes.select("node", F.lit(1.0).alias("rank"))
+        return bare_nodes.select("node", F.lit(1.0).alias("rank"))
 
     # teleport distribution: uniform, or uniform over the seed set
     if personalize is not None:
-        seeds = list(personalize)
+        seeds = sorted(set(personalize))  # dups would leak teleport mass
         if not seeds:
             raise ValueError("personalize: empty seed set")
+        # normalize over the seeds PRESENT in the graph — absent seeds
+        # would silently drain sum(rank) below 1 every iteration
+        present = bare_nodes.where(F.col("node").isin(seeds)).count()
+        if present == 0:
+            raise ValueError("personalize: no seed present in the graph")
+        if present < len(seeds):
+            seeds = [r["node"] for r in
+                     bare_nodes.where(F.col("node").isin(seeds)).collect()]
         tele = F.when(F.col("node").isin(seeds),
                       F.lit(1.0 / len(seeds))).otherwise(F.lit(0.0))
     else:
         tele = F.lit(1.0 / n)
-    nodes = nodes.select("node", tele.alias("tele")).persist()
+    nodes = bare_nodes.select("node", tele.alias("tele")).persist()
 
     ranks = nodes.select("node", F.col("tele").alias("rank"))
     # graphs where every node links out (common after domain-graph
@@ -170,6 +177,12 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
             # O(edges) and the logical plan O(1)-deep.
             ranks = ranks.localCheckpoint()
 
+    # sever lineage, then release every cache this call registered —
+    # a long-lived session calling pagerank per request must not
+    # accumulate dead edge sets in the executor storage registry
+    ranks = ranks.localCheckpoint()
+    for frame in (e, nodes, dangling_nodes):
+        frame.unpersist()
     return ranks
 
 
@@ -220,6 +233,8 @@ def hits(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     so the dual consumption (norm agg + next half-step join) never
     recomputes lineage.
     """
+    if max_iter < 1:
+        raise ValueError("hits: max_iter must be >= 1")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
              .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
     if dedup_edges:
@@ -260,7 +275,12 @@ def hits(edges: DataFrame, *, src: str = "src", dst: str = "dst",
             nodes.join(raw_h, "node", "left")
             .select("node", F.coalesce("hub", F.lit(0.0)).alias("hub")),
             "hub").localCheckpoint()
-    return hubs.join(auths, "node")
+    # both vectors are checkpointed (lineage severed) — release the
+    # caches this call registered before returning
+    out = hubs.join(auths, "node")
+    e.unpersist()
+    nodes.unpersist()
+    return out
 
 
 def connected_components(edges: DataFrame, *, src: str = "src",

@@ -181,6 +181,8 @@ def rrf_fuse(*rankings, id_col: str = "doc_id", k: int = 10,
     frames and wrong for anything larger.
     """
     from pyspark.sql import Window
+    if not rankings:
+        raise ValueError("rrf_fuse: at least one ranked list required")
     parts = []
     for r in rankings:
         df, score_col = r if isinstance(r, tuple) else (r, "score")

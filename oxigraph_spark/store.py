@@ -97,8 +97,11 @@ class Store:
         subtrees report their FINAL shape."""
         df = self.query(sparql)
         # execute THIS DataFrame's queryExecution (a derived action like
-        # .count() would run a different plan whose metrics we can't see)
-        df.collect()
+        # .count() would run a different plan whose metrics we can't
+        # see) WITHOUT materializing rows on the driver: run the
+        # physical plan's RDD and count JVM-side — O(1) driver memory
+        # even when the result is the whole store
+        df._jdf.queryExecution().executedPlan().execute().count()
 
         def node_children(node):
             name = node.nodeName()

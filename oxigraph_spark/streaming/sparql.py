@@ -40,12 +40,13 @@ __all__ = ["stream_ntriples", "continuous_sparql"]
 
 
 def stream_ntriples(spark: SparkSession, drop_dir: str,
-                    max_files_per_trigger: int = 1) -> DataFrame:
-    """Streaming frame of raw N-Triples lines from a drop directory
-    (new ``.nt`` files appear → new micro-batch)."""
+                    max_files_per_trigger: int = 1,
+                    pattern: str = "*.n[tq]") -> DataFrame:
+    """Streaming frame of raw N-Triples/N-Quads lines from a drop
+    directory (new ``.nt``/``.nq`` files appear → new micro-batch)."""
     return (spark.readStream
             .option("maxFilesPerTrigger", max_files_per_trigger)
-            .text(os.path.join(drop_dir, "*.nt")))
+            .text(os.path.join(drop_dir, pattern)))
 
 
 def continuous_sparql(lines: DataFrame, queries: Dict[str, str], *,
@@ -77,9 +78,26 @@ def continuous_sparql(lines: DataFrame, queries: Dict[str, str], *,
     spark = lines.sparkSession
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch hands a CLONED session — confs must be set on
+        # THAT session or the write below silently ignores them
+        bspark = batch_df.sparkSession
         new_quads = parse_nt_lines(batch_df, quads=quads)
-        new_quads.withColumn("__batch", F.lit(batch_id)) \
-            .write.mode("append").partitionBy("__batch").parquet(quad_log)
+        # idempotent under batch REPLAY (driver crash between the log
+        # write and the checkpoint commit re-runs this batch_id):
+        # dynamic partition overwrite replaces ONLY this batch's
+        # partition, so a replayed batch lands exactly once — a plain
+        # append would double its quads forever
+        prev = bspark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                               "static")
+        bspark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                        "dynamic")
+        try:
+            new_quads.withColumn("__batch", F.lit(batch_id)) \
+                .write.mode("overwrite").partitionBy("__batch") \
+                .parquet(quad_log)
+        finally:
+            bspark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                            prev)
         log = spark.read.parquet(quad_log)
         if window_batches is not None:
             log = log.where(
@@ -87,13 +105,17 @@ def continuous_sparql(lines: DataFrame, queries: Dict[str, str], *,
         all_quads = log.drop("__batch")
         if base_store is not None:
             all_quads = base_store.source.quads().unionByName(all_quads)
-        # localCheckpoint: every registered query pattern-scans this
-        # frame; don't re-read the log per scan within one evaluation
-        src = MutableQuadSource(spark, all_quads.localCheckpoint())
-        st = Store(spark, src)
-        for name, sparql in queries.items():
-            st.query(sparql).write.mode("overwrite") \
-                .parquet(os.path.join(results_dir, name))
+        # persist: every registered query pattern-scans this frame —
+        # don't re-read the log per scan; released before the batch
+        # ends so a long-running stream holds at most one copy
+        cached = all_quads.persist()
+        try:
+            st = Store(spark, MutableQuadSource(spark, cached))
+            for name, sparql in queries.items():
+                st.query(sparql).write.mode("overwrite") \
+                    .parquet(os.path.join(results_dir, name))
+        finally:
+            cached.unpersist()
 
     writer = lines.writeStream.foreachBatch(process)
     if checkpoint:

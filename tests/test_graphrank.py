@@ -207,3 +207,29 @@ def test_connected_components_alias(spark):
     got = {r["id"]: r["cluster"]
            for r in connected_components(df).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_personalize_absent_and_duplicate_seeds(spark):
+    """Absent seeds renormalize over the present ones (mass stays 1);
+    duplicates don't double-weight; all-absent raises."""
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    with_ghost = {r["node"]: r["rank"]
+                  for r in pagerank(df, max_iter=10,
+                                    personalize=[0, 999]).collect()}
+    only_zero = {r["node"]: r["rank"]
+                 for r in pagerank(df, max_iter=10,
+                                   personalize=[0, 0]).collect()}
+    want = numpy_pagerank(EDGES, 6, iters=10, seeds=[0])
+    for v in range(6):
+        assert with_ghost[v] == pytest.approx(want[v], abs=1e-9)
+        assert only_zero[v] == pytest.approx(want[v], abs=1e-9)
+    assert sum(with_ghost.values()) == pytest.approx(1.0, abs=1e-9)
+    with pytest.raises(ValueError):
+        pagerank(df, max_iter=3, personalize=[777]).collect()
+
+
+def test_hits_zero_iters_raises(spark):
+    from oxigraph_spark.operators.graphrank import hits
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    with pytest.raises(ValueError):
+        hits(df, max_iter=0)

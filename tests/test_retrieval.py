@@ -157,3 +157,30 @@ def test_hybrid_lexical_dense(spark, sf_dir):
     assert 0 < len(fused) <= 5
     scores = [r["score"] for r in fused]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_tokenizers_locked_together(spark):
+    """_tokenize_py must produce exactly what the Spark-side tokenizer
+    (dedup.normalize_text split) produces — the index is built with one
+    and queries with the other, so drift silently empties results."""
+    from oxigraph_spark.pipeline.retrieval import _tokenize_py, _tokens
+    cases = [
+        "Hello, World!", "a-b_c d", "  spaces\t tabs \n lines ",
+        "ALL CAPS", "unicode: café über straße",
+        "digits 123 mix3d", "punct!!! ???", "", "   ", "one",
+        "hyphen-ated and slash/ed", "quotes 'single' \"double\"",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    spark_toks = [r["t"] for r in
+                  df.select(_tokens(F.col("text")).alias("t")).collect()]
+    for c, st in zip(cases, spark_toks):
+        got = _tokenize_py(c)
+        want = [w for w in st if w != ""]
+        got = [w for w in got if w != ""]
+        assert got == want, f"tokenizer drift on {c!r}: {got} != {want}"
+
+
+def test_rrf_fuse_no_rankings_raises(spark):
+    from oxigraph_spark.pipeline.retrieval import rrf_fuse
+    with pytest.raises(ValueError):
+        rrf_fuse(k=5)

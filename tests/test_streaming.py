@@ -166,3 +166,28 @@ def test_continuous_sparql_windowed(spark, tmp_path):
     log = spark.read.parquet(str(tmp_path / "log"))
     assert log.count() == 2
     assert log.select("__batch").distinct().count() == 2
+
+
+def test_continuous_sparql_replay_idempotent(spark, tmp_path):
+    """Replaying batches (fresh checkpoint, same quad log) must not
+    duplicate quads: each batch overwrites its own log partition."""
+    from oxigraph_spark.streaming.sparql import (
+        continuous_sparql, stream_ntriples)
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    (drop / "a.nt").write_text('<urn:r:s1> <urn:r:p> "1"^^<http://www.w3.org/2001/XMLSchema#integer> .\n')
+    (drop / "b.nt").write_text('<urn:r:s2> <urn:r:p> "2"^^<http://www.w3.org/2001/XMLSchema#integer> .\n')
+    queries = {"sum": "SELECT (SUM(?v) AS ?total) WHERE { ?s <urn:r:p> ?v }"}
+
+    for run in range(2):   # second run = full replay after "crash"
+        q = continuous_sparql(
+            stream_ntriples(spark, str(drop)), queries,
+            quad_log=str(tmp_path / "log"),
+            results_dir=str(tmp_path / "out"),
+            checkpoint=str(tmp_path / f"ckpt{run}"))
+        q.awaitTermination(120)
+
+    assert spark.read.parquet(str(tmp_path / "log")).count() == 2
+    total = spark.read.parquet(str(tmp_path / "out" / "sum")).collect()
+    assert total[0]["total"]["lex"] == "3"
