@@ -468,14 +468,17 @@ def guarded_key_named(name: str) -> Column:
                   f"THEN {join_key_sql(name)} END")
 
 
-# -- compact 64-bit key family (opt-in dictionary variant, SURVEY §1.4) -----
+# -- compact 64-bit key family (DEFAULT dictionary variant, SURVEY §1.4) ----
 # Same content-hash identity as join_key but a SINGLE xxhash64: 8-byte
 # exchange/group keys (half the width) at collision odds ≈ N²/2⁶⁵ —
 # safe for corpora up to ~10⁹ distinct terms (odds ≈ 3·10⁻²·ε), NOT for
-# the 10¹²-term 100 TB tier, where the 128-bit default stays mandatory
-# (see sources/dictionary.py sizing note).  Enabled per-source via
-# ``source.key_width = 64``; the compiler dispatches every key
-# computation through one mode so mixed-width comparisons cannot occur.
+# the 10¹²-term 100 TB tier, where sources must opt back into the
+# 128-bit struct keys (``key_width=128``; see sources/dictionary.py
+# sizing note).  Selected per-source via ``source.key_width``; the
+# compiler dispatches every key computation through one mode so
+# mixed-width comparisons cannot occur.  Measured on the sf0.1 join
+# and closure shapes the 64-bit keys are 1.3–1.6× faster
+# (tools/ab_keywidth.py), hence the default.
 
 def join_key64(t: Column) -> Column:
     return F.xxhash64(t["kind"],

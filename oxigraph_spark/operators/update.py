@@ -95,11 +95,12 @@ class MutableQuadSource:
     target of update operations."""
 
     def __init__(self, spark: SparkSession, df: DataFrame,
-                 key_width: int = 128):
+                 key_width: int = 64):
         self.spark = spark
         self.df = df
         # identity-key width the compiler uses over this source (64 =
-        # compact single-xxhash64 longs, model.terms.join_key64)
+        # compact single-xxhash64 longs, model.terms.join_key64 —
+        # the default; 128 = struct double-hash fallback)
         self.key_width = key_width
         # bumped on every mutation; Store's compiled-plan cache keys on
         # it so cached plans over a mutated source are never served
@@ -109,8 +110,11 @@ class MutableQuadSource:
     def from_source(cls, spark: SparkSession, source) -> "MutableQuadSource":
         # materialize once: update execution pattern-scans the store many
         # times (templates + WHERE + anti-joins); without this every scan
-        # re-reads the full per-predicate union from parquet
-        return cls(spark, source.quads().localCheckpoint())
+        # re-reads the full per-predicate union from parquet.  Inherit
+        # the source's key width so Store.update keeps the same
+        # dictionary mode end to end.
+        return cls(spark, source.quads().localCheckpoint(),
+                   key_width=getattr(source, "key_width", 64))
 
     def scan(self, p_lex: Optional[str] = None) -> DataFrame:
         df = self.df

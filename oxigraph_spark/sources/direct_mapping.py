@@ -157,11 +157,13 @@ class DirectMappingSource:
 
     def __init__(self, spark: SparkSession, sf_dir: str,
                  tables: Optional[Iterable[str]] = None,
-                 key_width: int = 128):
+                 key_width: int = 64):
         self.spark = spark
         self.sf_dir = sf_dir
-        # identity-key width the compiler should use over this source
-        # (64 = compact single-xxhash64 longs, see model.terms.join_key64)
+        # identity-key width the compiler should use over this source:
+        # 64 (default) = compact single-xxhash64 longs (see
+        # model.terms.join_key64; safe to ~10⁹ distinct terms), 128 =
+        # struct<h1,h2> double-hash fallback for larger corpora
         self.key_width = key_width
         self._raw: Dict[str, DataFrame] = {}
         self._frames: Dict[str, DataFrame] = {}

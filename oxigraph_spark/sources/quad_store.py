@@ -32,13 +32,13 @@ class ParquetQuadStore:
     """Quads persisted as predicate-partitioned parquet."""
 
     def __init__(self, spark: SparkSession, path: str,
-                 key_width: int = 128):
-        """``key_width`` must match what :meth:`write` persisted: 128
-        (default struct<h1,h2> content hashes — safe at any corpus size)
-        or the opt-in compact 64 (single xxhash64 longs — half the
-        exchange/group key width; bounded to ≲10⁹ distinct terms, see
-        ``model.terms.join_key64``).  The compiler reads this attribute
-        and dispatches every key computation to the same width."""
+                 key_width: int = 64):
+        """``key_width`` must match what :meth:`write` persisted: 64
+        (default — single xxhash64 longs, half the exchange/group key
+        width, ≲10⁹ distinct terms, see ``model.terms.join_key64``) or
+        the 128-bit struct<h1,h2> fallback for larger corpora.  The
+        compiler reads this attribute and dispatches every key
+        computation to the same width."""
         self.spark = spark
         self.path = path
         self.key_width = key_width
@@ -47,7 +47,7 @@ class ParquetQuadStore:
     def write(df: DataFrame, path: str,
               sort_in_partition: bool = True,
               with_keys: bool = True,
-              key_width: int = 128) -> None:
+              key_width: int = 64) -> None:
         """Write quads (s,p,o,g) partitioned by predicate.
 
         At 100 TB you run this once per ingest batch; repartitioning by
@@ -62,11 +62,11 @@ class ParquetQuadStore:
         query compiler joins on these ids (``Compiled.ids``); persisting
         them at ingest means pattern scans serve join keys straight from
         parquet — zero query-time hashing, computed once per quad ever.
-        Cost: 4×16 bytes per row before parquet encoding (keys of
-        repeated terms dictionary-encode well).  ``key_width=64``
-        persists single-xxhash64 BIGINT ids instead (half the width;
-        ≲10⁹-distinct-term corpora only — read back with
-        ``ParquetQuadStore(path, key_width=64)``)."""
+        ``key_width=64`` (default) persists single-xxhash64 BIGINT ids
+        (≲10⁹-distinct-term corpora); ``key_width=128`` persists
+        struct<h1,h2> double-hash ids (4×16 bytes/row pre-encoding;
+        keys of repeated terms dictionary-encode well) for corpora
+        beyond that — read back with the SAME ``key_width``."""
         from . import dictionary as D
         keyed = df.withColumn(
             "p_part",

@@ -34,7 +34,13 @@ class Store:
 
     @classmethod
     def from_tables(cls, spark: SparkSession, sf_dir: str, tables=None,
-                    key_width: int = 128, **kw) -> "Store":
+                    key_width: int = 64, **kw) -> "Store":
+        """``key_width``: dictionary identity-key width.  64 (default)
+        = single-xxhash64 BIGINT keys — half the exchange/group width,
+        measured 1.3–1.6× faster on join/closure shapes
+        (tools/ab_keywidth.py); collision-safe to ~10⁹ distinct terms.
+        Pass ``key_width=128`` (struct<h1,h2> double-hash) for corpora
+        beyond that — the 100 TB / 10¹²-distinct-term tier."""
         from .sources.direct_mapping import DirectMappingSource
         return cls(spark, DirectMappingSource(spark, sf_dir, tables=tables,
                                               key_width=key_width), **kw)

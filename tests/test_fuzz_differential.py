@@ -128,8 +128,8 @@ def test_fuzz_key64_matches_key128(spark, sf_dir, seed):
     UNION, MINUS, EXISTS and aggregates."""
     q = gen_query(seed)
     ast = parse_query(q)
-    w128 = DirectMappingSource(spark, sf_dir)
-    w64 = DirectMappingSource(spark, sf_dir, key_width=64)
+    w128 = DirectMappingSource(spark, sf_dir, key_width=128)
+    w64 = DirectMappingSource(spark, sf_dir)  # 64 is the default
     a = Compiler(spark, w128, optimize=True).compile_query(ast)
     b = Compiler(spark, w64, optimize=True).compile_query(ast)
     assert _multiset(a) == _multiset(b), q

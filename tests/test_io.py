@@ -315,8 +315,8 @@ def test_quad_store_persisted_dictionary_keys(spark, nt_path, tmp_path):
     instead of re-hashing terms (zero xxhash64 in the optimized plan)."""
     df = read_ntriples(spark, nt_path)
     path = str(tmp_path / "qstore_keys")
-    ParquetQuadStore.write(df, path)
-    store = ParquetQuadStore(spark, path)
+    ParquetQuadStore.write(df, path, key_width=128)
+    store = ParquetQuadStore(spark, path, key_width=128)
     scan = store.scan("urn:ex:name")
     assert {"s_key", "p_key", "o_key", "g_key"} <= set(scan.columns)
     ok = scan.select(

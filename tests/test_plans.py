@@ -93,10 +93,10 @@ def test_scan_memo_reuses_dataframes(spark, sf_dir):
 
 
 def test_key_width_64_equivalence(spark, sf_dir):
-    """Opt-in compact 64-bit dictionary keys (source.key_width=64,
+    """Default compact 64-bit dictionary keys (source.key_width=64,
     SURVEY §1.4 variant): joins, closures, aggregates, MINUS and
-    OPTIONAL produce results identical to the 128-bit default, and the
-    persisted quad-store sidecars come back as BIGINT."""
+    OPTIONAL produce results identical to the 128-bit fallback
+    (key_width=128, for ≳10⁹-distinct-term corpora)."""
     from oxigraph_spark.store import Store
     queries = [
         """PREFIX c: <urn:g:customer#> PREFIX n: <urn:g:nation#>
@@ -112,8 +112,8 @@ def test_key_width_64_equivalence(spark, sf_dir):
            SELECT ?rn (COUNT(?n) AS ?cnt) WHERE { ?r r:r_name ?rn .
              OPTIONAL { ?n n:ref_region ?r } } GROUP BY ?rn""",
     ]
-    st128 = Store.from_tables(spark, sf_dir)
-    st64 = Store.from_tables(spark, sf_dir, key_width=64)
+    st128 = Store.from_tables(spark, sf_dir, key_width=128)
+    st64 = Store.from_tables(spark, sf_dir)  # 64 is the default
     for q in queries:
         a = sorted(map(str, st128.query(q).collect()))
         b = sorted(map(str, st64.query(q).collect()))
