@@ -245,13 +245,24 @@ def _closure(compiler, edges: DataFrame, start: Optional[DataFrame]) -> DataFram
     never re-shuffled or re-materialized as it grows.  The raw edge
     relation is NOT pre-deduplicated: the store holds unique quads and
     every downstream consumer (initial frontier, per-round union)
-    distincts anyway, so a global edge shuffle would be pure cost."""
+    distincts anyway, so a global edge shuffle would be pure cost.
+
+    Cold-build discipline (round-5): under AQE, ``localCheckpoint``
+    forces physical planning AND materializes every exchange stage
+    synchronously, so each checkpointed frame costs a driver codegen +
+    scheduling round even when lazy.  The fixpoint therefore
+    checkpoints ONLY what iterations actually touch — the narrow
+    8/16-byte ``(sk, dk)`` relation and the per-round deltas.  The
+    term dictionary stays a lazy plan over the raw edge scans: it is
+    consumed exactly once, by the final decode join, where its two
+    references collapse to one shuffle via exchange reuse — deferring
+    it merges its work into the decode job instead of paying a
+    separate synchronous materialization before round 1."""
     edges = edges.localCheckpoint(eager=False)
-    # dictionary: one row per distinct endpoint term (one shuffle, once)
-    dic = edges.select(F.col("sk").alias("k"), F.col("src").alias("term")) \
-               .unionByName(edges.select(F.col("dk").alias("k"),
-                                         F.col("dst").alias("term"))) \
-               .dropDuplicates(["k"]).localCheckpoint(eager=False)
+    endpoints = edges.select(F.col("sk").alias("k"),
+                             F.col("src").alias("term")) \
+                     .unionByName(edges.select(F.col("dk").alias("k"),
+                                               F.col("dst").alias("term")))
     ek = edges.select("sk", "dk")
     if start is not None:
         sk = start["sk"] if "sk" in start.columns else compiler._jk(start["src"])
@@ -287,13 +298,36 @@ def _closure(compiler, edges: DataFrame, start: Optional[DataFrame]) -> DataFram
             (stepped["sk"] == seen["psk"]) & (stepped["dk"] == seen["pdk"]),
             "leftanti").localCheckpoint(eager=False)
         if new.count() == 0:
-            return _decode_pairs(paths, dic)
+            return _decode(paths, endpoints, seeded=start is not None)
         paths = paths.unionByName(new)
         frontier = new
     raise RuntimeError(
         f"property-path closure did not converge within {2 * MAX_ITERATIONS} "
         "edge hops; raise oxigraph_spark.operators.paths.MAX_ITERATIONS for "
         "deeper graphs")
+
+
+def _decode(paths: DataFrame, endpoints: DataFrame,
+            seeded: bool) -> DataFrame:
+    """Build the decode dictionary and materialize the closure's terms.
+
+    Seeded closures decode through a PRUNED dictionary: the closure's
+    key set (bounded — it is the seed-reachable relation) semi-joins
+    the raw endpoint rows before the distinct, so the dedup shuffle
+    covers only reachable terms instead of the store's full endpoint
+    domain; the whole thing stays lazy and runs inside the final job
+    (AQE broadcasts the key set when it is small).  Unseeded closures
+    keep the full-domain dictionary, checkpointed so its one shuffle is
+    shared by both decode joins."""
+    if seeded:
+        keys = paths.select("sk").unionByName(
+            paths.select(F.col("dk").alias("sk"))) \
+            .distinct().select(F.col("sk").alias("kk"))
+        dic = endpoints.join(keys, endpoints["k"] == keys["kk"],
+                             "leftsemi").dropDuplicates(["k"])
+    else:
+        dic = endpoints.dropDuplicates(["k"]).localCheckpoint(eager=False)
+    return _decode_pairs(paths, dic)
 
 
 def _decode_pairs(pairs: DataFrame, dic: DataFrame) -> DataFrame:
