@@ -29,12 +29,37 @@ Scale shape (the part that matters at 100 TB):
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["pagerank", "degree_stats", "rdf_edges", "pagerank_terms",
            "hits", "connected_components"]
+
+_CACHE_PART_KEY = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+
+
+@contextmanager
+def _pinned_cache_partitioning(df: DataFrame):
+    """Persist-scope guard: the session default keeps
+    ``canChangeCachedPlanOutputPartitioning=true`` (cached frames opt
+    INTO AQE so consumers keep runtime broadcast/coalescing — see
+    session.configure), but that makes a cached frame report UNKNOWN
+    output partitioning, so a pre-``repartition(key)``-ed edge cache
+    would be re-shuffled by every per-iteration join — the exact
+    exchange the pre-partitioning exists to delete.  The conf is read
+    once, when ``persist()`` builds the InMemoryRelation, so flipping
+    it false just around the persist pins the cache's hash
+    partitioning for all consumers while leaving every other cache in
+    the session adaptive."""
+    spark = df.sparkSession
+    old = spark.conf.get(_CACHE_PART_KEY)
+    spark.conf.set(_CACHE_PART_KEY, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(_CACHE_PART_KEY, old)
 
 
 def _node_id(c: Column) -> Column:
@@ -104,9 +129,13 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
         e = e.repartition("src")
     # edges + per-source out-degree materialized ONCE; every iteration
     # reads this frame, so persist it (deg rides along → the per-iter
-    # join needs no second lookup)
+    # join needs no second lookup).  Pinned partitioning: the cache
+    # keeps its src-hash layout visible, so each iteration's join
+    # exchanges only the (long, double) rank vector.
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    e = e.join(deg, "src").persist()
+    e = e.join(deg, "src")
+    with _pinned_cache_partitioning(e):
+        e = e.persist()
 
     bare_nodes = (e.select(F.col("src").alias("node"))
                   .unionAll(e.select(F.col("dst").alias("node")))
@@ -222,16 +251,37 @@ def degree_stats(edges: DataFrame, *, src: str = "src", dst: str = "dst",
                     F.coalesce("in_deg", F.lit(0)).alias("in_deg")))
 
 
+def _half_step(e_oriented: DataFrame, scores: DataFrame,
+               join_key: str, out_key: str, col: str) -> DataFrame:
+    """One HITS half-step: join the score vector against an edge frame
+    PRE-PARTITIONED on ``join_key`` and sum per ``out_key``.  Because
+    the edge side already meets the join's required distribution, the
+    only Exchange in this plan is the (long, double) score vector —
+    asserted by ``tests/test_graphrank.py::test_hits_halfstep_plan``."""
+    return (e_oriented.join(scores.withColumnRenamed("node", join_key),
+                            join_key)
+            .groupBy(F.col(out_key).alias("node"))
+            .agg(F.sum(col).alias(col)))
+
+
 def hits(edges: DataFrame, *, src: str = "src", dst: str = "dst",
          max_iter: int = 20, dedup_edges: bool = True) -> DataFrame:
     """Kleinberg HITS → ``(node, hub, auth)``, both L2-normalized.
 
-    Same execution discipline as :func:`pagerank`: the edge set persists
-    once, each half-step shuffles only the (long, double) score vector,
-    the L2 norm rides along as a broadcast 1-row frame (no per-iteration
-    driver action), and both vectors are eagerly checkpointed per round
-    so the dual consumption (norm agg + next half-step join) never
-    recomputes lineage.
+    Same execution discipline as :func:`pagerank`, plus DUAL-ORIENTATION
+    edge persistence: the auth half-step joins on ``src`` and the hub
+    half-step on ``dst``, so a single src-partitioned copy would
+    re-shuffle the FULL edge set once per iteration.  Persisting a
+    second, dst-partitioned copy makes both half-steps meet their join
+    key co-located — each iteration's exchanges are the two
+    (long, double) score vectors only.  Cost: 2× edge storage while the
+    loop runs (both copies released before return); at 100 TB that is
+    the standard time/space trade every dual-orientation index makes
+    (the reference stores SIX quad orderings for the same reason,
+    ``storage/mod.rs``).  The L2 norm rides along as a broadcast 1-row
+    frame (no per-iteration driver action), and both vectors are
+    eagerly checkpointed per round so the dual consumption (norm agg +
+    next half-step join) never recomputes lineage.
     """
     if max_iter < 1:
         raise ValueError("hits: max_iter must be >= 1")
@@ -239,9 +289,11 @@ def hits(edges: DataFrame, *, src: str = "src", dst: str = "dst",
              .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
     if dedup_edges:
         e = e.distinct()
-    e = e.repartition("src").persist()
-    nodes = (e.select(F.col("src").alias("node"))
-             .unionAll(e.select(F.col("dst").alias("node")))
+    with _pinned_cache_partitioning(e):
+        e_fwd = e.repartition("src").persist()
+        e_rev = e_fwd.repartition("dst").persist()
+    nodes = (e_fwd.select(F.col("src").alias("node"))
+             .unionAll(e_fwd.select(F.col("dst").alias("node")))
              .distinct().repartition("node").persist())
     n = nodes.count()
     if n == 0:
@@ -261,16 +313,14 @@ def hits(edges: DataFrame, *, src: str = "src", dst: str = "dst",
                 .localCheckpoint()
     auths = None
     for _ in range(max_iter):
-        raw_a = (e.join(hubs.withColumnRenamed("node", "src"), "src")
-                 .groupBy(F.col("dst").alias("node"))
-                 .agg(F.sum("hub").alias("auth")))
+        raw_a = _half_step(e_fwd, hubs, "src", "dst", "hub") \
+            .withColumnRenamed("hub", "auth")
         auths = _normed(
             nodes.join(raw_a, "node", "left")
             .select("node", F.coalesce("auth", F.lit(0.0)).alias("auth")),
             "auth").localCheckpoint()
-        raw_h = (e.join(auths.withColumnRenamed("node", "dst"), "dst")
-                 .groupBy(F.col("src").alias("node"))
-                 .agg(F.sum("auth").alias("hub")))
+        raw_h = _half_step(e_rev, auths, "dst", "src", "auth") \
+            .withColumnRenamed("auth", "hub")
         hubs = _normed(
             nodes.join(raw_h, "node", "left")
             .select("node", F.coalesce("hub", F.lit(0.0)).alias("hub")),
@@ -278,7 +328,8 @@ def hits(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     # both vectors are checkpointed (lineage severed) — release the
     # caches this call registered before returning
     out = hubs.join(auths, "node")
-    e.unpersist()
+    e_fwd.unpersist()
+    e_rev.unpersist()
     nodes.unpersist()
     return out
 

@@ -233,3 +233,63 @@ def test_hits_zero_iters_raises(spark):
     df = spark.createDataFrame(EDGES, "src long, dst long")
     with pytest.raises(ValueError):
         hits(df, max_iter=0)
+
+
+def test_hits_halfstep_plan(spark):
+    """Dual-orientation edge persistence (round-5): a half-step joining
+    the score vector against an edge frame PRE-PARTITIONED on the join
+    key plans exactly ONE Exchange — the (long, double) vector — while
+    the mis-oriented frame needs a second, full-edge Exchange."""
+    from oxigraph_spark.operators.graphrank import (
+        _half_step, _pinned_cache_partitioning)
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    with _pinned_cache_partitioning(df):
+        e_fwd = df.repartition("src").persist()
+        e_rev = e_fwd.repartition("dst").persist()
+    e_fwd.count(), e_rev.count()
+    scores = spark.createDataFrame([(i, 1.0) for i in range(6)],
+                                   "node long, auth double")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    def n_shuffles(plan_df):
+        plan_df.collect()  # AQE: final plan exists only after execution
+        out = []
+
+        def walk(node):
+            name = node.nodeName()
+            out.append(name)
+            if name.startswith("InMemoryTableScan"):
+                return
+            if name.startswith(("AdaptiveSparkPlan", "ShuffleQueryStage",
+                                "BroadcastQueryStage", "ResultQueryStage",
+                                "TableCacheQueryStage")):
+                for acc in ("executedPlan", "plan"):
+                    try:
+                        walk(getattr(node, acc)())
+                        return
+                    except Exception:  # noqa: BLE001 — try next accessor
+                        continue
+            ch = node.children()
+            for i in range(ch.size()):
+                walk(ch.apply(i))
+
+        walk(plan_df._jdf.queryExecution().executedPlan())
+        return sum(1 for n in out if n.startswith("ShuffleQueryStage"))
+
+    try:
+        good = _half_step(e_rev, scores, "dst", "src", "auth")
+        bad = _half_step(e_fwd, scores, "dst", "src", "auth")
+        # right orientation: vector exchange + the aggregate's own = 2;
+        # mis-oriented copy pays an extra full-edge re-shuffle = 3
+        assert n_shuffles(good) == 2
+        assert n_shuffles(bad) == 3
+        got = {r["node"]: r["auth"] for r in good.collect()}
+        want = {}
+        for s, d in EDGES:
+            want[s] = want.get(s, 0.0) + 1.0
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        e_fwd.unpersist()
+        e_rev.unpersist()
