@@ -75,8 +75,11 @@ def compile_path(compiler, pp: A.PathPattern, graph_ctx,
             inv = _relation(compiler, A.PInv(path.inner), graph_ctx)
             rel = _closure(compiler, inv, _const_df(compiler, o))
             if include_zero:
-                rel = rel.unionByName(_zero_len_for(compiler, graph_ctx,
-                                                    _const_df(compiler, o))) \
+                # zero-length from a concrete endpoint matches the term
+                # itself whether or not it occurs in the graph (§9.3 ALP
+                # starts from the node; W3C pp tests assert this)
+                rel = rel.unionByName(
+                    _self_rows(compiler, _const_df(compiler, o))) \
                          .dropDuplicates(["sk", "dk"])
             rel = rel.select(F.col("dst").alias("src"),
                              F.col("src").alias("dst"),
@@ -84,6 +87,16 @@ def compile_path(compiler, pp: A.PathPattern, graph_ctx,
                              F.col("sk").alias("dk"))
         else:
             rel = _relation(compiler, path, graph_ctx)
+    elif isinstance(path, A.PZeroOrOne) and not (isinstance(s, A.Var)
+                                                 and isinstance(o, A.Var)):
+        # path? with a concrete endpoint: the zero-length half is that
+        # term's self-pair REGARDLESS of graph membership (same §9.3
+        # rule as above) — and only it, so the full-domain node scan
+        # `_relation` would union is skipped entirely
+        g_term = s if not isinstance(s, A.Var) else o
+        rel = _relation(compiler, path.inner, graph_ctx) \
+            .unionByName(_self_rows(compiler, _const_df(compiler, g_term))) \
+            .dropDuplicates(["sk", "dk"])
     else:
         rel = _relation(compiler, path, graph_ctx)
 
@@ -124,6 +137,16 @@ def _const_df(compiler, term) -> DataFrame:
                                           compiler._jk(c).alias("sk"))
 
 
+def _self_rows(compiler, seeds: DataFrame) -> DataFrame:
+    """(node, node) self-pairs of the seed terms — the zero-length rows
+    a seeded closure contributes (every term zero-length-reaches itself,
+    in or out of the graph's node domain; SPARQL §9.3)."""
+    sk = seeds["sk"] if "sk" in seeds.columns else compiler._jk(seeds["src"])
+    return seeds.select(seeds["src"].alias("src"),
+                        seeds["src"].alias("dst"),
+                        sk.alias("sk"), sk.alias("dk"))
+
+
 # ---------------------------------------------------------------------------
 # path → relation(src, dst, sk, dk)
 # ---------------------------------------------------------------------------
@@ -152,13 +175,13 @@ def _relation(compiler, path, graph_ctx) -> DataFrame:
             _relation(compiler, path.right, graph_ctx))
     if isinstance(path, A.PZeroOrOne):
         return _relation(compiler, path.inner, graph_ctx).unionByName(
-            _zero_len_for(compiler, graph_ctx, None)) \
+            _zero_len_for(compiler, graph_ctx)) \
             .dropDuplicates(["sk", "dk"])
     if isinstance(path, A.POneOrMore):
         return _closure(compiler, _relation(compiler, path.inner, graph_ctx), None)
     if isinstance(path, A.PZeroOrMore):
         closed = _closure(compiler, _relation(compiler, path.inner, graph_ctx), None)
-        return closed.unionByName(_zero_len_for(compiler, graph_ctx, None)) \
+        return closed.unionByName(_zero_len_for(compiler, graph_ctx)) \
                      .dropDuplicates(["sk", "dk"])
     if isinstance(path, A.PNeg):
         df = compiler._graph_filter(compiler.source.scan(), graph_ctx)
@@ -177,10 +200,12 @@ def _relation(compiler, path, graph_ctx) -> DataFrame:
     raise NotImplementedError(f"path {type(path).__name__}")
 
 
-def _zero_len_for(compiler, graph_ctx, seeds: Optional[DataFrame]) -> DataFrame:
-    """Zero-length path rows (node, node): every term occurring in the
-    active graph as subject or object (§9.3 — subtle, see SURVEY.md PP7),
-    optionally restricted to the seed set."""
+def _zero_len_for(compiler, graph_ctx) -> DataFrame:
+    """Zero-length path rows (node, node) for closures with BOTH
+    endpoints free: every term occurring in the active graph as subject
+    or object (§9.3 — subtle, see SURVEY.md PP7).  Concrete-endpoint
+    closures use :func:`_self_rows` instead — their zero-length pair is
+    the endpoint itself, independent of graph membership."""
     df = compiler._graph_filter(compiler.source.scan(), graph_ctx)
 
     def part(pos: str) -> DataFrame:
@@ -189,12 +214,6 @@ def _zero_len_for(compiler, graph_ctx, seeds: Optional[DataFrame]) -> DataFrame:
         return df.select(df[pos].alias("node"), k.alias("k"))
 
     both = part("s").unionByName(part("o"))
-    if seeds is not None:
-        # membership test only: broadcast-semi BEFORE the distinct, so the
-        # full term domain is never deduplicated (a full-graph shuffle)
-        sk = seeds["sk"] if "sk" in seeds.columns else compiler._jk(seeds["src"])
-        both = both.join(F.broadcast(seeds.select(sk.alias("__sk"))),
-                         both["k"] == F.col("__sk"), "leftsemi")
     nodes = both.dropDuplicates(["k"])
     return nodes.select(nodes["node"].alias("src"), nodes["node"].alias("dst"),
                         nodes["k"].alias("sk"), nodes["k"].alias("dk"))
@@ -345,6 +364,9 @@ def _seeded_closure(compiler, inner_path, graph_ctx, seeds: DataFrame,
     edges = _relation(compiler, inner_path, graph_ctx)
     out = _closure(compiler, edges, seeds)
     if include_zero:
-        out = out.unionByName(_zero_len_for(compiler, graph_ctx, seeds)) \
+        # the seeds' own self-pairs, NOT the graph-domain intersection:
+        # zero-length reaches the start term even when it has no edges
+        # and does not occur in the graph at all (§9.3)
+        out = out.unionByName(_self_rows(compiler, seeds)) \
                  .dropDuplicates(["sk", "dk"])
     return out
