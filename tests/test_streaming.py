@@ -191,3 +191,96 @@ def test_continuous_sparql_replay_idempotent(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "log")).count() == 2
     total = spark.read.parquet(str(tmp_path / "out" / "sum")).collect()
     assert total[0]["total"]["lex"] == "3"
+
+
+def test_delta_rewrites_eligibility():
+    """Monotone DISTINCT BGP(+FILTER/BIND) → n per-pattern rewrites;
+    anything non-monotone (no DISTINCT, OPTIONAL, EXISTS, paths) → None
+    (snapshot fallback)."""
+    from oxigraph_spark.algebra.parser import parse_query
+    from oxigraph_spark.streaming.sparql import _delta_rewrites
+
+    ok = parse_query("""SELECT DISTINCT ?s ?w WHERE {
+        ?s <urn:x:p> ?v . ?v <urn:x:q> ?w .
+        FILTER(STRLEN(STR(?w)) > 0) BIND(STR(?s) AS ?l) }""")
+    rewrites = _delta_rewrites(ok)
+    assert rewrites is not None and len(rewrites) == 2
+
+    for bad in [
+        "SELECT ?s WHERE { ?s <urn:x:p> ?v }",                  # no DISTINCT
+        """SELECT DISTINCT ?s WHERE { ?s <urn:x:p> ?v
+             OPTIONAL { ?s <urn:x:q> ?w } }""",                 # OPTIONAL
+        """SELECT DISTINCT ?s WHERE { ?s <urn:x:p> ?v
+             FILTER EXISTS { ?s <urn:x:q> ?w } }""",            # EXISTS
+        "SELECT DISTINCT ?s WHERE { ?s <urn:x:p>+ ?v }",        # path
+    ]:
+        assert _delta_rewrites(parse_query(bad)) is None, bad
+
+
+def test_incremental_append_equals_snapshot(spark, tmp_path):
+    """Monotone DISTINCT standing query under incremental (delta-append)
+    evaluation equals full snapshot re-evaluation — including the
+    cross-batch join case where one pattern's quad arrives a batch
+    AFTER its join partner (the delta must join new quads against OLD
+    data, not just the batch)."""
+    from oxigraph_spark.streaming.sparql import (
+        continuous_sparql, stream_ntriples)
+
+    QUERY = {"j": """SELECT DISTINCT ?s ?w WHERE {
+        ?s <urn:d:p> ?v . ?v <urn:d:q> ?w }"""}
+
+    def run(sub, incremental):
+        drop = tmp_path / sub / "drop"
+        drop.mkdir(parents=True)
+        # batch a: a full pair (s1) + a dangling p-edge (s2→v2)
+        (drop / "a.nt").write_text(
+            '<urn:d:s1> <urn:d:p> <urn:d:v1> .\n'
+            '<urn:d:v1> <urn:d:q> "w1" .\n'
+            '<urn:d:s2> <urn:d:p> <urn:d:v2> .\n')
+        # batch b: v2's q-edge lands — joins BACKWARD against batch a
+        (drop / "b.nt").write_text('<urn:d:v2> <urn:d:q> "w2" .\n')
+        # batch c: a fully-new pair + a duplicate-producing re-send
+        (drop / "c.nt").write_text(
+            '<urn:d:s3> <urn:d:p> <urn:d:v3> .\n'
+            '<urn:d:v3> <urn:d:q> "w3" .\n'
+            '<urn:d:s1> <urn:d:p> <urn:d:v1> .\n')
+        q = continuous_sparql(
+            stream_ntriples(spark, str(drop)), QUERY,
+            quad_log=str(tmp_path / sub / "log"),
+            results_dir=str(tmp_path / sub / "out"),
+            checkpoint=str(tmp_path / sub / "ckpt"),
+            incremental=incremental)
+        q.awaitTermination(180)
+        rows = spark.read.parquet(str(tmp_path / sub / "out" / "j")).collect()
+        return sorted((r["s"]["lex"], r["w"]["lex"]) for r in rows)
+
+    inc = run("inc", True)
+    snap = run("snap", False)
+    want = [("urn:d:s1", "w1"), ("urn:d:s2", "w2"), ("urn:d:s3", "w3")]
+    assert inc == want
+    assert snap == want
+
+
+def test_non_monotone_fallback_snapshot(spark, tmp_path):
+    """An OPTIONAL standing query stays in snapshot mode: when a later
+    batch binds the optional part, the earlier unbound-padded row is
+    REPLACED (delta-append would have left it stale)."""
+    from oxigraph_spark.streaming.sparql import (
+        continuous_sparql, stream_ntriples)
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    (drop / "a.nt").write_text('<urn:f:s1> <urn:f:p> "v" .\n')
+    (drop / "b.nt").write_text('<urn:f:s1> <urn:f:q> "w" .\n')
+    q = continuous_sparql(
+        stream_ntriples(spark, str(drop)),
+        {"opt": """SELECT ?s ?w WHERE { ?s <urn:f:p> ?v
+                     OPTIONAL { ?s <urn:f:q> ?w } }"""},
+        quad_log=str(tmp_path / "log"),
+        results_dir=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    rows = spark.read.parquet(str(tmp_path / "out" / "opt")).collect()
+    assert len(rows) == 1
+    assert rows[0]["s"]["lex"] == "urn:f:s1"
+    assert rows[0]["w"] is not None and rows[0]["w"]["lex"] == "w"
