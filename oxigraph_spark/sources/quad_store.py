@@ -199,3 +199,228 @@ class BucketedQuadStore(ParquetQuadStore):
             k for k in ("s_key", "p_key", "o_key", "g_key")
             if k in df.columns]
         return df.select(*cols)
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed the version this transaction targeted."""
+
+
+class TransactionalQuadStore(ParquetQuadStore):
+    """Multi-version quad store with ATOMIC single-table commits — the
+    reference's transactional update semantics (``Store::transaction``,
+    RocksDB WriteBatch in ``storage/backend/rocksdb.rs``) re-expressed
+    as a Delta-Lake-style version manifest over plain parquet (no
+    library dependency; the _delta_log idea reduced to its core).
+
+    Layout::
+
+        <path>/data/<uuid>/   predicate-partitioned parquet snapshots
+                              (``ParquetQuadStore.write`` layout, key
+                              sidecars included)
+        <path>/_txn/vN.json   manifest: the list of data dirs whose
+                              UNION is version N
+
+    Commit protocol: write the new data dir(s) fully, write the next
+    manifest to a temp file, then publish with ``os.link`` — an atomic
+    create-if-absent, so two racing writers cannot both claim version
+    N+1 (the loser gets :class:`ConcurrentWriteError`; optimistic
+    concurrency, exactly Delta's).  Readers resolve a manifest ONCE at
+    construction and keep reading that version's files for their whole
+    lifetime — snapshot isolation; concurrent commits never disturb a
+    running query.  ``refresh()`` re-resolves to the latest version;
+    ``as_of`` pins a historical one (time travel).  Old data dirs stay
+    until ``vacuum()``.
+
+    At 100 TB: appends are O(|new data|) (a new dir + a manifest);
+    ``compact()`` folds the accumulated dirs into one
+    predicate-partitioned snapshot so scan-time unions stay shallow;
+    the quad-log helpers fold the continuous-SPARQL ingest tier
+    (``streaming/sparql.py``'s batch-partitioned log) into the store
+    and let retention drop the folded partitions."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 key_width: int = 64, version: Optional[int] = None):
+        super().__init__(spark, path, key_width=key_width)
+        self._txn_dir = os.path.join(path, "_txn")
+        if version is None:
+            version = self._latest()
+        self.version = version
+        # Store's plan cache keys on generation: a refreshed/advanced
+        # store must never serve plans compiled over an older snapshot
+        self.generation = version
+        self._dirs = self._manifest(version)["dirs"] if version else []
+
+    # -- manifest plumbing ---------------------------------------------------
+
+    def _latest(self) -> int:
+        if not os.path.isdir(self._txn_dir):
+            return 0
+        vs = [int(f[1:-5]) for f in os.listdir(self._txn_dir)
+              if f.startswith("v") and f.endswith(".json")]
+        return max(vs, default=0)
+
+    def _manifest(self, version: int) -> dict:
+        import json
+        with open(os.path.join(self._txn_dir, f"v{version:08d}.json")) as f:
+            return json.load(f)
+
+    def _commit(self, dirs, op: str) -> int:
+        import json
+        import tempfile
+        os.makedirs(self._txn_dir, exist_ok=True)
+        # optimistic concurrency: target THIS transaction's snapshot
+        # version + 1 (not the disk's latest) — a writer that read v
+        # and publishes v+1 conflicts with anyone who committed since
+        target_version = self.version + 1
+        final = os.path.join(self._txn_dir, f"v{target_version:08d}.json")
+        fd, tmp = tempfile.mkstemp(dir=self._txn_dir, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump({"version": target_version, "op": op,
+                           "dirs": list(dirs)}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, final)  # atomic create-if-absent
+            except FileExistsError:
+                raise ConcurrentWriteError(
+                    f"version {target_version} was committed by another "
+                    "writer; re-read and retry") from None
+        finally:
+            os.unlink(tmp)
+        self.version = target_version
+        self.generation = target_version
+        self._dirs = list(dirs)
+        return target_version
+
+    def _write_data_dir(self, df: DataFrame) -> str:
+        import uuid
+        d = os.path.join(self.path, "data", uuid.uuid4().hex)
+        ParquetQuadStore.write(df, d, key_width=self.key_width)
+        return d
+
+    # -- public surface -------------------------------------------------------
+
+    def as_of(self, version: int) -> "TransactionalQuadStore":
+        """Snapshot reader pinned to a historical version."""
+        return TransactionalQuadStore(self.spark, self.path,
+                                      key_width=self.key_width,
+                                      version=version)
+
+    def refresh(self) -> "TransactionalQuadStore":
+        """Reader over the CURRENT latest version (a new instance; this
+        one keeps its snapshot)."""
+        return TransactionalQuadStore(self.spark, self.path,
+                                      key_width=self.key_width)
+
+    def overwrite_quads(self, df: DataFrame) -> int:
+        return self._commit([self._write_data_dir(df)], "overwrite")
+
+    def append_quads(self, df: DataFrame) -> int:
+        return self._commit(self._dirs + [self._write_data_dir(df)],
+                            "append")
+
+    def update(self, sparql: str) -> int:
+        """SPARQL Update (U1–U9) as ONE atomic commit: the ops run
+        against this snapshot's quads and the rewritten store publishes
+        as the next version — concurrent readers keep their snapshot
+        until they refresh (the ACID upgrade over ``Store.update``'s
+        batch semantics)."""
+        from ..algebra.parser import parse_update
+        from ..operators.update import MutableQuadSource
+        mut = MutableQuadSource(self.spark, self.quads(),
+                                key_width=self.key_width)
+        mut.apply_all(parse_update(sparql))
+        return self.overwrite_quads(mut.quads())
+
+    def compact(self) -> int:
+        """Fold every live data dir into one predicate-partitioned
+        snapshot (same quads, one dir): scan-time unions go back to
+        depth 1 and row-group sort/stats are rebuilt globally."""
+        if len(self._dirs) <= 1:
+            return self.version
+        return self._commit([self._write_data_dir(self.quads())],
+                            "compact")
+
+    def vacuum(self) -> int:
+        """Delete data dirs no LIVE manifest references and manifests
+        older than the current version (breaks time travel to them).
+        Call only when no reader is pinned to an old version."""
+        import shutil
+        keep = set(self._dirs)
+        removed = 0
+        data_root = os.path.join(self.path, "data")
+        if os.path.isdir(data_root):
+            for d in os.listdir(data_root):
+                full = os.path.join(data_root, d)
+                if full not in keep:
+                    shutil.rmtree(full)
+                    removed += 1
+        for f in os.listdir(self._txn_dir):
+            if f.startswith("v") and f.endswith(".json") \
+                    and int(f[1:-5]) != self.version:
+                os.unlink(os.path.join(self._txn_dir, f))
+        return removed
+
+    # -- quad-log compaction (continuous-SPARQL ingest tier) -----------------
+
+    def ingest_log(self, quad_log: str, upto_batch: int) -> int:
+        """Fold the streaming quad log's partitions ``__batch <=
+        upto_batch`` into the store as one append commit.  The log is
+        the cheap ingest tier (``streaming/sparql.py``); this is the
+        scheduled compaction that moves its rows into the bucketable
+        long-term layout."""
+        log = self.spark.read.parquet(quad_log)
+        folded = log.where(F.col("__batch") <= upto_batch).drop("__batch")
+        return self.append_quads(folded)
+
+    @staticmethod
+    def expire_log(quad_log: str, upto_batch: int) -> int:
+        """Drop folded log partitions (``__batch <= upto_batch``).
+        Run AFTER :meth:`ingest_log`'s commit; standing-query
+        evaluation over base ∪ log stays exactly-once because each
+        quad is in the base (folded) xor the log (not yet folded)."""
+        import shutil
+        removed = 0
+        for d in os.listdir(quad_log):
+            if d.startswith("__batch=") and int(d.split("=", 1)[1]) <= upto_batch:
+                shutil.rmtree(os.path.join(quad_log, d))
+                removed += 1
+        return removed
+
+    # -- reads: union over the manifest's data dirs ---------------------------
+
+    def scan(self, p_lex: Optional[str] = None) -> DataFrame:
+        from functools import reduce as _reduce
+        if not self._dirs:
+            return self._empty()
+        parts = []
+        for d in self._dirs:
+            df = self.spark.read.parquet(d)
+            if p_lex is not None:
+                df = df.where((F.col("p_part") == self._part_value(p_lex))
+                              & (F.col("p.lex") == p_lex))
+            cols = ["s", "p", "o", "g"] + [
+                k for k in ("s_key", "p_key", "o_key", "g_key")
+                if k in df.columns]
+            parts.append(df.select(*cols))
+        return _reduce(lambda a, b: a.unionByName(b), parts)
+
+    def _empty(self) -> DataFrame:
+        from ..model import terms as T
+        from pyspark.sql.types import StructField, StructType
+        schema = StructType([StructField(c, T.TERM_SCHEMA)
+                             for c in ("s", "p", "o", "g")])
+        return self.spark.createDataFrame([], schema)
+
+    def pred_card(self, p_lex: str) -> Optional[int]:
+        from .tables import parquet_num_rows
+        total = 0
+        for d in self._dirs:
+            part_dir = os.path.join(d, f"p_part={self._part_value(p_lex)}")
+            if os.path.isdir(part_dir):
+                n = parquet_num_rows(part_dir)
+                if n is None:
+                    return None
+                total += n
+        return total

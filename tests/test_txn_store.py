@@ -1,0 +1,144 @@
+"""TransactionalQuadStore: atomic version-manifest commits, snapshot
+isolation, time travel, optimistic-concurrency conflicts, ACID SPARQL
+update, compaction, vacuum, and the streaming quad-log fold."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from oxigraph_spark.sources.quad_store import (ConcurrentWriteError,
+                                               TransactionalQuadStore)
+from oxigraph_spark.store import Store
+
+NT1 = ('<urn:t:s1> <urn:t:p> "1"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+       '<urn:t:s2> <urn:t:p> "2"^^<http://www.w3.org/2001/XMLSchema#integer> .\n')
+NT2 = '<urn:t:s3> <urn:t:q> "x" .\n'
+
+
+def _quads(spark, tmp_path, name, text):
+    from oxigraph_spark.sources.ntriples import read_ntriples
+    p = tmp_path / name
+    p.write_text(text)
+    return read_ntriples(spark, str(p))
+
+
+def _lexes(df, col="s"):
+    return sorted(r[col]["lex"] for r in df.collect())
+
+
+def test_commit_append_snapshot_isolation(spark, tmp_path):
+    path = str(tmp_path / "txn")
+    ts = TransactionalQuadStore(spark, path)
+    assert ts.version == 0 and ts.quads().count() == 0
+
+    ts.overwrite_quads(_quads(spark, tmp_path, "a.nt", NT1))
+    assert ts.version == 1
+    assert _lexes(ts.quads()) == ["urn:t:s1", "urn:t:s2"]
+
+    # a reader pinned BEFORE the append keeps its snapshot
+    pinned = TransactionalQuadStore(spark, path)
+    ts.append_quads(_quads(spark, tmp_path, "b.nt", NT2))
+    assert ts.version == 2
+    assert _lexes(ts.quads()) == ["urn:t:s1", "urn:t:s2", "urn:t:s3"]
+    assert _lexes(pinned.quads()) == ["urn:t:s1", "urn:t:s2"]
+    # time travel + refresh
+    assert _lexes(ts.as_of(1).quads()) == ["urn:t:s1", "urn:t:s2"]
+    assert pinned.refresh().version == 2
+
+
+def test_concurrent_commit_conflict(spark, tmp_path):
+    path = str(tmp_path / "txn")
+    a = TransactionalQuadStore(spark, path)
+    a.overwrite_quads(_quads(spark, tmp_path, "a.nt", NT1))
+    b = TransactionalQuadStore(spark, path)
+    df = _quads(spark, tmp_path, "b.nt", NT2)
+    # simulate the race: both writers target version 2; the second
+    # publish hits the exclusive-create and must fail cleanly
+    d1 = a._write_data_dir(df)
+    d2 = b._write_data_dir(df)
+    a._commit(a._dirs + [d1], "append")
+    with pytest.raises(ConcurrentWriteError):
+        b._commit(b._dirs + [d2], "append")
+    # loser retries against the refreshed snapshot and succeeds
+    b2 = b.refresh()
+    b2._commit(b2._dirs + [d2], "append")
+    assert b2.version == 3
+
+
+def test_update_is_one_atomic_commit(spark, tmp_path):
+    path = str(tmp_path / "txn")
+    ts = TransactionalQuadStore(spark, path)
+    ts.overwrite_quads(_quads(spark, tmp_path, "a.nt", NT1))
+    reader = TransactionalQuadStore(spark, path)  # pinned at v1
+    v = ts.update("""
+        DELETE { ?s <urn:t:p> ?v } INSERT { ?s <urn:t:r> ?v }
+        WHERE { ?s <urn:t:p> ?v . FILTER(?v = 1) }""")
+    assert v == 2
+    got = {(r["s"]["lex"], r["p"]["lex"]) for r in ts.quads().collect()}
+    assert got == {("urn:t:s1", "urn:t:r"), ("urn:t:s2", "urn:t:p")}
+    # the pinned reader still sees pre-update data (snapshot isolation)
+    assert {r["p"]["lex"] for r in reader.quads().collect()} == {"urn:t:p"}
+
+
+def test_query_compact_vacuum(spark, tmp_path):
+    path = str(tmp_path / "txn")
+    ts = TransactionalQuadStore(spark, path)
+    ts.overwrite_quads(_quads(spark, tmp_path, "a.nt", NT1))
+    ts.append_quads(_quads(spark, tmp_path, "b.nt", NT2))
+    st = Store(spark, ts)
+    rows = st.query("SELECT ?s ?v WHERE { ?s <urn:t:p> ?v }").collect()
+    assert sorted(r["s"]["lex"] for r in rows) == ["urn:t:s1", "urn:t:s2"]
+    assert ts.pred_card("urn:t:p") == 2
+
+    before = sorted(map(str, ts.quads().collect()))
+    assert len(ts._dirs) == 2
+    ts.compact()
+    assert len(ts._dirs) == 1
+    assert sorted(map(str, ts.quads().collect())) == before
+    # vacuum drops the two pre-compaction dirs + old manifests
+    assert ts.vacuum() == 2
+    assert sorted(map(str, ts.quads().collect())) == before
+    # Store.query over the compacted store still answers (new Store:
+    # generation changed, plan cache must not serve stale frames)
+    rows = Store(spark, ts).query(
+        "SELECT ?s WHERE { ?s <urn:t:q> ?v }").collect()
+    assert [r["s"]["lex"] for r in rows] == ["urn:t:s3"]
+
+
+def test_stream_compaction_midstream(spark, tmp_path):
+    """Continuous SPARQL with the quad log folded into a transactional
+    store mid-stream: drain two batches, ingest_log + expire_log, then
+    drain a third batch with the store as base — the standing query's
+    snapshot equals the full expected result (each quad lives in base
+    XOR log, never both)."""
+    import os
+
+    from oxigraph_spark.streaming.sparql import (continuous_sparql,
+                                                 stream_ntriples)
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    (drop / "a.nt").write_text('<urn:c:s1> <urn:c:p> "1" .\n')
+    (drop / "b.nt").write_text('<urn:c:s2> <urn:c:p> "2" .\n')
+    log, out, ckpt = (str(tmp_path / d) for d in ("log", "out", "ckpt"))
+    QUERY = {"q": "SELECT ?s WHERE { ?s <urn:c:p> ?v }"}
+
+    q = continuous_sparql(stream_ntriples(spark, str(drop)), QUERY,
+                          quad_log=log, results_dir=out, checkpoint=ckpt)
+    q.awaitTermination(120)
+    assert _lexes(spark.read.parquet(os.path.join(out, "q"))) == \
+        ["urn:c:s1", "urn:c:s2"]
+
+    # fold batches 0-1 into the store, drop them from the log
+    ts = TransactionalQuadStore(spark, str(tmp_path / "base"))
+    ts.ingest_log(log, upto_batch=1)
+    assert TransactionalQuadStore.expire_log(log, upto_batch=1) == 2
+    assert _lexes(ts.quads()) == ["urn:c:s1", "urn:c:s2"]
+
+    # third batch continues the SAME checkpoint, base = folded store
+    (drop / "c.nt").write_text('<urn:c:s3> <urn:c:p> "3" .\n')
+    q = continuous_sparql(stream_ntriples(spark, str(drop)), QUERY,
+                          quad_log=log, results_dir=out, checkpoint=ckpt,
+                          base_store=Store(spark, ts))
+    q.awaitTermination(120)
+    assert _lexes(spark.read.parquet(os.path.join(out, "q"))) == \
+        ["urn:c:s1", "urn:c:s2", "urn:c:s3"]
