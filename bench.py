@@ -201,6 +201,47 @@ def main() -> None:
     print(f"# pagerank(5 iters): {pagerank_sec}s; bm25 build+3 queries: "
           f"{bm25_sec}s", file=sys.stderr)
 
+    # ANN quality at the CHOSEN defaults (tools/ann_recall.py picked
+    # IVF/nprobe from the recall-vs-cost grid: ivf_np1 0.96 recall @
+    # 0.067 of corpus, np2 0.98 @ 0.129; LSH sign-projection measured
+    # recall-limited for top-k — 0.40 @ 8 planes mp2 — and stays the
+    # dedup-family primitive only): recall@10 vs brute force plus the
+    # scanned-candidate fraction as the cost proxy.
+    from pyspark.sql import functions as F
+
+    from oxigraph_spark.pipeline.simsearch import (brute_force_topk,
+                                                   ivf_index, ivf_topk)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n_emb = emb.count()
+    qrows = (emb.withColumn("__h", F.xxhash64(F.col("vec_id").cast("string")))
+             .orderBy("__h").limit(3).collect())
+    t0 = time.time()
+    ivf = ivf_index(emb, "embedding", "vec_id", n_centroids=16).persist()
+    ivf.count()
+    list_sizes = {r["centroid_id"]: r["count"] for r in
+                  ivf.groupBy("centroid_id").count().collect()}
+    hits = tot = cand = 0
+    for r in qrows:
+        qvec = list(r["embedding"])
+        truth = {x["id"] for x in
+                 brute_force_topk(emb, "embedding", "vec_id", qvec, 10)
+                 .collect()}
+        got = {x["id"] for x in ivf_topk(ivf, qvec, 10, nprobe=2).collect()}
+        hits += len(got & truth)
+        tot += len(truth)
+        cents = (ivf.select(ivf["centroid_id"].alias("id")).distinct()
+                 .join(ivf.select("id", "vec"), "id")
+                 .dropDuplicates(["id"]).collect())
+        from oxigraph_spark.pipeline.simsearch import _centroid_order
+        cand += sum(list_sizes.get(c, 0)
+                    for c in _centroid_order(qvec, cents)[:2])
+    ann_sec = round(time.time() - t0, 3)
+    ivf.unpersist()
+    ann_recall = round(hits / tot, 3) if tot else None
+    ann_cand_frac = round(cand / (3 * n_emb), 3) if n_emb else None
+    print(f"# ann (ivf nprobe=2): recall@10 {ann_recall} "
+          f"cand_frac {ann_cand_frac} in {ann_sec}s", file=sys.stderr)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "headline_total_wall",
@@ -214,6 +255,9 @@ def main() -> None:
         "mixed_qps": round(n_mixed / mixed_sec, 2) if mixed_sec else None,
         "pagerank_sec": pagerank_sec,   # 5 power iterations, full FK graph
         "bm25_sec": bm25_sec,           # index build + 3 top-k queries
+        "ann_recall": ann_recall,       # IVF nprobe=2 recall@10 vs brute
+        "ann_cand_frac": ann_cand_frac,  # fraction of corpus scanned
+        "ann_sec": ann_sec,
         "n": N_RUNS,                    # per-query runs; values are medians
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))

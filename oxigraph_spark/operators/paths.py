@@ -344,8 +344,12 @@ def _decode(paths: DataFrame, endpoints: DataFrame,
             .distinct().select(F.col("sk").alias("kk"))
         dic = endpoints.join(keys, endpoints["k"] == keys["kk"],
                              "leftsemi").dropDuplicates(["k"])
-    else:
-        dic = endpoints.dropDuplicates(["k"]).localCheckpoint(eager=False)
+        # checkpoint the DECODED relation (it is bounded — the seed-
+        # reachable closure): repeated consumption (cached plans
+        # re-counting, multi-operand BGPs) must not re-run the edge
+        # scans + pruned dedup per action
+        return _decode_pairs(paths, dic).localCheckpoint(eager=False)
+    dic = endpoints.dropDuplicates(["k"]).localCheckpoint(eager=False)
     return _decode_pairs(paths, dic)
 
 

@@ -2,8 +2,18 @@
 
 Brute-force cosine top-k is the exact baseline (one broadcast of the query
 vector, one pass, TakeOrdered — no shuffle of the corpus).  The scale path
-is LSH-bucketed ANN: sign-of-projection buckets bound each probe to a
-bucket instead of the full corpus; multi-probe widens recall.
+is bucketed ANN, two families:
+
+- **IVF** (inverted file, the recommended top-k default): measured on
+  the sf0.1 embeddings grid (tools/ann_recall.py) recall@10 = 0.96 at
+  6.7 % of the corpus scanned with ``nprobe=1``, 0.98 at 12.9 % with
+  the default ``nprobe=2``.
+- **LSH** sign-of-projection buckets: measured recall-LIMITED for
+  top-k search on the same grid (0.40 recall at 8 planes / multiprobe
+  2; 0.66 at 4 planes / mp 2 costing 46 % of the corpus) — random
+  hyperplanes fragment true neighbors.  Keep it for the DEDUP family
+  (near-duplicates are near-identical vectors, where bucket collision
+  is reliable); use IVF for similarity search.
 
 All vector math is JVM-side (`F.zip_with`/`F.aggregate`) — no UDFs.
 """
