@@ -242,6 +242,40 @@ def main() -> None:
     print(f"# ann (ivf nprobe=2): recall@10 {ann_recall} "
           f"cand_frac {ann_cand_frac} in {ann_sec}s", file=sys.stderr)
 
+    # endpoint under concurrency: the S11 protocol server over the same
+    # store, 4 client threads x 2 passes of the 13-template mix (same
+    # query TEXTS repeat across passes/threads, so this measures the
+    # served/prepared path a protocol workload actually hits)
+    import concurrent.futures as cf
+    import urllib.parse
+    import urllib.request
+
+    from oxigraph_spark.server import SparqlEndpoint
+    ep = SparqlEndpoint(store)
+    host, port = ep.start()
+    base = f"http://{host}:{port}"
+
+    def _client(i: int) -> int:
+        n = 0
+        for q in mixed_templates(i % 3):
+            url = f"{base}/query?query={urllib.parse.quote(MIX_PFX + q)}"
+            req = urllib.request.Request(
+                url, headers={"Accept": "application/sparql-results+json"})
+            with urllib.request.urlopen(req, timeout=120) as r:
+                r.read()
+            n += 1
+        return n
+
+    _client(0)  # warm the endpoint's plan cache outside the clock
+    t0 = time.time()
+    with cf.ThreadPoolExecutor(max_workers=4) as pool:
+        served = sum(pool.map(_client, range(8)))
+    endpoint_sec = time.time() - t0
+    ep.stop()
+    endpoint_qps = round(served / endpoint_sec, 2)
+    print(f"# endpoint: {served} requests over 4 threads in "
+          f"{round(endpoint_sec, 2)}s = {endpoint_qps} q/s", file=sys.stderr)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "headline_total_wall",
@@ -258,6 +292,7 @@ def main() -> None:
         "ann_recall": ann_recall,       # IVF nprobe=2 recall@10 vs brute
         "ann_cand_frac": ann_cand_frac,  # fraction of corpus scanned
         "ann_sec": ann_sec,
+        "endpoint_qps": endpoint_qps,   # 4 HTTP clients, 13-template mix
         "n": N_RUNS,                    # per-query runs; values are medians
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))

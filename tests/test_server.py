@@ -111,3 +111,42 @@ def test_protocol_update_and_service_roundtrip(spark):
         assert len(rows) == 1 and rows[0].who.lex == "urn:ex:x"
     finally:
         ep.stop()
+
+
+def test_concurrent_clients(spark):
+    """Endpoint under concurrency (ThreadingHTTPServer + thread-safe
+    Spark reads): 8 client threads x 5 requests each, mixed SELECT/ASK
+    shapes, all answers correct — no cross-request bleed, no 5xx."""
+    import concurrent.futures as cf
+
+    ep, base = _mk_endpoint(spark)
+    try:
+        cases = [
+            ("SELECT ?n WHERE { <urn:ex:a> <urn:ex:name> ?n }",
+             lambda d: [b["n"]["value"] for r in [d["results"]["bindings"]]
+                        for b in r] == ["Alice"]),
+            ("SELECT ?n WHERE { <urn:ex:b> <urn:ex:name> ?n }",
+             lambda d: [b["n"]["value"]
+                        for b in d["results"]["bindings"]] == ["Bob"]),
+            ("ASK { <urn:ex:a> <urn:ex:age> 42 }",
+             lambda d: d["boolean"] is True),
+            ("ASK { <urn:ex:a> <urn:ex:age> 43 }",
+             lambda d: d["boolean"] is False),
+            ("SELECT (COUNT(*) AS ?c) WHERE { ?s ?p ?o }",
+             lambda d: d["results"]["bindings"][0]["c"]["value"] == "3"),
+        ]
+
+        def client(tid):
+            ok = 0
+            for q, check in cases:
+                url = f"{base}/query?query={urllib.parse.quote(q)}"
+                _, body = _get(url)
+                assert check(json.loads(body)), (tid, q, body)
+                ok += 1
+            return ok
+
+        with cf.ThreadPoolExecutor(max_workers=8) as pool:
+            done = list(pool.map(client, range(8)))
+        assert done == [5] * 8
+    finally:
+        ep.stop()
