@@ -277,12 +277,23 @@ def _closure(compiler, edges: DataFrame, start: Optional[DataFrame]) -> DataFram
     references collapse to one shuffle via exchange reuse — deferring
     it merges its work into the decode job instead of paying a
     separate synchronous materialization before round 1."""
-    edges = edges.localCheckpoint(eager=False)
+    if start is not None:
+        # seeded: the loop only ever touches (sk, dk) — checkpoint the
+        # NARROW relation so the loop's materialization never builds
+        # 9-field TERM structs in memory; the decode's pruned
+        # dictionary re-derives terms from the raw (lazy) edge scans
+        # once, inside the (checkpointed) decode
+        ek = edges.select("sk", "dk").localCheckpoint(eager=False)
+    else:
+        # unseeded: the full-domain decode dictionary needs the term
+        # payloads anyway — one wide checkpoint serves both the loop
+        # and the dictionary
+        edges = edges.localCheckpoint(eager=False)
+        ek = edges.select("sk", "dk")
     endpoints = edges.select(F.col("sk").alias("k"),
                              F.col("src").alias("term")) \
                      .unionByName(edges.select(F.col("dk").alias("k"),
                                                F.col("dst").alias("term")))
-    ek = edges.select("sk", "dk")
     if start is not None:
         sk = start["sk"] if "sk" in start.columns else compiler._jk(start["src"])
         sk0 = start.select(sk.alias("k")).distinct()
