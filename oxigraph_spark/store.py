@@ -186,8 +186,15 @@ class Store:
 
     def update(self, sparql: str) -> "Store":
         """Run SPARQL Update ops; returns a NEW Store over the rewritten
-        quads (batch semantics — ``Store::update`` analog, minus ACID;
-        see operators/update.py)."""
+        quads.  Over a :class:`TransactionalQuadStore` source this is
+        ONE atomic commit (ACID — ``Store::update`` analog incl. the
+        transaction); other sources keep batch single-writer semantics
+        (see operators/update.py)."""
+        if hasattr(self.source, "update") and hasattr(self.source,
+                                                      "refresh"):
+            self.source.update(sparql)
+            return Store(self.spark, self.source.refresh(),
+                         optimize=self.optimize)
         from .algebra.parser import parse_update
         from .operators.update import MutableQuadSource
         mut = MutableQuadSource.from_source(self.spark, self.source)

@@ -19,12 +19,19 @@ this is the Structured-Streaming-native re-expression:
   checkpointing; a crashed driver replays the last batch, and both
   the append and the snapshot overwrite are idempotent per batch id.
 
-At 100 TB the quad log compacts into the bucketed store on a schedule
-(``ParquetQuadStore.write``); re-evaluation cost is the query's normal
-batch cost — Spark's incremental execution applies to the windowed
-aggregate operators in :mod:`.events`, while full SPARQL re-evaluation
-is the snapshot tier.  Windowed/stateful standing queries should
-compose those operators instead.
+At 100 TB the quad log compacts into the long-term store on a schedule
+(``TransactionalQuadStore.ingest_log`` + ``expire_log`` — one atomic
+commit per fold, each quad in base XOR log).  Evaluation tiers:
+
+- **Incremental (delta) tier** — monotone DISTINCT BGP standing
+  queries evaluate only the solutions touching each batch's new quads
+  (per-pattern delta decomposition, see :func:`_delta_rewrites`) and
+  append; per-batch cost scales with the delta, not the corpus.
+- **Snapshot tier** — everything non-monotone (OPTIONAL / MINUS /
+  EXISTS / aggregates / windows) re-evaluates fully per batch at the
+  query's normal batch cost.  Windowed/stateful standing queries
+  should compose the Structured-Streaming operators in :mod:`.events`
+  instead, where Spark's own incremental execution applies.
 """
 
 from __future__ import annotations

@@ -142,3 +142,23 @@ def test_stream_compaction_midstream(spark, tmp_path):
     q.awaitTermination(120)
     assert _lexes(spark.read.parquet(os.path.join(out, "q"))) == \
         ["urn:c:s1", "urn:c:s2", "urn:c:s3"]
+
+
+def test_store_update_commits_on_transactional_source(spark, tmp_path):
+    """Store.update over a TransactionalQuadStore source commits one
+    atomic version instead of detouring through an in-memory copy; the
+    returned Store serves the new snapshot, the original keeps its old
+    one (generation bump ⇒ no stale plan-cache hits)."""
+    path = str(tmp_path / "txn")
+    ts = TransactionalQuadStore(spark, path)
+    ts.overwrite_quads(_quads(spark, tmp_path, "a.nt", NT1))
+    st = Store(spark, TransactionalQuadStore(spark, path))
+    st2 = st.update("INSERT DATA { <urn:t:s9> <urn:t:p> 9 }")
+    assert _lexes(st2.query(
+        "SELECT ?s WHERE { ?s <urn:t:p> ?v }")) == \
+        ["urn:t:s1", "urn:t:s2", "urn:t:s9"]
+    # durable: a brand-new reader over the SAME path sees the commit
+    fresh = Store(spark, TransactionalQuadStore(spark, path))
+    assert _lexes(fresh.query(
+        "SELECT ?s WHERE { ?s <urn:t:p> ?v }")) == \
+        ["urn:t:s1", "urn:t:s2", "urn:t:s9"]
