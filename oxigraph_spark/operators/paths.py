@@ -61,18 +61,23 @@ def compile_path(compiler, pp: A.PathPattern, graph_ctx,
     from ..plans.compiler import Compiled, _const_term_col, _idname
 
     path, s, o = pp.path, pp.s, pp.o
+    # ground endpoint terms: zero-length sub-paths at any depth must
+    # relate these to themselves even outside the graph domain (§9.3)
+    grounds = tuple(t for t in (s, o) if not isinstance(t, A.Var))
 
     # seeded fast path for closures with a concrete endpoint
     if isinstance(path, (A.POneOrMore, A.PZeroOrMore)):
         include_zero = isinstance(path, A.PZeroOrMore)
         if not isinstance(s, A.Var):
             rel = _seeded_closure(compiler, path.inner, graph_ctx,
-                                  _const_df(compiler, s), include_zero)
+                                  _const_df(compiler, s), include_zero,
+                                  extra_terms=grounds)
         elif seeds is not None:
             rel = _seeded_closure(compiler, path.inner, graph_ctx,
                                   seeds, include_zero)
         elif not isinstance(o, A.Var):
-            inv = _relation(compiler, A.PInv(path.inner), graph_ctx)
+            inv = _relation(compiler, A.PInv(path.inner), graph_ctx,
+                            grounds)
             rel = _closure(compiler, inv, _const_df(compiler, o))
             if include_zero:
                 # zero-length from a concrete endpoint matches the term
@@ -86,7 +91,7 @@ def compile_path(compiler, pp: A.PathPattern, graph_ctx,
                              F.col("dk").alias("sk"),
                              F.col("sk").alias("dk"))
         else:
-            rel = _relation(compiler, path, graph_ctx)
+            rel = _relation(compiler, path, graph_ctx, grounds)
     elif isinstance(path, A.PZeroOrOne) and not (isinstance(s, A.Var)
                                                  and isinstance(o, A.Var)):
         # path? with a concrete endpoint: the zero-length half is that
@@ -94,11 +99,11 @@ def compile_path(compiler, pp: A.PathPattern, graph_ctx,
         # rule as above) — and only it, so the full-domain node scan
         # `_relation` would union is skipped entirely
         g_term = s if not isinstance(s, A.Var) else o
-        rel = _relation(compiler, path.inner, graph_ctx) \
+        rel = _relation(compiler, path.inner, graph_ctx, grounds) \
             .unionByName(_self_rows(compiler, _const_df(compiler, g_term))) \
             .dropDuplicates(["sk", "dk"])
     else:
-        rel = _relation(compiler, path, graph_ctx)
+        rel = _relation(compiler, path, graph_ctx, grounds)
 
     kcol = {"src": "sk", "dst": "dk"}
     conds = []
@@ -151,7 +156,17 @@ def _self_rows(compiler, seeds: DataFrame) -> DataFrame:
 # path → relation(src, dst, sk, dk)
 # ---------------------------------------------------------------------------
 
-def _relation(compiler, path, graph_ctx) -> DataFrame:
+def _relation(compiler, path, graph_ctx, extra_terms=()) -> DataFrame:
+    """Path expression -> (src, dst, sk, dk) relation.
+
+    ``extra_terms``: the enclosing pattern's GROUND endpoint terms.
+    Zero-length sub-paths (``p?``/``p*`` at ANY nesting depth) must
+    relate these to themselves even when they never occur in the graph
+    (SPARQL 9.3 ALP starts from the term) - and they are the ONLY
+    non-domain terms that can flow through a path relation (edges
+    produce domain terms; zero-length of domain + grounds stays in
+    domain + grounds), so extending the identity component by them is
+    complete."""
     if isinstance(path, A.PLink):
         df = compiler.source.scan(path.iri)
         df = compiler._graph_filter(df, graph_ctx)
@@ -159,29 +174,35 @@ def _relation(compiler, path, graph_ctx) -> DataFrame:
                       & (df["p"]["lex"] == path.iri))
         return _with_keys(df, jk=compiler._jk)
     if isinstance(path, A.PInv):
-        r = _relation(compiler, path.inner, graph_ctx)
+        r = _relation(compiler, path.inner, graph_ctx, extra_terms)
         return r.select(r["dst"].alias("src"), r["src"].alias("dst"),
                         r["dk"].alias("sk"), r["sk"].alias("dk"))
     if isinstance(path, A.PSeq):
-        l = _relation(compiler, path.left, graph_ctx).alias("l")
-        r = _relation(compiler, path.right, graph_ctx).alias("r")
+        l = _relation(compiler, path.left, graph_ctx, extra_terms).alias("l")
+        r = _relation(compiler, path.right, graph_ctx, extra_terms).alias("r")
         return l.join(r, F.col("l.dk") == F.col("r.sk")) \
                 .select(F.col("l.src").alias("src"),
                         F.col("r.dst").alias("dst"),
                         F.col("l.sk").alias("sk"),
                         F.col("r.dk").alias("dk"))
     if isinstance(path, A.PAlt):
-        return _relation(compiler, path.left, graph_ctx).unionByName(
-            _relation(compiler, path.right, graph_ctx))
+        return _relation(compiler, path.left, graph_ctx, extra_terms) \
+            .unionByName(_relation(compiler, path.right, graph_ctx,
+                                   extra_terms))
     if isinstance(path, A.PZeroOrOne):
-        return _relation(compiler, path.inner, graph_ctx).unionByName(
-            _zero_len_for(compiler, graph_ctx)) \
+        return _relation(compiler, path.inner, graph_ctx, extra_terms) \
+            .unionByName(_zero_len_for(compiler, graph_ctx, extra_terms)) \
             .dropDuplicates(["sk", "dk"])
     if isinstance(path, A.POneOrMore):
-        return _closure(compiler, _relation(compiler, path.inner, graph_ctx), None)
+        return _closure(compiler,
+                        _relation(compiler, path.inner, graph_ctx,
+                                  extra_terms), None)
     if isinstance(path, A.PZeroOrMore):
-        closed = _closure(compiler, _relation(compiler, path.inner, graph_ctx), None)
-        return closed.unionByName(_zero_len_for(compiler, graph_ctx)) \
+        closed = _closure(compiler,
+                          _relation(compiler, path.inner, graph_ctx,
+                                    extra_terms), None)
+        return closed.unionByName(_zero_len_for(compiler, graph_ctx,
+                                                extra_terms)) \
                      .dropDuplicates(["sk", "dk"])
     if isinstance(path, A.PNeg):
         df = compiler._graph_filter(compiler.source.scan(), graph_ctx)
@@ -200,12 +221,13 @@ def _relation(compiler, path, graph_ctx) -> DataFrame:
     raise NotImplementedError(f"path {type(path).__name__}")
 
 
-def _zero_len_for(compiler, graph_ctx) -> DataFrame:
-    """Zero-length path rows (node, node) for closures with BOTH
-    endpoints free: every term occurring in the active graph as subject
-    or object (§9.3 — subtle, see SURVEY.md PP7).  Concrete-endpoint
-    closures use :func:`_self_rows` instead — their zero-length pair is
-    the endpoint itself, independent of graph membership."""
+def _zero_len_for(compiler, graph_ctx, extra_terms=()) -> DataFrame:
+    """Zero-length path rows (node, node): every term occurring in the
+    active graph as subject or object (§9.3 — subtle, see SURVEY.md
+    PP7), PLUS the enclosing pattern's ground endpoint terms
+    (``extra_terms`` — zero-length relates them to themselves whether
+    or not they occur in the graph).  Top-level concrete-endpoint
+    closures use :func:`_self_rows` alone instead."""
     df = compiler._graph_filter(compiler.source.scan(), graph_ctx)
 
     def part(pos: str) -> DataFrame:
@@ -214,6 +236,10 @@ def _zero_len_for(compiler, graph_ctx) -> DataFrame:
         return df.select(df[pos].alias("node"), k.alias("k"))
 
     both = part("s").unionByName(part("o"))
+    for t in extra_terms:
+        gdf = _const_df(compiler, t)
+        both = both.unionByName(gdf.select(gdf["src"].alias("node"),
+                                           gdf["sk"].alias("k")))
     nodes = both.dropDuplicates(["k"])
     return nodes.select(nodes["node"].alias("src"), nodes["node"].alias("dst"),
                         nodes["k"].alias("sk"), nodes["k"].alias("dk"))
@@ -375,8 +401,8 @@ def _decode_pairs(pairs: DataFrame, dic: DataFrame) -> DataFrame:
 
 
 def _seeded_closure(compiler, inner_path, graph_ctx, seeds: DataFrame,
-                    include_zero: bool) -> DataFrame:
-    edges = _relation(compiler, inner_path, graph_ctx)
+                    include_zero: bool, extra_terms=()) -> DataFrame:
+    edges = _relation(compiler, inner_path, graph_ctx, extra_terms)
     out = _closure(compiler, edges, seeds)
     if include_zero:
         # the seeds' own self-pairs, NOT the graph-domain intersection:

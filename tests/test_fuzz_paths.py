@@ -154,6 +154,30 @@ def test_fuzz_paths_vs_reference(spark, seed):
             f"seed={seed} q{qi} seeded from {start}: "
             f"path {_to_sparql(tree)}")
 
+        # ghost-seeded variant: concrete endpoint NOT in the graph —
+        # §9.3 zero-length paths still relate the term to itself, so
+        # star/opt shapes must yield the ghost (round-5 semantics fix).
+        # The reference evaluates with the ghost added to the node
+        # domain (it has no edges, so only its self-pair can appear).
+        ghost_ref = _eval_ref(tree, edges, nodes + ["ghost"])
+        sparql3 = ("PREFIX ex: <urn:ex:>\n"
+                   f"SELECT ?o WHERE {{ ex:ghost {_to_sparql(tree)} ?o }}")
+        got3 = {r["o"]["lex"].removeprefix(EX)
+                for r in store.query(sparql3).collect()}
+        want3 = {d for s, d in ghost_ref if s == "ghost"}
+        assert got3 == want3, (
+            f"seed={seed} q{qi} ghost-seeded: path {_to_sparql(tree)}\n"
+            f"missing={sorted(want3 - got3)} extra={sorted(got3 - want3)}")
+        # and the reverse: concrete ghost OBJECT endpoint
+        sparql4 = ("PREFIX ex: <urn:ex:>\n"
+                   f"SELECT ?s WHERE {{ ?s {_to_sparql(tree)} ex:ghost }}")
+        got4 = {r["s"]["lex"].removeprefix(EX)
+                for r in store.query(sparql4).collect()}
+        want4 = {s for s, d in ghost_ref if d == "ghost"}
+        assert got4 == want4, (
+            f"seed={seed} q{qi} ghost-object: path {_to_sparql(tree)}\n"
+            f"missing={sorted(want4 - got4)} extra={sorted(got4 - want4)}")
+
 
 @pytest.mark.parametrize("seed", [55, 66])
 def test_fuzz_paths_key64_vs_reference(spark, seed):
