@@ -162,13 +162,14 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
                       F.lit(1.0 / len(seeds))).otherwise(F.lit(0.0))
     else:
         tele = F.lit(1.0 / n)
-    nodes = bare_nodes.select("node", tele.alias("tele")).persist()
+    with _pinned_cache_partitioning(bare_nodes):
+        nodes = bare_nodes.select("node", tele.alias("tele")).persist()
 
     ranks = nodes.select("node", F.col("tele").alias("rank"))
     # graphs where every node links out (common after domain-graph
     # closure) skip the dangling-mass machinery entirely
     dangling_nodes = nodes.join(deg, nodes["node"] == deg["src"],
-                                "leftanti").persist()
+                                "leftanti")
     has_dangling = bool(dangling_nodes.take(1))
 
     for i in range(max_iter):
@@ -180,15 +181,21 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
                    .agg(F.sum(F.col("rank") / F.col("deg")).alias("in_mass")))
         # dangling mass (rank held by nodes with no out-edges, restarted
         # over the teleport distribution) rides along as a broadcast
-        # 1-row frame — NO per-iteration driver action; an eager action
-        # here would force a recompute of the whole unmaterialized
-        # lineage every round, compounding between checkpoints
+        # 1-row frame — NO per-iteration driver action.  Algebraic form:
+        # sum(rank) == 1 every step (the conservation invariant a test
+        # asserts), and each non-dangling node contributes exactly
+        # deg·(rank/deg) = rank to Σ in_mass, so dangling mass =
+        # damping·(1 − Σ in_mass) — a 1-row agg over the ALREADY
+        # node-aggregated contrib frame, whose exchange the next join
+        # shares via AQE stage reuse.  The earlier form semi-joined the
+        # full rank vector against a persisted dangling-node set every
+        # iteration — one whole extra pass over the vector per round.
         restart = F.lit(1.0 - damping)
         if has_dangling:
-            dng = (ranks.join(dangling_nodes, "node", "leftsemi")
-                   .agg((F.lit(damping)
-                         * F.coalesce(F.sum("rank"), F.lit(0.0)))
-                        .alias("__dng")))
+            dng = contrib.agg(
+                (F.lit(damping)
+                 * (F.lit(1.0) - F.coalesce(F.sum("in_mass"), F.lit(0.0))))
+                .alias("__dng"))
             restart = restart + F.col("__dng")
         nxt = (nodes.join(contrib, "node", "left"))
         if has_dangling:
@@ -210,7 +217,7 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     # a long-lived session calling pagerank per request must not
     # accumulate dead edge sets in the executor storage registry
     ranks = ranks.localCheckpoint()
-    for frame in (e, nodes, dangling_nodes):
+    for frame in (e, nodes):
         frame.unpersist()
     return ranks
 
