@@ -220,19 +220,24 @@ def main() -> None:
     ivf.count()
     list_sizes = {r["centroid_id"]: r["count"] for r in
                   ivf.groupBy("centroid_id").count().collect()}
+    # centroid set is loop-invariant: derive + collect ONCE, pass the
+    # frame into each probe (ivf_topk re-derives it when centroids=None)
+    cents_df = (ivf.select(ivf["centroid_id"].alias("id")).distinct()
+                .join(ivf.select("id", "vec"), "id")
+                .dropDuplicates(["id"])).localCheckpoint()
+    cents = cents_df.collect()
+    from oxigraph_spark.pipeline.simsearch import _centroid_order
     hits = tot = cand = 0
     for r in qrows:
         qvec = list(r["embedding"])
         truth = {x["id"] for x in
                  brute_force_topk(emb, "embedding", "vec_id", qvec, 10)
                  .collect()}
-        got = {x["id"] for x in ivf_topk(ivf, qvec, 10, nprobe=2).collect()}
+        got = {x["id"] for x in
+               ivf_topk(ivf, qvec, 10, nprobe=2,
+                        centroids=cents_df).collect()}
         hits += len(got & truth)
         tot += len(truth)
-        cents = (ivf.select(ivf["centroid_id"].alias("id")).distinct()
-                 .join(ivf.select("id", "vec"), "id")
-                 .dropDuplicates(["id"]).collect())
-        from oxigraph_spark.pipeline.simsearch import _centroid_order
         cand += sum(list_sizes.get(c, 0)
                     for c in _centroid_order(qvec, cents)[:2])
     ann_sec = round(time.time() - t0, 3)

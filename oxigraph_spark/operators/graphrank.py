@@ -38,6 +38,14 @@ __all__ = ["pagerank", "degree_stats", "rdf_edges", "pagerank_terms",
            "hits", "connected_components"]
 
 _CACHE_PART_KEY = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+# serializes the set/restore window so two concurrent graph ops can't
+# interleave get/set and "restore" each other's flipped value as the
+# session default.  Residual caveat (documented, not fixable from
+# Python): the conf is session-global, so an UNRELATED thread calling
+# persist() during the window also gets pinned partitioning for that
+# one cache — harmless for correctness, it only opts that cache out of
+# AQE re-planning.
+_pin_lock = __import__("threading").Lock()
 
 
 @contextmanager
@@ -54,12 +62,13 @@ def _pinned_cache_partitioning(df: DataFrame):
     partitioning for all consumers while leaving every other cache in
     the session adaptive."""
     spark = df.sparkSession
-    old = spark.conf.get(_CACHE_PART_KEY)
-    spark.conf.set(_CACHE_PART_KEY, "false")
-    try:
-        yield
-    finally:
-        spark.conf.set(_CACHE_PART_KEY, old)
+    with _pin_lock:
+        old = spark.conf.get(_CACHE_PART_KEY)
+        spark.conf.set(_CACHE_PART_KEY, "false")
+        try:
+            yield
+        finally:
+            spark.conf.set(_CACHE_PART_KEY, old)
 
 
 def _node_id(c: Column) -> Column:

@@ -73,8 +73,16 @@ def compile_path(compiler, pp: A.PathPattern, graph_ctx,
                                   _const_df(compiler, s), include_zero,
                                   extra_terms=grounds)
         elif seeds is not None:
+            # BGP-supplied seeds stand in for a VARIABLE subject: the
+            # §18.1.7 var-var rule makes zero-length rows range over
+            # nodes(G), so the seeded optimization must intersect the
+            # seeds with the graph domain (zero_self=False) — a seed
+            # term bound by another operand but absent from the graph
+            # gets NO self-pair, exactly like the unseeded evaluation
+            # it replaces.  Ground endpoints (above) keep self-pairs
+            # per the X-is-a-term ALP rule.
             rel = _seeded_closure(compiler, path.inner, graph_ctx,
-                                  seeds, include_zero)
+                                  seeds, include_zero, zero_self=False)
         elif not isinstance(o, A.Var):
             inv = _relation(compiler, A.PInv(path.inner), graph_ctx,
                             grounds)
@@ -401,13 +409,42 @@ def _decode_pairs(pairs: DataFrame, dic: DataFrame) -> DataFrame:
 
 
 def _seeded_closure(compiler, inner_path, graph_ctx, seeds: DataFrame,
-                    include_zero: bool, extra_terms=()) -> DataFrame:
+                    include_zero: bool, extra_terms=(),
+                    zero_self: bool = True) -> DataFrame:
     edges = _relation(compiler, inner_path, graph_ctx, extra_terms)
     out = _closure(compiler, edges, seeds)
     if include_zero:
-        # the seeds' own self-pairs, NOT the graph-domain intersection:
-        # zero-length reaches the start term even when it has no edges
-        # and does not occur in the graph at all (§9.3)
-        out = out.unionByName(_self_rows(compiler, seeds)) \
-                 .dropDuplicates(["sk", "dk"])
+        if zero_self:
+            # ground-endpoint seeding: zero-length reaches the start
+            # term even when it has no edges and does not occur in the
+            # graph at all (§9.3 ALP with X a term)
+            zero = _self_rows(compiler, seeds)
+        else:
+            # variable-subject seeding (BGP-supplied): §18.1.7 var-var
+            # zero-length ranges over nodes(G) — intersect the domain
+            # with the seed set (broadcast-semi BEFORE the distinct, so
+            # the full term domain is never deduplicated)
+            zero = _zero_len_seeds(compiler, graph_ctx, seeds)
+        out = out.unionByName(zero).dropDuplicates(["sk", "dk"])
     return out
+
+
+def _zero_len_seeds(compiler, graph_ctx, seeds: DataFrame) -> DataFrame:
+    """(node, node) self-pairs of graph-domain terms restricted to the
+    seed set — the zero-length rows a VARIABLE-subject seeded closure
+    contributes."""
+    df = compiler._graph_filter(compiler.source.scan(), graph_ctx)
+
+    def part(pos: str) -> DataFrame:
+        name = _POS_KEY[pos]
+        k = df[name] if name in df.columns else compiler._jk(df[pos])
+        return df.select(df[pos].alias("node"), k.alias("k"))
+
+    both = part("s").unionByName(part("o"))
+    sk = seeds["sk"] if "sk" in seeds.columns else compiler._jk(seeds["src"])
+    both = both.join(F.broadcast(seeds.select(sk.alias("__sk"))),
+                     both["k"] == F.col("__sk"), "leftsemi")
+    nodes = both.dropDuplicates(["k"])
+    return nodes.select(nodes["node"].alias("src"),
+                        nodes["node"].alias("dst"),
+                        nodes["k"].alias("sk"), nodes["k"].alias("dk"))

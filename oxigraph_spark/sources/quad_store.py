@@ -294,10 +294,14 @@ class TransactionalQuadStore(ParquetQuadStore):
         return target_version
 
     def _write_data_dir(self, df: DataFrame) -> str:
+        """Write a new data dir; returns its store-RELATIVE path
+        ("data/<uuid>") — manifests must stay valid when the store is
+        opened through a different path spelling or after a move."""
         import uuid
-        d = os.path.join(self.path, "data", uuid.uuid4().hex)
-        ParquetQuadStore.write(df, d, key_width=self.key_width)
-        return d
+        rel = os.path.join("data", uuid.uuid4().hex)
+        ParquetQuadStore.write(df, os.path.join(self.path, rel),
+                               key_width=self.key_width)
+        return rel
 
     # -- public surface -------------------------------------------------------
 
@@ -328,8 +332,9 @@ class TransactionalQuadStore(ParquetQuadStore):
         batch semantics)."""
         from ..algebra.parser import parse_update
         from ..operators.update import MutableQuadSource
-        mut = MutableQuadSource(self.spark, self.quads(),
-                                key_width=self.key_width)
+        # from_source localCheckpoints the multi-dir union once (update
+        # execution pattern-scans it many times) and inherits key_width
+        mut = MutableQuadSource.from_source(self.spark, self)
         mut.apply_all(parse_update(sparql))
         return self.overwrite_quads(mut.quads())
 
@@ -343,18 +348,24 @@ class TransactionalQuadStore(ParquetQuadStore):
                             "compact")
 
     def vacuum(self) -> int:
-        """Delete data dirs no LIVE manifest references and manifests
-        older than the current version (breaks time travel to them).
-        Call only when no reader is pinned to an old version."""
+        """Delete data dirs the CURRENT manifest doesn't reference and
+        manifests older than the current version (breaks time travel to
+        them).  Call only when no reader is pinned to an old version.
+        Refuses on a STALE instance — vacuuming from a snapshot older
+        than the latest commit would delete a newer writer's committed
+        data (review finding r5); refresh() first."""
         import shutil
-        keep = set(self._dirs)
+        if self._latest() != self.version:
+            raise ConcurrentWriteError(
+                f"vacuum from stale snapshot v{self.version} "
+                f"(latest is v{self._latest()}); refresh() first")
+        keep = {os.path.normpath(d) for d in self._dirs}
         removed = 0
         data_root = os.path.join(self.path, "data")
         if os.path.isdir(data_root):
             for d in os.listdir(data_root):
-                full = os.path.join(data_root, d)
-                if full not in keep:
-                    shutil.rmtree(full)
+                if os.path.normpath(os.path.join("data", d)) not in keep:
+                    shutil.rmtree(os.path.join(data_root, d))
                     removed += 1
         for f in os.listdir(self._txn_dir):
             if f.startswith("v") and f.endswith(".json") \
@@ -396,7 +407,7 @@ class TransactionalQuadStore(ParquetQuadStore):
             return self._empty()
         parts = []
         for d in self._dirs:
-            df = self.spark.read.parquet(d)
+            df = self.spark.read.parquet(os.path.join(self.path, d))
             if p_lex is not None:
                 df = df.where((F.col("p_part") == self._part_value(p_lex))
                               & (F.col("p.lex") == p_lex))
@@ -417,7 +428,8 @@ class TransactionalQuadStore(ParquetQuadStore):
         from .tables import parquet_num_rows
         total = 0
         for d in self._dirs:
-            part_dir = os.path.join(d, f"p_part={self._part_value(p_lex)}")
+            part_dir = os.path.join(self.path, d,
+                                    f"p_part={self._part_value(p_lex)}")
             if os.path.isdir(part_dir):
                 n = parquet_num_rows(part_dir)
                 if n is None:

@@ -53,16 +53,28 @@ __all__ = ["stream_ntriples", "continuous_sparql"]
 _DELTA_GRAPH = "urn:oxigraph-spark:stream:delta"
 
 
-def _expr_has_exists(e) -> bool:
+# builtins whose value differs between evaluations: a replayed batch
+# would append the "same" solution with fresh values, breaking the
+# delta path's exactly-once-per-row guarantee (review finding r5)
+_NONDETERMINISTIC = {"UUID", "STRUUID", "RAND", "NOW", "BNODE"}
+
+
+def _expr_blocks_delta(e) -> bool:
+    """True when the expression makes delta evaluation unsound: EXISTS
+    (non-monotone) or a nondeterministic / unknown-custom function call
+    (replay would re-mint values; custom IRIs are conservatively
+    assumed nondeterministic)."""
     if isinstance(e, A.EExists):
         return True
-    if isinstance(e, A.EOp):
-        return any(_expr_has_exists(a) for a in e.args)
     if isinstance(e, A.ECall):
-        return any(_expr_has_exists(a) for a in e.args)
+        if e.name in _NONDETERMINISTIC or ":" in e.name:
+            return True
+        return any(_expr_blocks_delta(a) for a in e.args)
+    if isinstance(e, A.EOp):
+        return any(_expr_blocks_delta(a) for a in e.args)
     if isinstance(e, A.EIn):
-        return (_expr_has_exists(e.expr)
-                or any(_expr_has_exists(x) for x in e.options))
+        return (_expr_blocks_delta(e.expr)
+                or any(_expr_blocks_delta(x) for x in e.options))
     return False
 
 
@@ -83,7 +95,7 @@ def _find_monotone_bgp(node, saw_distinct=False):
     if isinstance(node, (A.Project, A.Reduced)):
         return _find_monotone_bgp(node.inner, saw_distinct)
     if isinstance(node, (A.Filter, A.Extend)):
-        if _expr_has_exists(node.expr):
+        if _expr_blocks_delta(node.expr):
             return None
         return _find_monotone_bgp(node.inner, saw_distinct)
     return None
@@ -262,7 +274,13 @@ def continuous_sparql(lines: DataFrame, queries: Dict[str, str], *,
         # so a GRAPH ?g pattern cannot pick up the synthetic graph.
         delta_source = None
         if delta_asts:
-            tagged = new_quads.withColumn("g", T.iri(F.lit(_DELTA_GRAPH)))
+            # tag ONLY default-graph quads: the monotone BGP's patterns
+            # match the default graph, so a named-graph quad (quads=True
+            # N-Quads ingest) must not leak into the delta rewrites —
+            # snapshot evaluation would never see it either
+            dflt = new_quads.where(
+                F.col("g")["kind"] == T.KIND_DEFAULT_GRAPH)
+            tagged = dflt.withColumn("g", T.iri(F.lit(_DELTA_GRAPH)))
             delta_source = MutableQuadSource(
                 spark, cached.unionByName(tagged))
         try:

@@ -177,6 +177,20 @@ def test_fuzz_paths_vs_reference(spark, seed):
         assert got4 == want4, (
             f"seed={seed} q{qi} ghost-object: path {_to_sparql(tree)}\n"
             f"missing={sorted(want4 - got4)} extra={sorted(got4 - want4)}")
+        # VALUES-bound VARIABLE subject = ghost: §18.1.7 var-var
+        # zero-length ranges over nodes(G) only, so the joined result
+        # must follow DOMAIN semantics (no ghost self-pair) — the
+        # opposite of the ground-written case above, and the rule a
+        # BGP-seeded closure optimization must preserve
+        sparql5 = ("PREFIX ex: <urn:ex:>\n"
+                   "SELECT ?o WHERE { VALUES ?s { ex:ghost } "
+                   f"?s {_to_sparql(tree)} ?o }}")
+        got5 = {r["o"]["lex"].removeprefix(EX)
+                for r in store.query(sparql5).collect()}
+        want5 = {d for s, d in want if s == "ghost"}  # domain-based ⇒ ∅
+        assert got5 == want5, (
+            f"seed={seed} q{qi} VALUES-ghost: path {_to_sparql(tree)}\n"
+            f"missing={sorted(want5 - got5)} extra={sorted(got5 - want5)}")
 
 
 @pytest.mark.parametrize("seed", [55, 66])

@@ -284,3 +284,46 @@ def test_non_monotone_fallback_snapshot(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["s"]["lex"] == "urn:f:s1"
     assert rows[0]["w"] is not None and rows[0]["w"]["lex"] == "w"
+
+
+def test_incremental_ignores_named_graph_quads(spark, tmp_path):
+    """quads=True ingest: a NAMED-graph quad must not leak into a
+    default-graph monotone query's delta append (review finding r5 —
+    tagging it into the synthetic delta graph erased its real graph)."""
+    from oxigraph_spark.streaming.sparql import (
+        continuous_sparql, stream_ntriples)
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    (drop / "a.nq").write_text('<urn:g:s1> <urn:g:p> "1" .\n')
+    (drop / "b.nq").write_text(
+        '<urn:g:s2> <urn:g:p> "2" <urn:g:graph1> .\n'
+        '<urn:g:s3> <urn:g:p> "3" .\n')
+    q = continuous_sparql(
+        stream_ntriples(spark, str(drop)),
+        {"d": "SELECT DISTINCT ?s WHERE { ?s <urn:g:p> ?v }"},
+        quad_log=str(tmp_path / "log"),
+        results_dir=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"),
+        quads=True)
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(tmp_path / "out" / "d")).collect()
+    # s2 lives in <urn:g:graph1>, outside the default graph the BGP
+    # matches — exactly what snapshot evaluation would return
+    assert sorted(r["s"]["lex"] for r in rows) == ["urn:g:s1", "urn:g:s3"]
+
+
+def test_delta_rejects_nondeterministic_builtins():
+    """UUID/NOW/RAND in FILTER or BIND force snapshot mode (replay
+    would re-mint values, breaking exactly-once-per-row appends)."""
+    from oxigraph_spark.algebra.parser import parse_query
+    from oxigraph_spark.streaming.sparql import _delta_rewrites
+    for bad in [
+        """SELECT DISTINCT ?s ?u WHERE { ?s <urn:x:p> ?o
+             BIND(UUID() AS ?u) }""",
+        """SELECT DISTINCT ?s WHERE { ?s <urn:x:p> ?o
+             FILTER(RAND() < 0.5) }""",
+        """SELECT DISTINCT ?s ?t WHERE { ?s <urn:x:p> ?o
+             BIND(NOW() AS ?t) }""",
+    ]:
+        assert _delta_rewrites(parse_query(bad)) is None, bad

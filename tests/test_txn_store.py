@@ -162,3 +162,34 @@ def test_store_update_commits_on_transactional_source(spark, tmp_path):
     assert _lexes(fresh.query(
         "SELECT ?s WHERE { ?s <urn:t:p> ?v }")) == \
         ["urn:t:s1", "urn:t:s2", "urn:t:s9"]
+
+
+def test_vacuum_refuses_stale_snapshot(spark, tmp_path):
+    """vacuum() from a snapshot older than the latest commit must
+    refuse (it would delete a newer writer's committed data)."""
+    path = str(tmp_path / "txn")
+    a = TransactionalQuadStore(spark, path)
+    a.overwrite_quads(_quads(spark, tmp_path, "a.nt", NT1))
+    stale = TransactionalQuadStore(spark, path)          # pinned at v1
+    a.append_quads(_quads(spark, tmp_path, "b.nt", NT2))  # v2
+    with pytest.raises(ConcurrentWriteError):
+        stale.vacuum()
+    # v2's data is intact and readable
+    assert _lexes(a.refresh().quads()) == ["urn:t:s1", "urn:t:s2",
+                                           "urn:t:s3"]
+
+
+def test_reopen_via_different_path_spelling(spark, tmp_path):
+    """Manifests record store-relative data dirs, so the store survives
+    being reopened through another path spelling (absolute vs
+    dot-relative) — and vacuum() keeps every live dir."""
+    import os
+    path = str(tmp_path / "txn")
+    ts = TransactionalQuadStore(spark, path)
+    ts.overwrite_quads(_quads(spark, tmp_path, "a.nt", NT1))
+    alias = os.path.join(str(tmp_path), ".", "txn")
+    re_ts = TransactionalQuadStore(spark, alias)
+    assert _lexes(re_ts.quads()) == ["urn:t:s1", "urn:t:s2"]
+    assert re_ts.pred_card("urn:t:p") == 2
+    assert re_ts.vacuum() == 0                  # nothing falsely dead
+    assert _lexes(re_ts.quads()) == ["urn:t:s1", "urn:t:s2"]
