@@ -78,43 +78,56 @@ def _expr_blocks_delta(e) -> bool:
     return False
 
 
-def _find_monotone_bgp(node, saw_distinct=False):
-    """(BGP, distinct?) when ``node`` is a monotone standing-query shape
-    — Project/Distinct/Reduced/Filter/Extend wrappers over ONE BGP of
-    plain triple patterns (no paths, no EXISTS in any expression) —
-    else None.  Monotone means new quads can only ADD solutions, the
-    precondition for delta evaluation; DISTINCT is additionally
-    required because the delta append dedups (set semantics)."""
+def _delta_variants(node):
+    """All single-pattern delta decompositions of a MONOTONE pattern
+    tree: each returned tree is ``node`` with exactly one triple
+    pattern addressed through the synthetic delta graph and everything
+    else over full data.  Returns None when the tree contains a
+    non-monotone operator (OPTIONAL/MINUS/EXISTS/aggregates/paths/
+    GRAPH/SERVICE…), ``[]`` for monotone-but-constant leaves (VALUES,
+    empty BGP — they never produce new solutions on their own)."""
+    delta_g = A.NamedNode(_DELTA_GRAPH)
     if isinstance(node, A.BGP):
-        if node.patterns and all(isinstance(p, A.TriplePattern)
-                                 for p in node.patterns):
-            return node, saw_distinct
-        return None
-    if isinstance(node, A.Distinct):
-        return _find_monotone_bgp(node.inner, True)
-    if isinstance(node, (A.Project, A.Reduced)):
-        return _find_monotone_bgp(node.inner, saw_distinct)
-    if isinstance(node, (A.Filter, A.Extend)):
+        if not all(isinstance(p, A.TriplePattern) for p in node.patterns):
+            return None
+        out = []
+        pats = list(node.patterns)
+        for i, t in enumerate(pats):
+            delta_part = A.Graph(delta_g, A.BGP((t,)))
+            rest = pats[:i] + pats[i + 1:]
+            out.append(delta_part if not rest
+                       else A.Join(A.BGP(tuple(rest)), delta_part))
+        return out
+    if isinstance(node, A.Union_):
+        # UNION is monotone: a new solution comes from exactly one
+        # branch touching Δ — the other branch drops from that variant
+        left = _delta_variants(node.left)
+        right = _delta_variants(node.right)
+        if left is None or right is None:
+            return None
+        return left + right
+    if isinstance(node, A.Join):
+        left = _delta_variants(node.left)
+        right = _delta_variants(node.right)
+        if left is None or right is None:
+            return None
+        return ([A.Join(v, node.right) for v in left]
+                + [A.Join(node.left, v) for v in right])
+    if isinstance(node, A.Filter):
         if _expr_blocks_delta(node.expr):
             return None
-        return _find_monotone_bgp(node.inner, saw_distinct)
-    return None
-
-
-def _replace_bgp(node, repl):
-    if isinstance(node, A.BGP):
-        return repl
-    if isinstance(node, A.Distinct):
-        return A.Distinct(_replace_bgp(node.inner, repl))
-    if isinstance(node, A.Reduced):
-        return A.Reduced(_replace_bgp(node.inner, repl))
-    if isinstance(node, A.Project):
-        return A.Project(_replace_bgp(node.inner, repl), node.vars)
-    if isinstance(node, A.Filter):
-        return A.Filter(node.expr, _replace_bgp(node.inner, repl))
+        inner = _delta_variants(node.inner)
+        return (None if inner is None
+                else [A.Filter(node.expr, v) for v in inner])
     if isinstance(node, A.Extend):
-        return A.Extend(_replace_bgp(node.inner, repl), node.var, node.expr)
-    raise AssertionError(f"unexpected wrapper {type(node).__name__}")
+        if _expr_blocks_delta(node.expr):
+            return None
+        inner = _delta_variants(node.inner)
+        return (None if inner is None
+                else [A.Extend(v, node.var, node.expr) for v in inner])
+    if isinstance(node, A.Values):
+        return []  # constant across batches: no delta of its own
+    return None
 
 
 def _delta_rewrites(query_ast):
@@ -126,31 +139,50 @@ def _delta_rewrites(query_ast):
     ∪_i Q[t_i ↦ Δ, rest ↦ full] — the classic semi-naive delta rule,
     here with every i's term widened to full data on the non-delta
     patterns (sound for SET semantics; the append dedups, hence the
-    DISTINCT requirement).  Δ is addressed through a synthetic named
-    graph (the batch's quads tagged ``_DELTA_GRAPH`` ride alongside the
-    full default-graph data), so each rewrite is plain SPARQL algebra —
-    ``GRAPH <delta> { t_i }`` joined with the remaining patterns — and
-    the whole existing compiler applies unchanged."""
+    DISTINCT requirement).  The monotone fragment covers BGP + FILTER +
+    BIND + VALUES + JOIN + UNION (each variant keeps only the branch
+    whose pattern is delta'd).  Δ is addressed through a synthetic
+    named graph (the batch's quads tagged ``_DELTA_GRAPH`` ride
+    alongside the full default-graph data), so each rewrite is plain
+    SPARQL algebra — ``GRAPH <delta> { t_i }`` joined with the
+    remaining patterns — and the whole existing compiler applies
+    unchanged."""
     if not isinstance(query_ast, A.SelectQuery):
         return None
     if query_ast.from_graphs or query_ast.from_named:
         return None
-    found = _find_monotone_bgp(query_ast.pattern)
-    if found is None:
-        return None
-    bgp, distinct = found
+    # peel the solution-modifier wrappers, requiring DISTINCT
+    node = query_ast.pattern
+    wrappers = []
+    distinct = False
+    while True:
+        if isinstance(node, A.Distinct):
+            distinct = True
+            wrappers.append(("distinct",))
+        elif isinstance(node, A.Reduced):
+            wrappers.append(("reduced",))
+        elif isinstance(node, A.Project):
+            wrappers.append(("project", node.vars))
+        else:
+            break
+        node = node.inner
     if not distinct:
         return None
-    delta_g = A.NamedNode(_DELTA_GRAPH)
-    out = []
-    pats = list(bgp.patterns)
-    for i, t in enumerate(pats):
-        delta_part = A.Graph(delta_g, A.BGP((t,)))
-        rest = pats[:i] + pats[i + 1:]
-        pat = delta_part if not rest else A.Join(A.BGP(tuple(rest)),
-                                                 delta_part)
-        out.append(A.SelectQuery(_replace_bgp(query_ast.pattern, pat)))
-    return out
+    variants = _delta_variants(node)
+    if not variants:
+        return None
+
+    def rewrap(v):
+        for w in reversed(wrappers):
+            if w[0] == "distinct":
+                v = A.Distinct(v)
+            elif w[0] == "reduced":
+                v = A.Reduced(v)
+            else:
+                v = A.Project(v, w[1])
+        return v
+
+    return [A.SelectQuery(rewrap(v)) for v in variants]
 
 
 def stream_ntriples(spark: SparkSession, drop_dir: str,

@@ -327,3 +327,53 @@ def test_delta_rejects_nondeterministic_builtins():
              BIND(NOW() AS ?t) }""",
     ]:
         assert _delta_rewrites(parse_query(bad)) is None, bad
+
+
+def test_delta_union_values_eligibility():
+    """UNION and VALUES join the monotone fragment: variants enumerate
+    one delta'd pattern per branch; VALUES contributes none itself."""
+    from oxigraph_spark.algebra.parser import parse_query
+    from oxigraph_spark.streaming.sparql import _delta_rewrites
+
+    u = parse_query("""SELECT DISTINCT ?s WHERE {
+        { ?s <urn:x:p> ?o } UNION { ?s <urn:x:q> ?o . ?o <urn:x:r> ?z } }""")
+    assert len(_delta_rewrites(u)) == 3  # 1 + 2 patterns
+    v = parse_query("""SELECT DISTINCT ?s ?o WHERE {
+        VALUES ?o { 1 2 } ?s <urn:x:p> ?o }""")
+    assert len(_delta_rewrites(v)) == 1  # VALUES delta-constant
+    # VALUES alone: monotone but constant -> nothing new per batch ever
+    c = parse_query("SELECT DISTINCT ?o WHERE { VALUES ?o { 1 2 } }")
+    assert _delta_rewrites(c) is None
+
+
+def test_incremental_union_equals_snapshot(spark, tmp_path):
+    """A DISTINCT UNION standing query under delta evaluation equals
+    snapshot re-evaluation across batches feeding different branches."""
+    from oxigraph_spark.streaming.sparql import (
+        continuous_sparql, stream_ntriples)
+
+    QUERY = {"u": """SELECT DISTINCT ?s WHERE {
+        { ?s <urn:u:p> ?v } UNION { ?s <urn:u:q> ?v . ?v <urn:u:r> ?z } }"""}
+
+    def run(sub, incremental):
+        drop = tmp_path / sub / "drop"
+        drop.mkdir(parents=True)
+        (drop / "a.nt").write_text(
+            '<urn:u:s1> <urn:u:p> "x" .\n'
+            '<urn:u:s2> <urn:u:q> <urn:u:m> .\n')   # dangling: no r yet
+        (drop / "b.nt").write_text(
+            '<urn:u:m> <urn:u:r> "z" .\n'           # completes branch 2
+            '<urn:u:s3> <urn:u:p> "y" .\n')         # new branch-1 row
+        q = continuous_sparql(
+            stream_ntriples(spark, str(drop)), QUERY,
+            quad_log=str(tmp_path / sub / "log"),
+            results_dir=str(tmp_path / sub / "out"),
+            checkpoint=str(tmp_path / sub / "ckpt"),
+            incremental=incremental)
+        q.awaitTermination(180)
+        rows = spark.read.parquet(str(tmp_path / sub / "out" / "u")).collect()
+        return sorted(r["s"]["lex"] for r in rows)
+
+    want = ["urn:u:s1", "urn:u:s2", "urn:u:s3"]
+    assert run("inc", True) == want
+    assert run("snap", False) == want
