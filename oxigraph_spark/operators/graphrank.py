@@ -89,11 +89,31 @@ def rdf_edges(quads: DataFrame, predicate: Optional[str] = None,
     q = quads.where((F.col("s")["kind"] == 0) & (F.col("o")["kind"] == 0))
     if predicate is not None:
         q = q.where(F.col("p")["lex"] == predicate)
-    # materialize the (tiny relative to the store) IRI pair list ONCE:
+    # persisted dictionary sidecars (quad-store scans,
+    # ``quad_store.write(with_keys=True)`` 64-bit layout): the store's
+    # BIGINT ids ARE the node ids — zero string hashing at graph build,
+    # and over a ``BucketedQuadStore`` the edge frame arrives already
+    # clustered on ``s_key``
+    dt = dict(q.dtypes)
+    have_keys = dt.get("s_key") == "bigint" and dt.get("o_key") == "bigint"
+    # materialize the (tiny relative to the store) pair list ONCE:
     # edges, the node dictionary, the parallel-edge distinct, and the
     # degree agg all consume it, and each would otherwise re-execute
     # the full union-of-predicate-frames quad scan (measured 6x the
     # whole PageRank loop at sf0.1)
+    if have_keys:
+        pairs = q.select(F.col("s")["lex"].alias("s_iri"),
+                         F.col("o")["lex"].alias("o_iri"),
+                         F.col("s_key").alias("sk"),
+                         F.col("o_key").alias("ok")).localCheckpoint()
+        edges = pairs.select(F.col("sk").alias("src"),
+                             F.col("ok").alias("dst"))
+        nodes = (pairs.select(F.col("sk").alias("id"),
+                              F.col("s_iri").alias("iri"))
+                 .unionAll(pairs.select(F.col("ok").alias("id"),
+                                        F.col("o_iri").alias("iri")))
+                 .dropDuplicates(["id"]))
+        return edges, nodes
     pairs = q.select(F.col("s")["lex"].alias("s_iri"),
                      F.col("o")["lex"].alias("o_iri")).localCheckpoint()
     edges = pairs.select(_node_id(F.col("s_iri")).alias("src"),

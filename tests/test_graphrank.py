@@ -293,3 +293,29 @@ def test_hits_halfstep_plan(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         e_fwd.unpersist()
         e_rev.unpersist()
+
+
+def test_rdf_edges_uses_persisted_keys(spark, tmp_path, link_quads):
+    """rdf_edges over a quad-store scan with 64-bit key sidecars uses
+    the persisted ids (no string re-hashing) and yields IRI-level
+    PageRank identical to the hash-from-lex path."""
+    from oxigraph_spark.operators.graphrank import rdf_edges
+    from oxigraph_spark.sources.quad_store import ParquetQuadStore
+
+    path = str(tmp_path / "qsk")
+    ParquetQuadStore.write(link_quads, path)          # key_width=64 default
+    store = ParquetQuadStore(spark, path)
+    scan = store.scan()
+    assert dict(scan.dtypes)["s_key"] == "bigint"
+    edges_k, nodes_k = rdf_edges(scan)
+    # the plan reads the sidecar, not a fresh hash of the lex string
+    assert "xxhash64(s_iri" not in edges_k._jdf.queryExecution() \
+        .optimizedPlan().toString()
+
+    got_k = {r["iri"]: r["rank"] for r in
+             pagerank_terms(scan, max_iter=8).collect()}
+    got_h = {r["iri"]: r["rank"] for r in
+             pagerank_terms(link_quads, max_iter=8).collect()}
+    assert set(got_k) == set(got_h)
+    for iri in got_k:
+        assert got_k[iri] == pytest.approx(got_h[iri], abs=1e-9)
