@@ -4,6 +4,7 @@ loop — this engine's own SERVICE client querying this engine's own
 endpoint."""
 
 import json
+import urllib.error
 import urllib.parse
 import urllib.request
 
@@ -148,5 +149,151 @@ def test_concurrent_clients(spark):
         with cf.ThreadPoolExecutor(max_workers=8) as pool:
             done = list(pool.map(client, range(8)))
         assert done == [5] * 8
+    finally:
+        ep.stop()
+
+
+# -- Graph Store Protocol (round 6) -----------------------------------------
+
+def _req(url, method="GET", data=None, ctype=None, accept=None):
+    headers = {}
+    if ctype:
+        headers["Content-Type"] = ctype
+    if accept:
+        headers["Accept"] = accept
+    req = urllib.request.Request(
+        url, data=data.encode() if isinstance(data, str) else data,
+        headers=headers, method=method)
+    try:
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return r.status, r.headers.get("Content-Type"), r.read().decode()
+    except urllib.error.HTTPError as e:
+        return e.code, e.headers.get("Content-Type"), e.read().decode()
+
+
+def test_gsp_named_graph_lifecycle(spark):
+    ep, base = _mk_endpoint(spark)
+    g = urllib.parse.quote("urn:g:people", safe="")
+    store_g = f"{base}/store?graph={g}"
+    try:
+        # absent graph: GET/HEAD/DELETE → 404
+        assert _req(store_g)[0] == 404
+        assert _req(store_g, method="HEAD")[0] == 404
+        assert _req(store_g, method="DELETE")[0] == 404
+        # PUT creates → 201
+        ttl = ('@prefix ex: <urn:ex:> .\n'
+               'ex:c ex:name "Carol" .\n'
+               'ex:c ex:age 33 .\n')
+        code, _, _ = _req(store_g, method="PUT", data=ttl,
+                          ctype="text/turtle")
+        assert code == 201
+        code, ct, body = _req(store_g, accept="application/n-triples")
+        assert code == 200 and ct == "application/n-triples"
+        assert '<urn:ex:c> <urn:ex:name> "Carol" .' in body
+        assert len([ln for ln in body.splitlines() if ln.strip()]) == 2
+        # the SPARQL endpoint sees the same store state (one server, one
+        # store: GSP writes are visible to protocol queries)
+        q = ("SELECT ?n WHERE { GRAPH <urn:g:people> "
+             "{ ?s <urn:ex:name> ?n } }")
+        _, body = _get(f"{base}/query?query={urllib.parse.quote(q)}")
+        assert json.loads(body)["results"]["bindings"][0]["n"]["value"] \
+            == "Carol"
+        # POST merges → 204; both subjects now present
+        code, _, _ = _req(store_g, method="POST",
+                          data='<urn:ex:d> <urn:ex:name> "Dan" .\n',
+                          ctype="application/n-triples")
+        assert code == 204
+        _, _, body = _req(store_g)
+        assert '"Carol"' in body and '"Dan"' in body
+        # PUT replaces → 204; only the new content remains
+        code, _, _ = _req(store_g, method="PUT",
+                          data='<urn:ex:e> <urn:ex:name> "Eve" .\n',
+                          ctype="application/n-triples")
+        assert code == 204
+        _, _, body = _req(store_g)
+        assert '"Eve"' in body and '"Carol"' not in body
+        # DELETE drops → 204, then 404
+        assert _req(store_g, method="DELETE")[0] == 204
+        assert _req(store_g)[0] == 404
+    finally:
+        ep.stop()
+
+
+def test_gsp_default_graph_and_dataset(spark):
+    ep, base = _mk_endpoint(spark)
+    try:
+        # default graph: GET serves the seeded triples, never 404
+        code, ct, body = _req(f"{base}/store?default")
+        assert code == 200
+        assert '<urn:ex:a> <urn:ex:name> "Alice" .' in body
+        # POST into the default graph merges
+        code, _, _ = _req(f"{base}/store?default", method="POST",
+                          data='<urn:ex:z> <urn:ex:name> "Zoe" .\n',
+                          ctype="application/n-triples")
+        assert code == 204
+        _, _, body = _req(f"{base}/store?default")
+        assert '"Zoe"' in body and '"Alice"' in body
+        # dataset-level GET → N-Quads with graph tokens
+        g = urllib.parse.quote("urn:g:extra", safe="")
+        _req(f"{base}/store?graph={g}", method="PUT",
+             data='@prefix ex: <urn:ex:> .\nex:x ex:v 1 .\n',
+             ctype="text/turtle")
+        code, ct, body = _req(f"{base}/store")
+        assert code == 200 and ct == "application/n-quads"
+        assert ('<urn:ex:x> <urn:ex:v> '
+                '"1"^^<http://www.w3.org/2001/XMLSchema#integer> '
+                '<urn:g:extra> .') in body
+        assert '<urn:ex:a> <urn:ex:name> "Alice" .' in body  # no g token
+        # PUT on the dataset replaces everything (N-Quads payload keeps
+        # its graph labels)
+        nq = ('<urn:s:1> <urn:p:1> "v1" .\n'
+              '<urn:s:2> <urn:p:2> "v2" <urn:g:two> .\n')
+        code, _, _ = _req(f"{base}/store", method="PUT", data=nq,
+                          ctype="application/n-quads")
+        assert code == 204
+        _, _, body = _req(f"{base}/store")
+        lines = sorted(ln for ln in body.splitlines() if ln.strip())
+        assert lines == ['<urn:s:1> <urn:p:1> "v1" .',
+                         '<urn:s:2> <urn:p:2> "v2" <urn:g:two> .']
+    finally:
+        ep.stop()
+
+
+def test_gsp_negotiation_and_bnodes(spark):
+    ep, base = _mk_endpoint(spark)
+    g = urllib.parse.quote("urn:g:neg", safe="")
+    store_g = f"{base}/store?graph={g}"
+    try:
+        _req(store_g, method="PUT",
+             data='<urn:ex:n> <urn:ex:name> "Néo" .\n',
+             ctype="application/n-triples")
+        # Turtle negotiation (N-Triples body is valid Turtle)
+        code, ct, body = _req(store_g, accept="text/turtle")
+        assert code == 200 and ct == "text/turtle" and "Néo" in body
+        # RDF/XML + JSON-LD negotiated documents round-trip via our own
+        # readers
+        code, ct, xml_doc = _req(store_g, accept="application/rdf+xml")
+        assert code == 200 and ct == "application/rdf+xml"
+        assert "rdf:RDF" in xml_doc
+        code, ct, json_doc = _req(store_g, accept="application/ld+json")
+        assert code == 200 and ct == "application/ld+json"
+        assert "urn:ex:name" in json_doc
+        # unsupported payload type → 415
+        code, _, _ = _req(store_g, method="POST", data="x,y\n1,2\n",
+                          ctype="text/csv")
+        assert code == 415
+        # blank nodes are fresh per POST (GSP merge semantics): the same
+        # document twice yields two distinct bnodes
+        doc = '_:b <urn:ex:name> "Anon" .\n'
+        _req(store_g, method="POST", data=doc,
+             ctype="application/n-triples")
+        _req(store_g, method="POST", data=doc,
+             ctype="application/n-triples")
+        _, _, body = _req(store_g)
+        anon = [ln for ln in body.splitlines() if '"Anon"' in ln]
+        assert len(anon) == 2
+        subjects = {ln.split(" ")[0] for ln in anon}
+        assert len(subjects) == 2 and all(s.startswith("_:")
+                                          for s in subjects)
     finally:
         ep.stop()
