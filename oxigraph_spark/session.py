@@ -85,3 +85,39 @@ def configure(spark: SparkSession) -> None:
         _pyspark_err_utils._enable_debugging_cache = False
     except (ImportError, AttributeError):  # pragma: no cover
         pass
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def full_optimizer(spark: SparkSession):
+    """Temporarily restore Catalyst's FULL rule set (PushDownPredicates +
+    constraint propagation) for session-sharing NON-SPARQL code.
+
+    ``configure()`` excludes those rules session-wide because the SPARQL
+    compiler's SSA temp-column chains make alias substitution exponential
+    (see the comments there); plain DataFrames keep parquet pushdown and
+    pruning regardless (tests/test_session.py), but a filter written
+    ABOVE a join by user code is not re-pushed below it.  Wrap the
+    *action* (collect/write/count) — Catalyst optimizes at action time,
+    which is exactly why a set/restore inside ``Store.query`` would be
+    unsound: the restored rules would apply to the SPARQL plan later.
+    Do NOT trigger Store DataFrames inside this scope.
+
+    >>> with full_optimizer(spark):
+    ...     my_df.join(dim, "k").where(dim.c == 1).write.parquet(p)
+    """
+    prev_excl = spark.conf.get("spark.sql.optimizer.excludedRules", None)
+    prev_cp = spark.conf.get("spark.sql.constraintPropagation.enabled",
+                             None)
+    spark.conf.unset("spark.sql.optimizer.excludedRules")
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "true")
+    try:
+        yield spark
+    finally:
+        if prev_excl is not None:
+            spark.conf.set("spark.sql.optimizer.excludedRules", prev_excl)
+        if prev_cp is not None:
+            spark.conf.set("spark.sql.constraintPropagation.enabled",
+                           prev_cp)

@@ -78,3 +78,56 @@ def test_plain_dataframe_broadcast_join_still_works(spark):
     assert plan.count("PushedFilters") >= 2
     assert "GreaterThan(c_acctbal" in plan
     assert j.count() > 0
+
+
+def test_full_optimizer_scope_pushes_filter_below_join(spark):
+    """The session-contract degradation is NARROW on Spark 4.1: a plain
+    filter above a join still pushes (test below), but a filter that
+    must substitute through an ALIASING Project above a join needs
+    PushDownPredicates' replaceAlias and stays put.  Inside the
+    full_optimizer scope it pushes; the SPARQL-safe exclusions come
+    back after the scope."""
+    from oxigraph_spark.session import full_optimizer
+    from oxigraph_spark.sources.tables import load_table
+
+    nation = load_table(spark, SF_DIR, "nation")
+    region = load_table(spark, SF_DIR, "region")
+
+    def fresh():
+        # build a NEW Dataset each time: QueryExecution materializes its
+        # optimized plan once, under whatever confs are active then
+        return (nation.join(region,
+                            nation["n_regionkey"] == region["r_regionkey"])
+                .select(F.col("r_name").alias("rn"), "n_name")
+                .where(F.col("rn") == "EUROPE"))
+
+    def filter_below_join(df):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        below = plan[plan.find("Join"):]
+        return "Filter" in below and "r_name" in below
+
+    excl = "spark.sql.optimizer.excludedRules"
+    assert "PushDownPredicates" in (spark.conf.get(excl) or "")
+    assert not filter_below_join(fresh())  # the documented degradation
+    with full_optimizer(spark):
+        assert spark.conf.get(excl, None) in (None, "")
+        df = fresh()
+        assert filter_below_join(df)       # full rules push it
+        assert df.count() > 0
+    assert "PushDownPredicates" in (spark.conf.get(excl) or "")
+    assert spark.conf.get("spark.sql.constraintPropagation.enabled") \
+        == "false"
+
+
+def test_plain_filter_above_join_pushes_even_with_exclusions(spark):
+    """Spark 4.1 pushes a NON-aliased filter written above a join even
+    with PushDownPredicates excluded — the degradation documented in
+    README applies only through aliasing Projects."""
+    from oxigraph_spark.sources.tables import load_table
+    nation = load_table(spark, SF_DIR, "nation")
+    region = load_table(spark, SF_DIR, "region")
+    j = nation.join(region, nation["n_regionkey"] == region["r_regionkey"]
+                    ).where(F.col("r_name") == "EUROPE")
+    plan = j._jdf.queryExecution().optimizedPlan().toString()
+    below = plan[plan.find("Join"):]
+    assert "Filter" in below and "r_name" in below
