@@ -467,6 +467,56 @@ def embedding_cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
                 .where(F.col("sim") >= threshold))
 
 
+def semantic_dedup(df: DataFrame, vec_col: str, id_col: str,
+                   n_clusters: int = 16, threshold: float = 0.95,
+                   iters: int = 2, seed: int = 0,
+                   max_cluster: Optional[int] = None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
+    embedding space, call pairs within a cluster duplicates when their
+    cosine exceeds ``threshold``, and KEEP one representative per
+    duplicate group — the member LEAST similar to its centroid (the
+    paper's diversity-preserving choice; ties break on min id).
+
+    → ``(id, cid, group, ccos, keep)``: ``cid`` = k-means cluster,
+    ``group`` = duplicate-group id (min member id; singleton groups are
+    the id itself), ``keep`` = the representative flag.
+
+    Spark shape: pair generation is per-k-means-cluster, so the volume
+    is Σ cluster² of the SEMANTIC clusters — k is the fan-out knob the
+    paper also uses (they run k=50k on LAION).  ``max_cluster`` is the
+    hot-cluster cap (same skew guard as every other dedup family:
+    over-cap clusters are excluded from pairing and kept whole — route
+    such near-identical mass through exact/MinHash dedup first).
+    Duplicate groups come from the shared min-label-propagation
+    :func:`dedup_clusters` (ids only ever shuffle)."""
+    from .simsearch import cosine, kmeans_clusters
+    km = kmeans_clusters(df, vec_col, id_col, k=n_clusters, iters=iters,
+                         seed=seed).localCheckpoint(eager=False)
+    emb = km
+    if max_cluster is not None:
+        cold = (km.select("id", "cid").groupBy("cid")
+                  .agg(F.count(F.lit(1)).alias("__n"))
+                  .where(F.col("__n") <= max_cluster))
+        emb = km.join(cold.select("cid"), "cid", "leftsemi")
+    a, b = emb.alias("a"), emb.alias("b")
+    pairs = (a.join(b, (F.col("a.cid") == F.col("b.cid"))
+                    & (F.col("a.id") < F.col("b.id")))
+              .select(F.col("a.id").alias("id_a"),
+                      F.col("b.id").alias("id_b"),
+                      cosine(F.col("a.vec"), F.col("b.vec")).alias("sim"))
+              .where(F.col("sim") >= threshold))
+    grouped = dedup_clusters(pairs)  # (id, cluster) for paired ids only
+    out = (km.join(grouped.withColumnRenamed("cluster", "group"),
+                   "id", "left")
+             .withColumn("group", F.coalesce(F.col("group"), F.col("id"))))
+    # representative: least centroid-similar member of each group
+    w = Window.partitionBy("group").orderBy(F.col("ccos").asc(),
+                                            F.col("id").asc())
+    return (out.withColumn("__rk", F.row_number().over(w))
+               .select("id", "cid", "group", "ccos",
+                       (F.col("__rk") == 1).alias("keep")))
+
+
 # ---------------------------------------------------------------------------
 # pair → cluster: connected components over the near-dup pair graph
 # ---------------------------------------------------------------------------

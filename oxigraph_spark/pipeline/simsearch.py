@@ -133,6 +133,60 @@ def ivf_topk(index: DataFrame, query: Sequence[float], k: int = 10,
     return out.orderBy(F.col("sim").desc(), F.col("id")).limit(k)
 
 
+def _assign(base: DataFrame, cents: List[Sequence[float]]) -> DataFrame:
+    """(id, vec) + centroid list → (id, vec, cid, ccos) by max cosine.
+    Centroids ride as literal arrays (Catalyst folds them into the task
+    binary — no join, no shuffle; bounded by len(cents), same contract
+    as :func:`ivf_index`'s centroid literals)."""
+    scored = F.array(*[
+        F.struct(cosine(F.col("vec"),
+                        F.array(*[F.lit(float(x)) for x in c]))
+                 .alias("s"), F.lit(i).alias("cid"))
+        for i, c in enumerate(cents)])
+    best = F.array_max(scored)
+    return base.select("id", "vec", best["cid"].alias("cid"),
+                       best["s"].alias("ccos"))
+
+
+def kmeans_clusters(df: DataFrame, vec_col: str, id_col: str, k: int = 16,
+                    iters: int = 2, seed: int = 0) -> DataFrame:
+    """Distributed spherical k-means (Lloyd iterations under cosine):
+    → ``(id, vec, cid, ccos)`` where ``ccos`` is the member's cosine to
+    its final centroid.  Topic/domain bucketing for training-mix
+    construction and the clustering stage of SemDeDup.
+
+    Spark shape: initialization is the deterministic seeded sample used
+    by :func:`ivf_index` (smallest ``xxhash64(id, seed)`` — reproducible,
+    no fitted-model state).  Each iteration is ONE map-side assignment
+    (centroid literals, no shuffle) plus ONE aggregation: centroid
+    recomputation explodes vectors to ``(cid, pos, val)`` and means
+    per (cid, pos) — k·d rows cross the driver per round, never vectors
+    per row.  ``k`` is bounded by what fits in a task binary as literals
+    (~10³); beyond that, shard the corpus by a coarse hash first."""
+    v = F.col(vec_col).cast("array<double>")
+    base = df.select(F.col(id_col).alias("id"), v.alias("vec"))
+    cents = [c["vec"] for c in
+             base.withColumn("__h", F.xxhash64(F.col("id").cast("string"),
+                                               F.lit(seed)))
+                 .orderBy("__h", "id").limit(k).select("vec").collect()]
+    if not cents:
+        raise ValueError("kmeans_clusters: empty input")
+    for _ in range(max(0, iters)):
+        assigned = _assign(base, cents)
+        rows = (assigned
+                .select("cid", F.posexplode("vec").alias("pos", "val"))
+                .groupBy("cid", "pos").agg(F.avg("val").alias("m"))
+                .collect())
+        by_cid: dict = {}
+        for r in rows:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+        cents = [
+            [by_cid[i][p] for p in range(len(cents[i]))]
+            if i in by_cid else cents[i]        # empty cluster: keep old
+            for i in range(len(cents))]
+    return _assign(base, cents)
+
+
 def l2_normalize(df: DataFrame, vec_col: str) -> DataFrame:
     """Unit-normalize the embedding column in place (after this, dot
     product IS cosine — one multiply-add per dimension instead of three

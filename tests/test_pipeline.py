@@ -322,3 +322,60 @@ def test_knn_join_planted_neighbors(spark, sf_dir):
     capped = knn_join(both, "embedding", "vec_id", k=3, planes=1,
                       max_bucket=10)
     assert capped.count() == 0 or capped.count() < out.count()
+
+
+def test_kmeans_clusters_separates_planted_groups(spark):
+    """Two well-separated direction bundles → 2 clusters, members
+    co-assigned, high cosine to own centroid."""
+    from oxigraph_spark.pipeline.simsearch import kmeans_clusters
+    import random
+    rng = random.Random(7)
+    rows = []
+    for i in range(30):  # bundle A: +x-ish, bundle B: +y-ish
+        a = [10.0 + rng.uniform(-1, 1), rng.uniform(-1, 1),
+             rng.uniform(-1, 1)]
+        b = [rng.uniform(-1, 1), 10.0 + rng.uniform(-1, 1),
+             rng.uniform(-1, 1)]
+        rows.append((i, a))
+        rows.append((100 + i, b))
+    df = spark.createDataFrame(rows, "id long, vec array<float>")
+    out = kmeans_clusters(df, "vec", "id", k=2, iters=3).collect()
+    assert len(out) == 60
+    cids_a = {r.cid for r in out if r.id < 100}
+    cids_b = {r.cid for r in out if r.id >= 100}
+    assert len(cids_a) == 1 and len(cids_b) == 1 and cids_a != cids_b
+    assert all(r.ccos > 0.9 for r in out)
+
+
+def test_semantic_dedup_planted_pairs(spark, sf_dir):
+    """SemDeDup property oracle: doubled corpus (identical vectors,
+    shifted ids) → every planted pair shares one duplicate group with
+    exactly one keeper; the keeper is the min id (identical ccos)."""
+    from pyspark.sql import functions as F
+    from oxigraph_spark.pipeline.dedup import semantic_dedup
+    from oxigraph_spark.sources.tables import load_table
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .select("vec_id", "embedding").limit(120)
+    both = emb.unionByName(
+        emb.withColumn("vec_id", F.col("vec_id") + 1000000))
+    out = semantic_dedup(both, "embedding", "vec_id", n_clusters=4,
+                         threshold=0.999999, iters=2).cache()
+    n = out.count()
+    assert n == both.count()
+    # every planted pair: same group, one keep
+    joined = (out.alias("x").join(
+        out.alias("y"),
+        F.col("x.id") + 1000000 == F.col("y.id")))
+    assert joined.where(F.col("x.group") != F.col("y.group")).count() == 0
+    per_group = out.groupBy("group").agg(
+        F.sum(F.col("keep").cast("int")).alias("keeps"))
+    assert per_group.where(F.col("keeps") != 1).count() == 0
+    # keepers of planted pairs are the original (min) ids
+    kept_planted = (joined.where(F.col("x.keep").cast("int") +
+                                 F.col("y.keep").cast("int") == 1)
+                          .where(F.col("y.keep")))
+    assert kept_planted.count() == 0
+    # hot-cluster cap: everything capped out → all singleton keepers
+    capped = semantic_dedup(both, "embedding", "vec_id", n_clusters=2,
+                            threshold=0.999999, iters=1, max_cluster=3)
+    assert capped.where(~F.col("keep")).count() == 0
