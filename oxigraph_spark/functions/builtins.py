@@ -278,9 +278,21 @@ def _dt_ok(t: Column) -> Column:
         & t["datatype"].isin(T.XSD_DATETIME, T.XSD_DATE, T.XSD_TIME)
 
 
+def _local_ts(t: Column) -> Column:
+    """The LEXICAL-form timestamp: ``ts`` is normalized to UTC at parse
+    time (session tz is UTC), but §17.4.5's component accessors
+    (YEAR…MINUTES) operate on the original lexical value — e.g.
+    ``HOURS("…T14:45:13-05:00") = 14``, not 19.  Re-apply the stored
+    offset (``tz_min``; offsets are whole minutes, so SECONDS is
+    unaffected)."""
+    m = t["tz_min"]
+    return F.when(m.isNotNull(),
+                  F.timestamp_add("MINUTE", m, t["ts"])).otherwise(t["ts"])
+
+
 def _int_part(f: Callable[[Column], Column]) -> Callable[[Column], Column]:
     def g(t: Column) -> Column:
-        return F.when(_dt_ok(t), T.int_lit(f(t["ts"]))).otherwise(err())
+        return F.when(_dt_ok(t), T.int_lit(f(_local_ts(t)))).otherwise(err())
     return g
 
 

@@ -272,10 +272,32 @@ def ge(a: Column, b: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 def _decimal_lex(c: Column) -> Column:
-    """Canonical lexical form for a decimal value (strip trailing zeros)."""
+    """Canonical lexical form for a decimal value (strip trailing zeros).
+
+    Spark stringifies decimals via BigDecimal.toString, which switches
+    to scientific notation when the adjusted exponent is < -6 — zero at
+    scale renders "0E-18" and tiny magnitudes "1.2E-7".  xsd:decimal has
+    no exponent form, so expand those back to plain notation.
+
+    Known precision limit (documented divergence): Spark's decimal
+    DIVISION result type keeps only 6 fractional digits when the scale
+    would overflow (1/10000000.0 → 0.000000 → "0"); the reference's
+    128-bit fixed-scale decimal keeps 18.  Sub-1e-6 quotients are the
+    only affected shape."""
     s = c.cast("string")
-    s = F.regexp_replace(s, r"(\.\d*?)0+$", r"$1")
-    return F.regexp_replace(s, r"\.$", "")
+    is_sci = s.contains("E")
+    neg = s.startswith("-")
+    # mantissa digits with '.' and trailing zeros removed; "" for zero
+    digits = F.regexp_replace(
+        F.regexp_replace(F.regexp_extract(s, r"^-?([0-9.]+)E", 1),
+                         r"\.", ""), r"0+$", "")
+    exp = F.regexp_extract(s, r"E-([0-9]+)$", 1).cast("int")
+    sci_plain = F.when(digits == "", F.lit("0")).otherwise(
+        F.concat(F.when(neg, F.lit("-")).otherwise(F.lit("")),
+                 F.lit("0."), F.repeat(F.lit("0"), exp - 1), digits))
+    plain = F.regexp_replace(
+        F.regexp_replace(s, r"(\.\d*?)0+$", r"$1"), r"\.$", "")
+    return F.when(is_sci, sci_plain).otherwise(plain)
 
 
 def arith_typed(op: str, a: Column, b: Column, nta, ntb) -> Column:

@@ -143,3 +143,47 @@ def test_gyear_ordering(spark):
     months = [r["s"]["lex"][-1] for r in st.query(
         pfx + 'SELECT ?s WHERE { ?s <urn:ex:m> ?v } ORDER BY ?v').collect()]
     assert months == ["d", "c"]
+
+
+def test_component_accessors_use_lexical_timezone(spark):
+    """§17.4.5 YEAR…SECONDS operate on the LEXICAL form, not the
+    UTC-normalized value: HOURS("…T14:45:13-05:00") = 14 (not 19);
+    cross-day offsets shift DAY/MONTH/YEAR too."""
+    from tests.test_semantics import quads_store, iri
+    import oxigraph_spark.algebra.ast as A
+    from oxigraph_spark.model import terms as T
+    dt = lambda lex: A.Literal(lex, datatype=T.XSD_DATETIME)
+    st = quads_store(spark, [
+        (iri("a"), iri("p"), dt("2011-01-10T14:45:13.815-05:00")),
+        (iri("b"), iri("p"), dt("2011-01-10T01:15:00+05:30")),
+        (iri("c"), iri("p"), dt("2010-12-31T23:30:00-05:00")),
+        (iri("d"), iri("p"), dt("2011-01-10T14:45:13Z")),
+        (iri("e"), iri("p"), dt("2011-01-10T14:45:13")),
+    ])
+    rows = st.query("""
+        SELECT ?s (YEAR(?d) AS ?y) (MONTH(?d) AS ?mo) (DAY(?d) AS ?dy)
+               (HOURS(?d) AS ?h) (MINUTES(?d) AS ?mi) (SECONDS(?d) AS ?se)
+        WHERE { ?s <urn:ex:p> ?d } ORDER BY ?s""").collect()
+    got = {r["s"]["lex"][-1]:
+           [r[c]["lex"] for c in ("y", "mo", "dy", "h", "mi", "se")]
+           for r in rows}
+    assert got["a"] == ["2011", "1", "10", "14", "45", "13.815"]
+    assert got["b"] == ["2011", "1", "10", "1", "15", "0"]
+    assert got["c"] == ["2010", "12", "31", "23", "30", "0"]
+    assert got["d"] == ["2011", "1", "10", "14", "45", "13"]
+    assert got["e"] == ["2011", "1", "10", "14", "45", "13"]
+
+
+def test_decimal_zero_and_tiny_canonical_lex(spark):
+    """BigDecimal scientific forms never leak into xsd:decimal lexicals:
+    zero at scale is "0" (was "0E-18"), tiny magnitudes expand to plain
+    notation."""
+    from tests.test_semantics import quads_store, iri, lit
+    st = quads_store(spark, [(iri("a"), iri("p"), lit("x"))])
+    r = st.query(
+        'SELECT (1.5-1.5 AS ?z) (0.0-0.0000012 AS ?nt) (2.50+0.25 AS ?d) '
+        '(0.0*5 AS ?zm) WHERE {}').collect()[0]
+    assert r["z"]["lex"] == "0"
+    assert r["nt"]["lex"] == "-0.0000012"
+    assert r["d"]["lex"] == "2.75"
+    assert r["zm"]["lex"] == "0"
