@@ -37,7 +37,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-from .graphrank import _pinned_cache_partitioning
+from .graphrank import _iter_partitions, _pinned_cache_partitioning
 
 __all__ = ["shortest_paths", "triangle_count", "label_propagation"]
 
@@ -75,8 +75,9 @@ def shortest_paths(edges: DataFrame, landmarks: Sequence, *,
     if not lm:
         raise ValueError("shortest_paths: empty landmark set")
     e = _clean_edges(edges, src, dst).distinct()
+    p = _iter_partitions(edges.sparkSession, e.count(), None)
     with _pinned_cache_partitioning(e):
-        e = e.repartition("dst").persist()
+        e = e.repartition(p, "dst").persist()
     e.count()
 
     spark = edges.sparkSession
@@ -150,8 +151,9 @@ def triangle_count(edges: DataFrame, *, src: str = "src",
               ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b")))
     o = w.select(F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
                  F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"))
+    p = _iter_partitions(edges.sparkSession, und.count(), None)
     with _pinned_cache_partitioning(o):
-        o = o.repartition("u").persist()
+        o = o.repartition(p, "u").persist()
     o.count()
     # wedges u→v, v→w; closing edge u→w must exist in the oriented set
     e1, e2 = o.alias("e1"), o.alias("e2")
@@ -195,10 +197,11 @@ def label_propagation(edges: DataFrame, *, src: str = "src",
             .unionAll(e.select(F.col("dst").alias("u"),
                                F.col("src").alias("v")))
             .distinct())
+    p = _iter_partitions(edges.sparkSession, nbrs.count(), None)
     with _pinned_cache_partitioning(nbrs):
-        nbrs = nbrs.repartition("v").persist()
+        nbrs = nbrs.repartition(p, "v").persist()
     nodes = nbrs.select(F.col("u").alias("node")).distinct() \
-                .repartition("node")
+                .repartition(p, "node")
     with _pinned_cache_partitioning(nodes):
         nodes = nodes.persist()
     nodes.count()

@@ -75,6 +75,29 @@ def _node_id(c: Column) -> Column:
     return F.xxhash64(c)
 
 
+# target rows per pinned iteration partition: 1M (long, long) edge rows
+# ≈ 16 MB — the same order as AQE's advisory post-shuffle partition size
+_ROWS_PER_PARTITION = 1_000_000
+
+
+def _iter_partitions(spark, m: int, requested: Optional[int]) -> int:
+    """Partition count for a fixpoint's pinned iteration state.
+
+    Pinned caches opt OUT of AQE coalescing (that is what keeps the
+    per-round joins exchange-free), so the loop must size its own
+    partitioning the way AQE would have: enough partitions to hold
+    ~1M edge rows each, clamped to the session's shuffle parallelism.
+    Without this, a small graph iterates as ``shuffle.partitions``
+    pinned partitions and pays a full task wave of scheduling per stage
+    for single-digit-ms of work each (measured 0.95 s/round → 0.2 s/round
+    at sf0.1's 166k-edge FK graph, local[32]); a 100 TB graph still gets
+    the full configured parallelism."""
+    if requested:
+        return requested
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return max(1, min(cap, -(-m // _ROWS_PER_PARTITION)))
+
+
 def rdf_edges(quads: DataFrame, predicate: Optional[str] = None,
               ) -> tuple[DataFrame, DataFrame]:
     """``(edges, nodes)`` of the IRI→IRI link graph in ``quads``.
@@ -152,10 +175,9 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
              .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
     if dedup_edges:
         e = e.distinct()
-    if num_partitions:
-        e = e.repartition(num_partitions, "src")
-    else:
-        e = e.repartition("src")
+    # one narrow pre-count sizes the pinned layout (see _iter_partitions)
+    p = _iter_partitions(edges.sparkSession, e.count(), num_partitions)
+    e = e.repartition(p, "src")
     # edges + per-source out-degree materialized ONCE; every iteration
     # reads this frame, so persist it (deg rides along → the per-iter
     # join needs no second lookup).  Pinned partitioning: the cache
@@ -166,13 +188,26 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     with _pinned_cache_partitioning(e):
         e = e.persist()
 
-    bare_nodes = (e.select(F.col("src").alias("node"))
-                  .unionAll(e.select(F.col("dst").alias("node")))
-                  .distinct()
-                  .repartition("node"))
-    n = bare_nodes.count()  # also materializes the persisted edge frame
+    # node set WITH a has-out-edges flag: node count and the dangling
+    # probe come out of ONE aggregate job (a separate anti-join probe
+    # measured 2 s of pure scheduling at sf0.1)
+    flags = (e.select(F.col("src").alias("node"),
+                      F.lit(1).alias("has_out"))
+             .unionAll(e.select(F.col("dst").alias("node"),
+                                F.lit(0).alias("has_out")))
+             .groupBy("node").agg(F.max("has_out").alias("has_out"))
+             .repartition(p, "node"))
+    with _pinned_cache_partitioning(flags):
+        flags = flags.persist()
+    stats = flags.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.lit(1) - F.col("has_out")).alias("nd")).first()
+    n = stats["n"]  # this agg also materialized both caches
     if n == 0:
-        return bare_nodes.select("node", F.lit(1.0).alias("rank"))
+        return flags.select("node", F.lit(1.0).alias("rank"))
+    # graphs where every node links out (common after domain-graph
+    # closure) skip the dangling-mass machinery entirely
+    has_dangling = (stats["nd"] or 0) > 0
 
     # teleport distribution: uniform, or uniform over the seed set
     if personalize is not None:
@@ -181,25 +216,20 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
             raise ValueError("personalize: empty seed set")
         # normalize over the seeds PRESENT in the graph — absent seeds
         # would silently drain sum(rank) below 1 every iteration
-        present = bare_nodes.where(F.col("node").isin(seeds)).count()
+        present = flags.where(F.col("node").isin(seeds)).count()
         if present == 0:
             raise ValueError("personalize: no seed present in the graph")
         if present < len(seeds):
             seeds = [r["node"] for r in
-                     bare_nodes.where(F.col("node").isin(seeds)).collect()]
+                     flags.where(F.col("node").isin(seeds)).collect()]
         tele = F.when(F.col("node").isin(seeds),
                       F.lit(1.0 / len(seeds))).otherwise(F.lit(0.0))
     else:
         tele = F.lit(1.0 / n)
-    with _pinned_cache_partitioning(bare_nodes):
-        nodes = bare_nodes.select("node", tele.alias("tele")).persist()
-
+    # projection over the pinned cache: keeps the node-hash layout, so
+    # the per-iteration left join meets contrib co-located
+    nodes = flags.select("node", tele.alias("tele"))
     ranks = nodes.select("node", F.col("tele").alias("rank"))
-    # graphs where every node links out (common after domain-graph
-    # closure) skip the dangling-mass machinery entirely
-    dangling_nodes = nodes.join(deg, nodes["node"] == deg["src"],
-                                "leftanti")
-    has_dangling = bool(dangling_nodes.take(1))
 
     for i in range(max_iter):
         # mass leaving via links: rank/deg per edge, summed per target.
@@ -246,7 +276,7 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     # a long-lived session calling pagerank per request must not
     # accumulate dead edge sets in the executor storage registry
     ranks = ranks.localCheckpoint()
-    for frame in (e, nodes):
+    for frame in (e, flags):
         frame.unpersist()
     return ranks
 
@@ -325,12 +355,13 @@ def hits(edges: DataFrame, *, src: str = "src", dst: str = "dst",
              .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
     if dedup_edges:
         e = e.distinct()
+    p = _iter_partitions(edges.sparkSession, e.count(), None)
     with _pinned_cache_partitioning(e):
-        e_fwd = e.repartition("src").persist()
-        e_rev = e_fwd.repartition("dst").persist()
-    nodes = (e_fwd.select(F.col("src").alias("node"))
-             .unionAll(e_fwd.select(F.col("dst").alias("node")))
-             .distinct().repartition("node").persist())
+        e_fwd = e.repartition(p, "src").persist()
+        e_rev = e_fwd.repartition(p, "dst").persist()
+        nodes = (e_fwd.select(F.col("src").alias("node"))
+                 .unionAll(e_fwd.select(F.col("dst").alias("node")))
+                 .distinct().repartition(p, "node").persist())
     n = nodes.count()
     if n == 0:
         return nodes.select("node", F.lit(0.0).alias("hub"),
