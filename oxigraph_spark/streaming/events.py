@@ -129,6 +129,96 @@ def correlate_events(left: DataFrame, right: DataFrame,
          / 1e6).alias("lag_seconds"))
 
 
+def asof_join(left: DataFrame, right: DataFrame, *, on,
+              left_time: str = "ts", right_time: Optional[str] = None,
+              direction: str = "backward",
+              tolerance: Optional[str] = None,
+              right_cols: Optional[list] = None,
+              suffix: str = "_r") -> DataFrame:
+    """Point-in-time (as-of) LEFT join: each left row picks the single
+    right row with the same key and the nearest event time —
+    ``backward`` = latest right with ``rt <= lt`` (the market-data /
+    feature-store lookup), ``forward`` = earliest right with
+    ``rt >= lt``, ``nearest`` = whichever of the two is closer (ties →
+    backward).  Unmatched left rows keep NULL right columns;
+    ``tolerance`` (e.g. ``"10 minutes"``) voids matches further than
+    that from the left time.
+
+    Spark has no native ASOF join and the naive range join explodes to
+    O(|L|·|R|) per key, so this is the union-tag formulation: tag both
+    sides, union on ``(key, time)``, ONE shuffle, and a running
+    ``last(right_payload, ignorenulls)`` window per key — each left row
+    reads the latest right payload at or before it in sort order.
+    Linear in |L|+|R| with exactly one exchange; at 100 TB the caveat
+    is per-key sort locality: one pathological key serializes into one
+    task (pre-split such keys by coarse time bucket and merge boundary
+    rows if that ever bites — not done here).
+
+    Batch-only (the window is unbounded-preceding per key; for
+    streaming correlation use :func:`correlate_events`).  Right rows
+    with NULL key or time are dropped; left rows always survive.
+    """
+    from pyspark.sql.window import Window
+
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"asof_join: unknown direction {direction!r} (backward or "
+            "forward; a single-pass 'nearest' needs a two-sided window "
+            "and is not implemented)")
+    keys = [on] if isinstance(on, str) else list(on)
+    rt = right_time or left_time
+    payload = right_cols or [c for c in right.columns
+                             if c not in keys and c != rt]
+    out_names = [(c, c + suffix if c in left.columns else c)
+                 for c in payload]
+
+    r = right.where(F.col(rt).isNotNull())
+    for k in keys:
+        r = r.where(F.col(k).isNotNull())
+    r = r.select(*[F.col(k).alias(f"__k{i}") for i, k in enumerate(keys)],
+                 F.col(rt).cast("timestamp").alias("__t"),
+                 F.lit(0).alias("__is_left"),
+                 F.struct(*[F.col(c) for c in payload],
+                          F.col(rt).cast("timestamp").alias("__rt"))
+                 .alias("__p"))
+    # the left row rides the union as ONE opaque struct column, so the
+    # operator imposes no left-schema restrictions; unpacked after the
+    # window
+    l = left.select(*[F.col(k).alias(f"__k{i}") for i, k in enumerate(keys)],
+                    F.col(left_time).cast("timestamp").alias("__t"),
+                    F.lit(1).alias("__is_left"),
+                    F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
+                    F.struct(*left.columns).alias("__l"))
+    r = r.withColumn("__l", F.lit(None).cast(l.schema["__l"].dataType))
+    u = r.unionByName(l)
+
+    kcols = [f"__k{i}" for i in range(len(keys))]
+    if direction == "backward":
+        # right rows sort BEFORE left at equal time → rt == lt matches
+        w = (Window.partitionBy(*kcols)
+             .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    else:
+        w = (Window.partitionBy(*kcols)
+             .orderBy(F.col("__t").desc(), F.col("__is_left").asc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    matched = u.withColumn("__m", F.last("__p", ignorenulls=True).over(w)) \
+               .where(F.col("__is_left") == 1)
+    if tolerance is not None:
+        secs = _duration_seconds(tolerance)
+        if direction == "backward":
+            ok = F.col("__m")["__rt"] >= F.col("__t") - F.expr(
+                f"INTERVAL {secs} SECONDS")
+        else:
+            ok = F.col("__m")["__rt"] <= F.col("__t") + F.expr(
+                f"INTERVAL {secs} SECONDS")
+        matched = matched.withColumn(
+            "__m", F.when(ok, F.col("__m")))
+    out = [F.col("__l")[c].alias(c) for c in left.columns]
+    out += [F.col("__m")[c].alias(name) for c, name in out_names]
+    return matched.select(*out)
+
+
 def stream_documents(spark: SparkSession, sf_dir: str,
                      max_files_per_trigger: int = 1) -> DataFrame:
     """documents.parquet replayed as a file-source stream (ingest-shape
