@@ -500,6 +500,11 @@ class Parser:
                 self.next()
                 self.eat_op("(")
                 e = self._expression()
+                if _has_aggregate(e):
+                    raise ParseError(
+                        "aggregate function in BIND — aggregates are "
+                        "only legal in SELECT expressions, HAVING, and "
+                        "ORDER BY")
                 self.eat_kw("AS")
                 v = A.Var(self.next().value[1:])
                 self.eat_op(")")

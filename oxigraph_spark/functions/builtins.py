@@ -326,10 +326,12 @@ def fn_timezone(t: Column) -> Column:
     m = t["tz_min"]
     sign = F.when(m < 0, F.lit("-")).otherwise(F.lit(""))
     h, mn = F.floor(F.abs(m) / 60), F.abs(m) % 60
-    lex = F.concat(
+    # canonical xsd:dayTimeDuration: zero duration is "PT0S" (the spec's
+    # own TIMEZONE(...Z) example), minutes only when non-zero
+    lex = F.when(m == 0, F.lit("PT0S")).otherwise(F.concat(
         sign, F.lit("PT"),
         F.when(h > 0, F.concat(h.cast("string"), F.lit("H"))).otherwise(F.lit("")),
-        F.when((mn > 0) | (h == 0), F.concat(mn.cast("string"), F.lit("M"))).otherwise(F.lit("")))
+        F.when(mn > 0, F.concat(mn.cast("string"), F.lit("M"))).otherwise(F.lit(""))))
     out = T.term_struct(T.KIND_LITERAL, lex,
                         datatype=T._dtlit(T.XSD_DT_DURATION),
                         num=F.lit(0).cast(T.DECIMAL_T),

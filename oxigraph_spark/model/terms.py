@@ -396,7 +396,15 @@ def is_literal(t: Column) -> Column:
 
 
 def is_numeric(t: Column) -> Column:
-    return (t["kind"] == KIND_LITERAL) & t["datatype"].isin(*NUMERIC_DATATYPES)
+    # VALUE semantics: a numeric-datatype literal with an ill-formed
+    # lexical ("abc"^^xsd:integer) is NOT a numeric value — its parsed
+    # payload is NULL.  isNumeric() returns false for it (§17.4.2.4),
+    # arithmetic/comparison kernels fall back to type error, and SUM/AVG
+    # count it as an in-group error (the reference encodes terms at load,
+    # so an unparsable integer never becomes an Int there either).
+    return ((t["kind"] == KIND_LITERAL)
+            & t["datatype"].isin(*NUMERIC_DATATYPES)
+            & (t["num"].isNotNull() | t["dbl"].isNotNull()))
 
 
 def term_key(t: Column) -> Column:

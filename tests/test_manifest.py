@@ -133,15 +133,18 @@ def test_manifest_suite(spark):
     from pyspark.sql import functions as F
 
     entries = _load_manifest(spark)
-    assert len(entries) == 101
+    assert len(entries) == 126
     failures = []
     for e in entries:
         name = e["name"]
         qtext = open(os.path.join(HERE, e["query"])).read()
         try:
             if e["kind"] == "NegativeSyntaxTest":
+                from oxigraph_spark.algebra.parser import parse_update
+                parse = (parse_update if e["query"].endswith(".ru")
+                         else parse_query)
                 try:
-                    parse_query(qtext)
+                    parse(qtext)
                     failures.append(f"{name}: expected ParseError")
                 except ParseError:
                     pass

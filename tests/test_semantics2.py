@@ -153,7 +153,7 @@ def test_temporal_timezones(spark):
     rows = {r.s.lex[-2:]: r for r in df.collect()}
     assert rows["t1"].tz.lex == "+05:30"
     assert rows["t1"].dur.lex == "PT5H30M"
-    assert rows["t2"].tz.lex == "Z" and rows["t2"].dur.lex == "PT0M"
+    assert rows["t2"].tz.lex == "Z" and rows["t2"].dur.lex == "PT0S"
     assert rows["t3"].tz.lex == "" and rows["t3"].dur is None  # tz-less → error
     # instant comparison across offsets
     eq = st.query(f"""
