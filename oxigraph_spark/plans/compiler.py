@@ -860,6 +860,21 @@ class Compiler:
         return Compiled(out, l.vars | r.vars, certain, st, nt, out_ids)
 
     def _c_Join(self, n: A.Join, graph_ctx) -> Compiled:
+        # bind-join: a SERVICE operand joined with a local one compiles
+        # AFTER its partner so the partner's bindings can ship to the
+        # endpoint as a VALUES seed (_service_values)
+        if self.optimize and isinstance(n.right, A.Service) \
+                and not isinstance(n.left, A.Service):
+            left = self.compile_pattern(n.left, graph_ctx)
+            return self._join(
+                left, self._c_Service(n.right, graph_ctx, bind_from=left),
+                "inner")
+        if self.optimize and isinstance(n.left, A.Service) \
+                and not isinstance(n.right, A.Service):
+            right = self.compile_pattern(n.right, graph_ctx)
+            return self._join(
+                self._c_Service(n.left, graph_ctx, bind_from=right),
+                right, "inner")
         return self._join(self.compile_pattern(n.left, graph_ctx),
                           self.compile_pattern(n.right, graph_ctx), "inner")
 
@@ -871,9 +886,15 @@ class Compiler:
         fused = self._try_optional_star_fuse(n, graph_ctx)
         if fused is not None:
             return fused
-        return self._join(self.compile_pattern(n.left, graph_ctx),
-                          self.compile_pattern(n.right, graph_ctx), "left",
-                          extra_expr=n.expr)
+        left = self.compile_pattern(n.left, graph_ctx)
+        if self.optimize and isinstance(n.right, A.Service):
+            # OPTIONAL { SERVICE … }: the seed only drops remote rows no
+            # left row could join — unmatched left rows keep their NULLs
+            # either way, so the left-join result is unchanged
+            right = self._c_Service(n.right, graph_ctx, bind_from=left)
+        else:
+            right = self.compile_pattern(n.right, graph_ctx)
+        return self._join(left, right, "left", extra_expr=n.expr)
 
     def _try_optional_star_fuse(self, n: A.LeftJoin,
                                 graph_ctx) -> Optional[Compiled]:
@@ -1225,7 +1246,42 @@ class Compiler:
     def register_service_handler(cls, iri: str, handler) -> None:
         cls.SERVICE_HANDLERS[iri] = handler
 
-    def _c_Service(self, n: A.Service, graph_ctx) -> Compiled:
+    # bind-join seed cap: one protocol request ships at most this many
+    # distinct bindings; larger local sides fall back to the plain
+    # evaluate-then-join (the remote response is the bounded object, so
+    # the cap guards the REQUEST size, not the driver)
+    MAX_SERVICE_BINDINGS = 1000
+
+    def _service_values(self, n: A.Service, bind_from) -> Optional[str]:
+        """FedX-style bound join (Schwarte et al., ISWC 2011): when a
+        SERVICE pattern joins a local operand, ship the local side's
+        DISTINCT bindings of their shared variables as a VALUES block so
+        the endpoint evaluates only compatible solutions — a selective
+        local side turns "download the remote relation" into a probe.
+
+        Multiplicity-safety: only CERTAINLY-BOUND shared vars are
+        shipped (every VALUES row fully ground, no UNDEF).  Then for any
+        remote solution μ and local row l, exactly one VALUES row (l's
+        own projection) can merge into the μ∪v the local join accepts,
+        so per-(l, μ) multiplicities match the unseeded evaluation —
+        with UNDEF rows a single μ could merge with several v and
+        duplicate.  Blank nodes / quoted triples abort (not shippable).
+        The |shared-bindings| collect is driver-side and capped."""
+        if bind_from is None or n.raw is None:
+            return None
+        shared = sorted(frozenset(bind_from.certain)
+                        & A.pattern_vars(n.inner))
+        if not shared:
+            return None
+        from ..sources.service_http import values_clause
+        rows = (bind_from.df.select(*shared).distinct()
+                .limit(self.MAX_SERVICE_BINDINGS + 1).collect())
+        if not rows or len(rows) > self.MAX_SERVICE_BINDINGS:
+            return None
+        return values_clause(shared, rows)
+
+    def _c_Service(self, n: A.Service, graph_ctx,
+                   bind_from: "Optional[Compiled]" = None) -> Compiled:
         if isinstance(n.name, A.Var):
             # variable SERVICE target: evaluate the inner pattern against
             # every REGISTERED endpoint, binding the var to the endpoint
@@ -1234,7 +1290,9 @@ class Compiler:
             parts: List[Compiled] = []
             for iri in sorted(self.SERVICE_HANDLERS):
                 sub = self._c_Service(
-                    A.Service(A.NamedNode(iri), n.inner, n.silent), graph_ctx)
+                    A.Service(A.NamedNode(iri), n.inner, n.silent,
+                              raw=n.raw, prefixes=n.prefixes), graph_ctx,
+                    bind_from=bind_from)
                 df = sub.df.withColumn(
                     n.name.name, _const_term_col(A.NamedNode(iri)))
                 parts.append(Compiled(df, sub.vars | {n.name.name},
@@ -1269,7 +1327,7 @@ class Compiler:
                 f"no service handler registered for <{n.name.iri}> "
                 "(Compiler.register_service_handler)")
         try:
-            df = self._call_handler(handler, n)
+            df = self._call_handler(handler, n, bind_from=bind_from)
         except Exception:
             if n.silent:  # network/parse failure under SILENT (§13.2)
                 df = self.spark.range(1).select(F.lit(1).alias("__unit"))
@@ -1278,21 +1336,26 @@ class Compiler:
         names = frozenset(df.columns)
         return Compiled(df, names, frozenset())
 
-    def _call_handler(self, handler, n: A.Service) -> DataFrame:
-        """Invoke a service handler, passing the raw pattern source to
-        handlers that accept it (HttpServiceHandler); legacy handlers
-        keep the plain ``(spark, pattern)`` protocol."""
+    def _call_handler(self, handler, n: A.Service,
+                      bind_from: "Optional[Compiled]" = None) -> DataFrame:
+        """Invoke a service handler, passing the raw pattern source (and
+        the bind-join VALUES seed, when one applies) to handlers that
+        accept them (HttpServiceHandler); legacy handlers keep the plain
+        ``(spark, pattern)`` protocol."""
         import inspect
         try:
             params = inspect.signature(handler).parameters
-            takes_raw = "raw" in params or any(
-                p.kind is inspect.Parameter.VAR_KEYWORD
-                for p in params.values())
+            has_kwargs = any(p.kind is inspect.Parameter.VAR_KEYWORD
+                             for p in params.values())
+            takes_raw = "raw" in params or has_kwargs
+            takes_values = "values" in params or has_kwargs
         except (TypeError, ValueError):
-            takes_raw = False
+            takes_raw = takes_values = False
         if takes_raw:
-            return handler(self.spark, n.inner, raw=n.raw,
-                           prefixes=n.prefixes)
+            kw = {"raw": n.raw, "prefixes": n.prefixes}
+            if takes_values:
+                kw["values"] = self._service_values(n, bind_from)
+            return handler(self.spark, n.inner, **kw)
         return handler(self.spark, n.inner)
 
     def _c_Project(self, n: A.Project, graph_ctx) -> Compiled:

@@ -86,30 +86,77 @@ def _parse_results(doc: str, ctype: str) -> Tuple[List[str], List[dict]]:
     raise ValueError(f"unsupported SERVICE response content type {ctype!r}")
 
 
+def term_sparql_token(t) -> Optional[str]:
+    """TERM struct Row → SPARQL term token, or None when the term cannot
+    be shipped over the protocol (blank nodes are scoped to their
+    dataset; quoted triples would need SPARQL-star remotes)."""
+    k = t["kind"]
+    if k == T.KIND_IRI:
+        return f"<{t['lex']}>"
+    if k == T.KIND_LITERAL:
+        lex = (t["lex"].replace("\\", "\\\\").replace('"', '\\"')
+               .replace("\n", "\\n").replace("\r", "\\r"))
+        if t["lang"]:
+            return f'"{lex}"@{t["lang"]}'
+        dt = t["datatype"]
+        if dt and dt != T.XSD_STRING:
+            return f'"{lex}"^^<{dt}>'
+        return f'"{lex}"'
+    return None
+
+
+def values_clause(variables: List[str], rows) -> Optional[str]:
+    """Bind-join seed block: ``VALUES (?v …) { (t …) … }`` from collected
+    TERM Rows, or None when any term is unshippable.  Callers guarantee
+    every row is fully bound (certainly-bound vars only) — UNDEF rows
+    would break the bind-join's multiplicity argument (see
+    ``Compiler._c_Service``)."""
+    head = " ".join("?" + v for v in variables)
+    out = []
+    for r in rows:
+        toks = []
+        for v in variables:
+            t = r[v]
+            tok = None if t is None else term_sparql_token(t)
+            if tok is None:
+                return None
+            toks.append(tok)
+        out.append("(" + " ".join(toks) + ")")
+    return f"VALUES ({head}) {{ {' '.join(out)} }}"
+
+
 class HttpServiceHandler:
     """Callable service handler POSTing the pattern to one endpoint.
 
     Matches the handler protocol the compiler invokes
-    (``(spark, pattern, raw=…, prefixes=…)``); requires the parsed
-    ``raw`` source of the inner group (queries built programmatically
-    without source text cannot be shipped over the wire)."""
+    (``(spark, pattern, raw=…, prefixes=…, values=…)``); requires the
+    parsed ``raw`` source of the inner group (queries built
+    programmatically without source text cannot be shipped over the
+    wire).  ``values`` is an optional bind-join seed block (a VALUES
+    clause string) injected before the pattern, restricting the remote
+    evaluation to solutions compatible with the local join partner —
+    the FedX-style bound join that turns "download the remote relation"
+    into "probe it"."""
 
     def __init__(self, endpoint: str, timeout: float = 60.0):
         self.endpoint = endpoint
         self.timeout = timeout
 
-    def build_query(self, raw: str,
-                    prefixes: Optional[tuple]) -> str:
+    def build_query(self, raw: str, prefixes: Optional[tuple],
+                    values: Optional[str] = None) -> str:
         pfx = "".join(f"PREFIX {p}: <{iri}>\n" for p, iri in (prefixes or ()))
+        if values:
+            return f"{pfx}SELECT * WHERE {{ {values} {raw} }}"
         return f"{pfx}SELECT * WHERE {raw}"
 
     def __call__(self, spark: SparkSession, pattern, raw: Optional[str] = None,
-                 prefixes: Optional[tuple] = None) -> DataFrame:
+                 prefixes: Optional[tuple] = None,
+                 values: Optional[str] = None) -> DataFrame:
         if raw is None:
             raise ValueError(
                 "HTTP SERVICE needs the parsed pattern source (Service.raw); "
                 "register a custom handler for programmatic patterns")
-        q = self.build_query(raw, prefixes)
+        q = self.build_query(raw, prefixes, values)
         req = urllib.request.Request(
             self.endpoint, data=q.encode("utf-8"), method="POST",
             headers={

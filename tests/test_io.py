@@ -405,10 +405,12 @@ def test_http_service_end_to_end_json(spark, nt_path):
         assert rows[0].n.lex == "Alice" and rows[0].pop.lex == "12"
         assert rows[0].pop.num == 12
         # the endpoint received a well-formed SELECT-star protocol query
+        # carrying the local join partner's bindings as a bind-join seed
         body = captured[0]["body"]
         assert captured[0]["ctype"] == "application/sparql-query"
         assert body.startswith("PREFIX ex: <urn:ex:>")
-        assert "SELECT * WHERE { ?city ex:name ?n ; ex:pop ?pop }" in body
+        assert ('SELECT * WHERE { VALUES (?n) { ("Alice") } '
+                "{ ?city ex:name ?n ; ex:pop ?pop } }") in body
     finally:
         srv.shutdown()
 

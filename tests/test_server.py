@@ -114,6 +114,97 @@ def test_protocol_update_and_service_roundtrip(spark):
         ep.stop()
 
 
+def test_bind_join_ships_values(spark):
+    """FedX-style bound join: a SERVICE pattern joined with a selective
+    local operand ships the local bindings as a VALUES seed — asserted
+    on the wire-level query text — and returns the same rows as the
+    unseeded evaluation."""
+    from oxigraph_spark.plans.compiler import Compiler
+    from oxigraph_spark.sources.service_http import HttpServiceHandler
+    from tests.test_semantics import iri, lit, quads_store
+
+    ep, base = _mk_endpoint(spark)
+
+    class Spy(HttpServiceHandler):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            self.queries = []
+
+        def build_query(self, raw, prefixes, values=None):
+            q = super().build_query(raw, prefixes, values)
+            self.queries.append(q)
+            return q
+
+    svc = "urn:svc:spy"
+    spy = Spy(f"{base}/query")
+    Compiler.register_service_handler(svc, spy)
+    try:
+        local = quads_store(spark, [
+            (iri("a"), iri("flag"), lit("1")),
+        ])
+        q = f"""SELECT ?s ?n WHERE {{
+            ?s <urn:ex:flag> ?f .
+            SERVICE <{svc}> {{ ?s <urn:ex:name> ?n }}
+        }}"""
+        rows = local.query(q).collect()
+        assert len(rows) == 1
+        assert rows[0].s.lex == "urn:ex:a" and rows[0].n.lex == "Alice"
+        # the wire query carried the local ?s bindings
+        assert "VALUES (?s) { (<urn:ex:a>) }" in spy.queries[-1]
+
+        # SERVICE written FIRST still seeds from its later partner
+        spy.queries.clear()
+        q2 = f"""SELECT ?s ?n WHERE {{
+            SERVICE <{svc}> {{ ?s <urn:ex:name> ?n }}
+            ?s <urn:ex:flag> ?f .
+        }}"""
+        rows2 = local.query(q2).collect()
+        assert len(rows2) == 1 and rows2[0].n.lex == "Alice"
+        assert "VALUES (?s)" in spy.queries[-1]
+
+        # OPTIONAL { SERVICE }: seeded, left rows all survive
+        spy.queries.clear()
+        local2 = quads_store(spark, [
+            (iri("a"), iri("flag"), lit("1")),
+            (iri("zz"), iri("flag"), lit("1")),
+        ])
+        q3 = f"""SELECT ?s ?n WHERE {{
+            ?s <urn:ex:flag> ?f .
+            OPTIONAL {{ SERVICE <{svc}> {{ ?s <urn:ex:name> ?n }} }}
+        }}"""
+        got = {r.s.lex: (r.n.lex if r.n else None)
+               for r in local2.query(q3).collect()}
+        assert got == {"urn:ex:a": "Alice", "urn:ex:zz": None}
+        assert "VALUES (?s)" in spy.queries[-1]
+        assert "urn:ex:zz" in spy.queries[-1]  # both seeds shipped
+    finally:
+        Compiler.SERVICE_HANDLERS.pop(svc, None)
+        ep.stop()
+
+
+def test_bind_join_unshippable_terms_fall_back(spark):
+    """Blank-node seeds cannot ship (scoped to the local dataset): the
+    VALUES clause is withheld and the plain evaluate-then-join runs."""
+    from oxigraph_spark.sources.service_http import (term_sparql_token,
+                                                     values_clause)
+
+    class R(dict):
+        def __getitem__(self, k):
+            return dict.__getitem__(self, k)
+
+    iri_row = {"kind": 0, "lex": "urn:x", "datatype": None, "lang": None}
+    lit_row = {"kind": 2, "lex": 'say "hi"\n', "datatype": None,
+               "lang": "en"}
+    bnode_row = {"kind": 1, "lex": "b0", "datatype": None, "lang": None}
+    assert term_sparql_token(R(iri_row)) == "<urn:x>"
+    assert term_sparql_token(R(lit_row)) == '"say \\"hi\\"\\n"@en'
+    assert term_sparql_token(R(bnode_row)) is None
+    assert values_clause(["x"], [R({"x": R(bnode_row)})]) is None
+    assert values_clause(
+        ["x", "y"], [R({"x": R(iri_row), "y": R(lit_row)})]) \
+        == 'VALUES (?x ?y) { (<urn:x> "say \\"hi\\"\\n"@en) }'
+
+
 def test_concurrent_clients(spark):
     """Endpoint under concurrency (ThreadingHTTPServer + thread-safe
     Spark reads): 8 client threads x 5 requests each, mixed SELECT/ASK
