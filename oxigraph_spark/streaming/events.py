@@ -160,11 +160,10 @@ def asof_join(left: DataFrame, right: DataFrame, *, on,
     """
     from pyspark.sql.window import Window
 
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
-            f"asof_join: unknown direction {direction!r} (backward or "
-            "forward; a single-pass 'nearest' needs a two-sided window "
-            "and is not implemented)")
+            f"asof_join: unknown direction {direction!r} "
+            "(backward, forward, or nearest)")
     keys = [on] if isinstance(on, str) else list(on)
     rt = right_time or left_time
     payload = right_cols or [c for c in right.columns
@@ -193,27 +192,51 @@ def asof_join(left: DataFrame, right: DataFrame, *, on,
     u = r.unionByName(l)
 
     kcols = [f"__k{i}" for i in range(len(keys))]
-    if direction == "backward":
-        # right rows sort BEFORE left at equal time → rt == lt matches
-        w = (Window.partitionBy(*kcols)
-             .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
-             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    else:
-        w = (Window.partitionBy(*kcols)
+    # right rows sort BEFORE left rows at equal time in BOTH orderings,
+    # so rt == lt matches inclusively either direction
+    w_back = (Window.partitionBy(*kcols)
+              .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_fwd = (Window.partitionBy(*kcols)
              .orderBy(F.col("__t").desc(), F.col("__is_left").asc())
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    matched = u.withColumn("__m", F.last("__p", ignorenulls=True).over(w)) \
-               .where(F.col("__is_left") == 1)
-    if tolerance is not None:
-        secs = _duration_seconds(tolerance)
-        if direction == "backward":
-            ok = F.col("__m")["__rt"] >= F.col("__t") - F.expr(
+    secs = _duration_seconds(tolerance) if tolerance is not None else None
+
+    def _void_outside_tolerance(col, back: bool):
+        if secs is None:
+            return col
+        if back:
+            ok = col["__rt"] >= F.col("__t") - F.expr(
                 f"INTERVAL {secs} SECONDS")
         else:
-            ok = F.col("__m")["__rt"] <= F.col("__t") + F.expr(
+            ok = col["__rt"] <= F.col("__t") + F.expr(
                 f"INTERVAL {secs} SECONDS")
+        return F.when(ok, col)
+
+    if direction == "nearest":
+        # both runnings share the one partitioning exchange; the second
+        # window only adds a re-sort within partitions
+        m = u.withColumn("__mb", F.last("__p", ignorenulls=True).over(w_back)) \
+             .withColumn("__mf", F.last("__p", ignorenulls=True).over(w_fwd)) \
+             .where(F.col("__is_left") == 1)
+        mb = _void_outside_tolerance(F.col("__mb"), back=True)
+        mf = _void_outside_tolerance(F.col("__mf"), back=False)
+        db = F.unix_micros(F.col("__t")) - F.unix_micros(mb["__rt"])
+        df_ = F.unix_micros(mf["__rt"]) - F.unix_micros(F.col("__t"))
+        matched = m.withColumn(
+            "__m",
+            F.when(mb.isNull(), mf)
+             .when(mf.isNull(), mb)
+             .when(df_ < db, mf)            # ties (db == df_) → backward
+             .otherwise(mb))
+    else:
+        w = w_back if direction == "backward" else w_fwd
+        matched = u.withColumn(
+            "__m", F.last("__p", ignorenulls=True).over(w)) \
+            .where(F.col("__is_left") == 1)
         matched = matched.withColumn(
-            "__m", F.when(ok, F.col("__m")))
+            "__m", _void_outside_tolerance(F.col("__m"),
+                                           back=direction == "backward"))
     out = [F.col("__l")[c].alias(c) for c in left.columns]
     out += [F.col("__m")[c].alias(name) for c, name in out_names]
     return matched.select(*out)

@@ -93,11 +93,53 @@ def test_asof_equal_time_inclusive_and_suffix(spark):
 def test_asof_validates_and_plan(spark):
     l = spark.createDataFrame([(1, 1, 1)], "k int, t int, v int")
     with pytest.raises(ValueError):
-        asof_join(l, l, on="k", left_time="t", direction="nearest")
+        asof_join(l, l, on="k", left_time="t", direction="sideways")
     # one exchange for the union'd window, no join operator at all
     out = asof_join(l, l, on="k", left_time="t", right_cols=["v"])
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "Join" not in plan
+
+
+def test_asof_nearest_matches_python(spark, frames):
+    """nearest = closer of backward/forward, ties -> backward; derived
+    oracle from the two DuckDB directional joins."""
+    l, r, lpd, rpd = frames
+    out = asof_join(l, r.withColumnRenamed("t", "rt0"), on="k",
+                    left_time="t", right_time="rt0",
+                    direction="nearest", right_cols=["rv", "rt0"])
+    got = {(x["k"], x["t"]): (x["rv"], x["rt0"])
+           for x in out.collect()}
+    back = {(k, t): (rv, rtime)
+            for k, t, lv, rv, rtime in _oracle(lpd, rpd, ">=")}
+    fwd = {(k, t): (rv, rtime)
+           for k, t, lv, rv, rtime in _oracle(lpd, rpd, "<=")}
+    for key in back:
+        t = key[1]
+        b, f = back[key], fwd[key]
+        if b[1] is None:
+            want = f
+        elif f[1] is None:
+            want = b
+        else:
+            db = (t - b[1]).total_seconds()
+            df_ = (f[1] - t).total_seconds()
+            want = f if df_ < db else b
+        assert got[key] == want, key
+
+
+def test_asof_nearest_tolerance(spark):
+    l = spark.createDataFrame([(1, 100, "x")], "k int, t int, v string")
+    r = spark.createDataFrame(
+        [(1, 40, "far-back"), (1, 1000, "far-fwd")],
+        "k int, t int, w string")
+    # both candidates outside a 30s tolerance -> no match
+    out = asof_join(l, r, on="k", left_time="t", direction="nearest",
+                    tolerance="30 seconds", right_cols=["w"])
+    assert out.collect()[0]["w"] is None
+    # backward inside, forward outside -> backward wins
+    out2 = asof_join(l, r, on="k", left_time="t", direction="nearest",
+                     tolerance="1 minute", right_cols=["w"])
+    assert out2.collect()[0]["w"] == "far-back"
 
 
 def test_asof_events_table(spark, sf_dir):
