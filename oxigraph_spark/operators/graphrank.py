@@ -94,7 +94,10 @@ def _iter_partitions(spark, m: int, requested: Optional[int]) -> int:
     the full configured parallelism."""
     if requested:
         return requested
-    cap = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    try:
+        cap = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except ValueError:  # e.g. "auto" under some AQE configurations
+        cap = spark.sparkContext.defaultParallelism
     return max(1, min(cap, -(-m // _ROWS_PER_PARTITION)))
 
 

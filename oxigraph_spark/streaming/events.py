@@ -237,6 +237,10 @@ def asof_join(left: DataFrame, right: DataFrame, *, on,
         matched = matched.withColumn(
             "__m", _void_outside_tolerance(F.col("__m"),
                                            back=direction == "backward"))
+    # a NULL left time never matches: under the desc (forward) ordering
+    # nulls sort last and would otherwise see every right row
+    matched = matched.withColumn(
+        "__m", F.when(F.col("__t").isNotNull(), F.col("__m")))
     out = [F.col("__l")[c].alias(c) for c in left.columns]
     out += [F.col("__m")[c].alias(name) for c, name in out_names]
     return matched.select(*out)

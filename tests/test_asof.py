@@ -127,6 +127,18 @@ def test_asof_nearest_matches_python(spark, frames):
         assert got[key] == want, key
 
 
+def test_asof_null_left_time_never_matches(spark):
+    l = spark.createDataFrame([(1, None, "x"), (1, 50, "y")],
+                              "k int, t int, v string")
+    r = spark.createDataFrame([(1, 40, "m")], "k int, t int, w string")
+    for d in ("backward", "forward", "nearest"):
+        got = {x["v"]: x["w"]
+               for x in asof_join(l, r, on="k", left_time="t",
+                                  direction=d, right_cols=["w"]).collect()}
+        assert got["x"] is None, d          # null time: no match, row kept
+        assert got["y"] == ("m" if d != "forward" else None), d
+
+
 def test_asof_nearest_tolerance(spark):
     l = spark.createDataFrame([(1, 100, "x")], "k int, t int, v string")
     r = spark.createDataFrame(
