@@ -25,7 +25,8 @@ from typing import Dict, Iterable, Optional, Tuple
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from ..model import terms as T
-from .tables import load_table, parquet_num_rows as _parquet_num_rows
+from .tables import (load_table, parquet_num_rows as _parquet_num_rows,
+                     table_exists as _table_exists)
 
 G = "urn:g:"  # base namespace for the direct mapping
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
@@ -182,8 +183,7 @@ class DirectMappingSource:
         self._piece_memo: Dict = {}
         names = list(tables) if tables is not None else list(TABLE_DEFS)
         for t in names:
-            path = os.path.join(sf_dir, f"{t}.parquet")
-            if not os.path.exists(path):
+            if not _table_exists(sf_dir, t):
                 continue
             self._raw[t] = load_table(spark, sf_dir, t)
         self._build()

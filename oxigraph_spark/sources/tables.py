@@ -38,9 +38,35 @@ def _first_parquet_file(path: str) -> str:
     return path
 
 
+_TABLE_EXTS = ("parquet", "csv", "jsonl", "json")
+
+
+def table_exists(sf_dir: str, name: str) -> bool:
+    """True when the table is present in any supported format."""
+    return any(os.path.exists(os.path.join(sf_dir, f"{name}.{e}"))
+               for e in _TABLE_EXTS)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read ``{sf_dir}/{name}.parquet`` handling nano-timestamp columns."""
+    """Read ``{sf_dir}/{name}.parquet`` handling nano-timestamp columns.
+
+    Falls back to ``{name}.csv`` (header + schema inference) or
+    ``{name}.jsonl``/``{name}.json`` (JSON Lines) when no parquet file
+    of that name exists, so the relational→RDF direct mapping accepts
+    the common interchange formats directly.  Parquet stays the scale
+    path (columnar pruning, predicate pushdown, row-group skipping);
+    the text formats are for ingest convenience — convert once via
+    ``df.write.parquet`` for anything queried repeatedly."""
     path = os.path.join(sf_dir, f"{name}.parquet")
+    if not os.path.exists(path):
+        for ext, reader in (
+                ("csv", lambda p: spark.read.option("header", "true")
+                 .option("inferSchema", "true").csv(p)),
+                ("jsonl", spark.read.json),
+                ("json", spark.read.json)):
+            alt = os.path.join(sf_dir, f"{name}.{ext}")
+            if os.path.exists(alt):
+                return normalize_ntz(reader(alt))
     nanos: List[str] = list(_nano_ts_columns(path))
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
