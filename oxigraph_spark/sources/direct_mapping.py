@@ -158,9 +158,17 @@ class DirectMappingSource:
 
     def __init__(self, spark: SparkSession, sf_dir: str,
                  tables: Optional[Iterable[str]] = None,
-                 key_width: int = 64):
+                 key_width: int = 64,
+                 table_defs: Optional[Dict[str, Tuple[Tuple[str, ...],
+                                                      Dict[str, str]]]] = None):
         self.spark = spark
         self.sf_dir = sf_dir
+        # user-supplied schema mapping: table -> (pk columns, {fk -> table});
+        # defaults to the driver fixtures' TABLE_DEFS.  An empty pk tuple
+        # selects row-hash subject nodes (the W3C direct mapping's rule
+        # for keyless tables).
+        self._defs = dict(table_defs) if table_defs is not None \
+            else TABLE_DEFS
         # identity-key width the compiler should use over this source:
         # 64 (default) = compact single-xxhash64 longs (see
         # model.terms.join_key64; safe to ~10⁹ distinct terms), 128 =
@@ -181,7 +189,7 @@ class DirectMappingSource:
         # so reusing the Column objects (immutable, name-resolved
         # against the same base table) is most of a scan's build cost
         self._piece_memo: Dict = {}
-        names = list(tables) if tables is not None else list(TABLE_DEFS)
+        names = list(tables) if tables is not None else list(self._defs)
         for t in names:
             if not _table_exists(sf_dir, t):
                 continue
@@ -193,7 +201,7 @@ class DirectMappingSource:
         self._pred_info: Dict[str, Tuple[str, str, Optional[str]]] = {}
         type_frames = []
         for t, df in self._raw.items():
-            pk, fks = TABLE_DEFS[t]
+            pk, fks = self._defs[t]
             subj = _subject(t, df, pk)
             # W3C Direct Mapping: every row gets `<row> rdf:type <table>`
             # (the class partition `?x a ?t` queries and VoID
@@ -354,7 +362,7 @@ class DirectMappingSource:
             return None
         t = tables.pop()
         df = self._raw[t]
-        pk, _fks = TABLE_DEFS[t]
+        pk, _fks = self._defs[t]
         dtypes = dict(df.dtypes)
         out = df
         if subject_iri is not None:
@@ -463,7 +471,7 @@ class DirectMappingSource:
                         piece_key = ("scan_cols", p_lex)
                         cols = self._piece_memo.get(piece_key)
                         if cols is None:
-                            pk, _fks = TABLE_DEFS[t]
+                            pk, _fks = self._defs[t]
                             cols = [
                                 _subject(t, df, pk).alias("s"),
                                 T.iri(F.lit(p_lex)).alias("p"),

@@ -59,11 +59,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``df.write.parquet`` for anything queried repeatedly."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if not os.path.exists(path):
-        for ext, reader in (
-                ("csv", lambda p: spark.read.option("header", "true")
-                 .option("inferSchema", "true").csv(p)),
-                ("jsonl", spark.read.json),
-                ("json", spark.read.json)):
+        def _csv(p):
+            # Spark's CSV filter pushdown (UnivocityParser OrderedFilters)
+            # throws ArrayIndexOutOfBounds when a pushed filter meets a
+            # zero-column required schema — exactly the shape of an
+            # `?x a <table>` scan, which projects no data columns.  CSV
+            # is the ingest-convenience tier, so trade its pushdown away.
+            spark.conf.set("spark.sql.csv.filterPushdown.enabled", "false")
+            return spark.read.option("header", "true") \
+                .option("inferSchema", "true").csv(p)
+        for ext, reader in (("csv", _csv),
+                            ("jsonl", spark.read.json),
+                            ("json", spark.read.json)):
             alt = os.path.join(sf_dir, f"{name}.{ext}")
             if os.path.exists(alt):
                 return normalize_ntz(reader(alt))

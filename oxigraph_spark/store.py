@@ -34,16 +34,23 @@ class Store:
 
     @classmethod
     def from_tables(cls, spark: SparkSession, sf_dir: str, tables=None,
-                    key_width: int = 64, **kw) -> "Store":
+                    key_width: int = 64, table_defs=None, **kw) -> "Store":
         """``key_width``: dictionary identity-key width.  64 (default)
         = single-xxhash64 BIGINT keys — half the exchange/group width,
         measured 1.3–1.6× faster on join/closure shapes
         (tools/ab_keywidth.py); collision-safe to ~10⁹ distinct terms.
         Pass ``key_width=128`` (struct<h1,h2> double-hash) for corpora
-        beyond that — the 100 TB / 10¹²-distinct-term tier."""
+        beyond that — the 100 TB / 10¹²-distinct-term tier.
+
+        ``table_defs``: map YOUR OWN tables instead of the driver
+        fixtures — ``{table: ((pk_col, …), {fk_col: referenced_table})}``;
+        an empty pk tuple selects row-hash subject nodes (the W3C direct
+        mapping's keyless-table rule).  Tables may be parquet, CSV, or
+        JSON Lines files named ``{table}.{ext}`` under ``sf_dir``."""
         from .sources.direct_mapping import DirectMappingSource
         return cls(spark, DirectMappingSource(spark, sf_dir, tables=tables,
-                                              key_width=key_width), **kw)
+                                              key_width=key_width,
+                                              table_defs=table_defs), **kw)
 
     @classmethod
     def from_parquet(cls, spark: SparkSession, path: str, **kw) -> "Store":

@@ -38,6 +38,29 @@ def test_csv_and_jsonl_tables_map_like_parquet(spark, sf_dir, tmp_path):
     assert [x["n"]["lex"] for x in out] == want
 
 
+def test_custom_table_defs(spark, tmp_path):
+    """User-supplied schema mapping: own tables, own pk/fk graph — the
+    full SPARQL surface (FK link traversal included) over CSV files."""
+    (tmp_path / "team.csv").write_text(
+        "team_id,team_name\n1,red\n2,blue\n")
+    (tmp_path / "player.csv").write_text(
+        "player_id,player_name,team\n10,ana,1\n11,bo,1\n12,cy,2\n")
+    st = Store.from_tables(
+        spark, str(tmp_path),
+        table_defs={"team": (("team_id",), {}),
+                    "player": (("player_id",), {"team": "team"})})
+    out = st.query("""
+        SELECT ?p ?t WHERE {
+          ?x <urn:g:player#player_name> ?p .
+          ?x <urn:g:player#ref_team> ?y .
+          ?y <urn:g:team#team_name> ?t .
+        } ORDER BY ?p""").collect()
+    assert [(r["p"]["lex"], r["t"]["lex"]) for r in out] == [
+        ("ana", "red"), ("bo", "red"), ("cy", "blue")]
+    # class partition: every row typed with its table IRI
+    assert st.ask("ASK { ?x a <urn:g:player> }")
+
+
 def test_parquet_still_preferred(spark, sf_dir, tmp_path):
     # a decoy CSV next to the parquet must not shadow it
     os.symlink(os.path.join(sf_dir, "region.parquet"),
