@@ -156,11 +156,12 @@ class DirectMappingSource:
     # OPTIONAL-star fusion, which is unsound for multi-valued stores
     single_valued_stars = True
 
-    def __init__(self, spark: SparkSession, sf_dir: str,
+    def __init__(self, spark: SparkSession, sf_dir: Optional[str] = None,
                  tables: Optional[Iterable[str]] = None,
                  key_width: int = 64,
                  table_defs: Optional[Dict[str, Tuple[Tuple[str, ...],
-                                                      Dict[str, str]]]] = None):
+                                                      Dict[str, str]]]] = None,
+                 frames: Optional[Dict[str, DataFrame]] = None):
         self.spark = spark
         self.sf_dir = sf_dir
         # user-supplied schema mapping: table -> (pk columns, {fk -> table});
@@ -189,11 +190,23 @@ class DirectMappingSource:
         # so reusing the Column objects (immutable, name-resolved
         # against the same base table) is most of a scan's build cost
         self._piece_memo: Dict = {}
-        names = list(tables) if tables is not None else list(self._defs)
-        for t in names:
-            if not _table_exists(sf_dir, t):
-                continue
-            self._raw[t] = load_table(spark, sf_dir, t)
+        if frames is not None:
+            # in-memory mapping: the caller supplies the DataFrames
+            # directly (any Spark source — JDBC, Delta, views); every
+            # named table must be present in the defs map
+            for t, df in frames.items():
+                if t not in self._defs:
+                    raise ValueError(f"frames table {t!r} has no entry in "
+                                     "table_defs")
+                self._raw[t] = df
+        else:
+            if sf_dir is None:
+                raise ValueError("DirectMappingSource needs sf_dir or frames")
+            names = list(tables) if tables is not None else list(self._defs)
+            for t in names:
+                if not _table_exists(sf_dir, t):
+                    continue
+                self._raw[t] = load_table(spark, sf_dir, t)
         self._build()
 
     def _build(self) -> None:
@@ -278,8 +291,11 @@ class DirectMappingSource:
         """Parquet-footer row count of one base table (memoized)."""
         memo = self.__dict__.setdefault("_rows_memo", {})
         if table not in memo:
-            path = os.path.join(self.sf_dir, f"{table}.parquet")
-            memo[table] = _parquet_num_rows(path)
+            if self.sf_dir is None:     # in-memory frames: no footers
+                memo[table] = None
+            else:
+                path = os.path.join(self.sf_dir, f"{table}.parquet")
+                memo[table] = _parquet_num_rows(path)
         return memo[table]
 
     def pred_types(self, p_lex: str):

@@ -53,6 +53,18 @@ class Store:
                                               table_defs=table_defs), **kw)
 
     @classmethod
+    def from_dataframes(cls, spark: SparkSession, frames, table_defs,
+                        key_width: int = 64, **kw) -> "Store":
+        """Direct-map IN-MEMORY DataFrames — any Spark source (JDBC,
+        Delta, temp views, computed frames), no files required.
+        ``frames``: ``{table_name: DataFrame}``; ``table_defs`` as in
+        :meth:`from_tables` and must cover every frame."""
+        from .sources.direct_mapping import DirectMappingSource
+        return cls(spark, DirectMappingSource(spark, frames=frames,
+                                              table_defs=table_defs,
+                                              key_width=key_width), **kw)
+
+    @classmethod
     def from_parquet(cls, spark: SparkSession, path: str, **kw) -> "Store":
         from .sources.quad_store import ParquetQuadStore
         return cls(spark, ParquetQuadStore(spark, path), **kw)

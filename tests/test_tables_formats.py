@@ -61,6 +61,31 @@ def test_custom_table_defs(spark, tmp_path):
     assert st.ask("ASK { ?x a <urn:g:player> }")
 
 
+def test_from_dataframes(spark):
+    """Direct mapping over in-memory frames — no files at all."""
+    team = spark.createDataFrame([(1, "red"), (2, "blue")],
+                                 "team_id int, team_name string")
+    player = spark.createDataFrame([(10, "ana", 1), (12, "cy", 2)],
+                                   "player_id int, player_name string, "
+                                   "team int")
+    st = Store.from_dataframes(
+        spark, {"team": team, "player": player},
+        table_defs={"team": (("team_id",), {}),
+                    "player": (("player_id",), {"team": "team"})})
+    out = st.query("""
+        SELECT ?p ?t WHERE {
+          ?x <urn:g:player#player_name> ?p .
+          ?x <urn:g:player#ref_team> ?y .
+          ?y <urn:g:team#team_name> ?t .
+        } ORDER BY ?p""").collect()
+    assert [(r["p"]["lex"], r["t"]["lex"]) for r in out] == [
+        ("ana", "red"), ("cy", "blue")]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        Store.from_dataframes(spark, {"ghost": team},
+                              table_defs={"team": (("team_id",), {})})
+
+
 def test_parquet_still_preferred(spark, sf_dir, tmp_path):
     # a decoy CSV next to the parquet must not shadow it
     os.symlink(os.path.join(sf_dir, "region.parquet"),
