@@ -546,3 +546,68 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
                  .drop("__toks"))
         return out
     raise ValueError(f"by must be 'chars' or 'tokens', got {by!r}")
+
+
+# ---------------------------------------------------------------------------
+# end-to-end curation recipe
+# ---------------------------------------------------------------------------
+
+def curate_corpus(df: DataFrame, *, text_col: str = "text",
+                  id_col: str = "doc_id", strata_col: Optional[str] = None,
+                  budget_tokens: Optional[int] = None,
+                  minhash_threshold: float = 0.7,
+                  minhash_num_perm: int = 32, minhash_bands: int = 8,
+                  quality_kwargs: Optional[Dict] = None,
+                  weights: Optional[Dict] = None,
+                  seed: int = 42) -> Dict[str, DataFrame]:
+    """The standard curation pipeline, composed end to end:
+
+        quality filter → exact dedup → MinHash near-dedup →
+        token counting → (optional) budgeted training mix
+
+    Returns the named intermediate frames so callers can inspect, fork,
+    or persist any stage::
+
+        verdicts   (id, keep, reject_reason)       quality verdict/doc
+        kept       input rows that passed quality
+        exact      kept minus exact duplicates (min-id representative)
+        pairs      (id_a, id_b, sim) near-dup candidate pairs
+        curated    exact minus near-duplicates, + token_count
+        mix        curated sampled to ``budget_tokens`` (only when set)
+
+    Everything stays lazy — no stage runs until the caller acts on a
+    frame.  Shuffle budget at 100 TB: two doc-keyed shuffles (quality),
+    one 8-byte-hash shuffle (exact dedup), the banded LSH id-only
+    candidate shuffle (near dedup), one broadcast-ish label join, and a
+    stratum-count aggregate for the mix — the full text shuffles only
+    in the LSH signature pass, never for joins."""
+    from .dedup import assign_clusters, exact_dedup, minhash_lsh_pairs
+    from .quality import quality_filter
+    from .textstats import token_count
+
+    verdicts = quality_filter(df, text_col, id_col,
+                              **(quality_kwargs or {}))
+    # quality_filter reports under the fixed name "id"
+    kept_ids = verdicts.where(F.col("keep")) \
+                       .select(F.col("id").alias(id_col))
+    kept = df.join(kept_ids, id_col, "leftsemi")
+    exact_reps = exact_dedup(kept, text_col, id_col).select(id_col)
+    exact = kept.join(exact_reps, id_col, "leftsemi")
+    pairs = minhash_lsh_pairs(exact, text_col, id_col,
+                              num_perm=minhash_num_perm,
+                              bands=minhash_bands,
+                              threshold=minhash_threshold)
+    labeled = assign_clusters(exact, pairs, id_col=id_col)
+    curated = labeled.where(~F.col("is_duplicate")) \
+                     .drop("cluster", "is_duplicate") \
+                     .withColumn("token_count",
+                                 token_count(F.col(text_col)))
+    out = {"verdicts": verdicts, "kept": kept, "exact": exact,
+           "pairs": pairs, "curated": curated}
+    if budget_tokens is not None:
+        if strata_col is None:
+            raise ValueError("budget_tokens needs strata_col for the mix")
+        out["mix"] = sample_to_token_budget(
+            curated, "token_count", strata_col, budget_tokens,
+            weights=weights, seed=seed)
+    return out

@@ -231,3 +231,49 @@ def test_domain_authority(spark):
     assert max(ranks, key=ranks.get) == "hub.co.uk"
     # www. and scheme/port variations collapsed into one domain node
     assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_curate_corpus_end_to_end(spark, sf_dir):
+    """The composed pipeline over the real documents table doubled with
+    shifted ids (every original therefore has one exact duplicate):
+    stage counts are monotone, exact dups all collapse, the mix
+    respects the token budget."""
+    from pyspark.sql import functions as F
+    from oxigraph_spark.pipeline.curation import curate_corpus
+    from oxigraph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text", "source")
+    n = docs.count()
+    shifted = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    corpus = docs.unionByName(shifted)
+
+    stages = curate_corpus(corpus, strata_col="source",
+                           budget_tokens=5_000)
+    kept = stages["kept"].count()
+    exact = stages["exact"].count()
+    curated = stages["curated"].count()
+    assert kept <= 2 * n
+    # every kept original's planted twin collapses in the exact stage
+    assert exact == kept // 2
+    assert 0 < curated <= exact
+    # curated frame keeps the original columns + token_count
+    assert set(stages["curated"].columns) == {
+        "doc_id", "text", "source", "token_count"}
+    mix = stages["mix"]
+    total = mix.agg(F.sum("token_count")).first()[0]
+    assert total <= 5_000 * 1.5     # sampling approaches, never explodes
+    # deterministic: same seed, same mix
+    again = curate_corpus(corpus, strata_col="source",
+                          budget_tokens=5_000)["mix"]
+    assert sorted(r["doc_id"] for r in mix.select("doc_id").collect()) \
+        == sorted(r["doc_id"] for r in again.select("doc_id").collect())
+
+
+def test_curate_corpus_validates(spark, sf_dir):
+    import pytest as _pytest
+    from oxigraph_spark.pipeline.curation import curate_corpus
+    from oxigraph_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    with _pytest.raises(ValueError):
+        curate_corpus(docs, budget_tokens=100)   # no strata_col
