@@ -182,6 +182,49 @@ def test_bind_join_ships_values(spark):
         ep.stop()
 
 
+def test_bind_join_skips_uncertain_vars(spark):
+    """A shared variable bound only OPTIONALly is not certainly bound —
+    UNDEF rows would break the multiplicity argument, so no VALUES
+    ships and the plain evaluation runs."""
+    from oxigraph_spark.plans.compiler import Compiler
+    from oxigraph_spark.sources.service_http import HttpServiceHandler
+    from tests.test_semantics import iri, lit, quads_store
+
+    ep, base = _mk_endpoint(spark)
+
+    class Spy(HttpServiceHandler):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            self.queries = []
+
+        def build_query(self, raw, prefixes, values=None):
+            q = super().build_query(raw, prefixes, values)
+            self.queries.append(q)
+            return q
+
+    svc = "urn:svc:spy2"
+    Compiler.register_service_handler(svc, spy := Spy(f"{base}/query"))
+    try:
+        local = quads_store(spark, [
+            (iri("a"), iri("flag"), lit("1")),
+            (iri("b"), iri("flag"), lit("1")),
+            (iri("a"), iri("alias"), iri("a")),
+        ])
+        q = f"""SELECT ?s ?n WHERE {{
+            ?x <urn:ex:flag> ?f .
+            OPTIONAL {{ ?x <urn:ex:alias> ?s }}
+            SERVICE <{svc}> {{ ?s <urn:ex:name> ?n }}
+        }}"""
+        rows = local.query(q).collect()
+        assert "VALUES" not in spy.queries[-1]
+        # :a's alias row joins Alice; :b leaves ?s unbound -> compatible
+        # with every remote solution (2 of them)
+        assert len(rows) == 3
+    finally:
+        Compiler.SERVICE_HANDLERS.pop(svc, None)
+        ep.stop()
+
+
 def test_bind_join_unshippable_terms_fall_back(spark):
     """Blank-node seeds cannot ship (scoped to the local dataset): the
     VALUES clause is withheld and the plain evaluate-then-join runs."""
