@@ -1437,10 +1437,14 @@ class Compiler:
                                        self._ntype(agg.expr))
             else:
                 agg_types[var.name] = (None, None)
+        # COUNT(DISTINCT *) counts distinct SOLUTIONS (§18.5.1): the
+        # distinct key is the tuple of in-scope variable columns
+        star_cols = [c for c in pre_cols if not c.startswith("__")]
         for var, agg in n.aggregates:
             cname = agg_inputs.get(var.name)
             st_, nt_ = agg_types[var.name]
-            aggs.extend(_agg_exprs(var.name, agg, cname, st_, nt_))
+            aggs.extend(_agg_exprs(var.name, agg, cname, st_, nt_,
+                                   star_cols=star_cols))
         # group on the FLATTENED 4-field term identity (kind, lex,
         # datatype, lang as separate native columns, not a struct): keeps
         # the shuffle key narrow AND — together with mutable aggregate
@@ -2109,7 +2113,8 @@ def _term_to_py(t: Optional[A.GroundTerm]):
 
 def _agg_exprs(name: str, agg: A.AggExpr, cname: Optional[str],
                stype: Optional[int] = None,
-               ntype: Optional[str] = None) -> List[Column]:
+               ntype: Optional[str] = None,
+               star_cols: Optional[List[str]] = None) -> List[Column]:
     """Partial aggregate columns for one SPARQL aggregate (map-side combine
     happens for free — every one of these is a built-in Spark aggregate).
 
@@ -2121,6 +2126,11 @@ def _agg_exprs(name: str, agg: A.AggExpr, cname: Optional[str],
     k = agg.name.upper()
     if k == "COUNT":
         if cname is None:
+            if agg.distinct and star_cols:
+                # COUNT(DISTINCT *): distinct solutions, i.e. the tuple
+                # of in-scope variable columns (§18.5.1 Distinct(ω))
+                return [F.count_distinct(F.struct(*star_cols))
+                        .alias(f"{name}__cnt")]
             return [F.count(F.lit(1)).alias(f"{name}__cnt")]
         c = F.col(cname)
         if agg.distinct:

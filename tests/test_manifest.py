@@ -133,7 +133,7 @@ def test_manifest_suite(spark):
     from pyspark.sql import functions as F
 
     entries = _load_manifest(spark)
-    assert len(entries) == 126
+    assert len(entries) == 134
     failures = []
     for e in entries:
         name = e["name"]
