@@ -247,6 +247,34 @@ def main() -> None:
     print(f"# ann (ivf nprobe=2): recall@10 {ann_recall} "
           f"cand_frac {ann_cand_frac} in {ann_sec}s", file=sys.stderr)
 
+    # round-5 second-session operators, informational: as-of correlation
+    # over the events table (attribution shape: each event of type A
+    # joined to the same user's latest prior type-B event) and landmark
+    # BFS distances over the FK link graph
+    from oxigraph_spark.operators.graphalgo import shortest_paths
+    from oxigraph_spark.operators.graphrank import rdf_edges
+    from oxigraph_spark.sources.tables import load_table
+    from oxigraph_spark.streaming.events import asof_join
+
+    ev = load_table(spark, SF_DIR, "events")
+    types = sorted(r["event_type"] for r in
+                   ev.select("event_type").distinct().collect())[:2]
+    t0 = time.time()
+    left = ev.where(F.col("event_type") == types[0])
+    right = ev.where(F.col("event_type") == types[1]) \
+              .select("user_id", "ts", "event_id")
+    n_asof = asof_join(left, right, on="user_id", left_time="ts",
+                       right_cols=["event_id", "ts"]).count()
+    asof_sec = round(time.time() - t0, 3)
+    t0 = time.time()
+    edges, nodes = rdf_edges(link_quads)
+    lm = [r["id"] for r in
+          nodes.where(F.col("iri") == "urn:g:region/0").collect()]
+    n_bfs = shortest_paths(edges, lm).count()
+    bfs_sec = round(time.time() - t0, 3)
+    print(f"# asof: {n_asof} rows in {asof_sec}s; "
+          f"bfs: {n_bfs} rows in {bfs_sec}s", file=sys.stderr)
+
     # endpoint under concurrency: the S11 protocol server over the same
     # store, 4 client threads x 2 passes of the 13-template mix (same
     # query TEXTS repeat across passes/threads, so this measures the
@@ -297,6 +325,8 @@ def main() -> None:
         "ann_recall": ann_recall,       # IVF nprobe=2 recall@10 vs brute
         "ann_cand_frac": ann_cand_frac,  # fraction of corpus scanned
         "ann_sec": ann_sec,
+        "asof_sec": asof_sec,           # events attribution as-of join
+        "bfs_sec": bfs_sec,             # landmark BFS over the FK graph
         "endpoint_qps": endpoint_qps,   # 4 HTTP clients, 13-template mix
         "n": N_RUNS,                    # per-query runs; values are medians
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
