@@ -171,3 +171,40 @@ def test_asof_events_table(spark, sf_dir):
     sample = out.where(out["ts_r"].isNotNull())
     bad = sample.where(sample["ts_r"] > sample["ts"]).count()
     assert bad == 0                               # never in the future
+
+
+def test_asof_random_differential(spark):
+    """Multi-seed fuzz: random key/time frames with duplicate left
+    times, both directions, against DuckDB's native ASOF join."""
+    rng = np.random.default_rng(99)
+    for trial in range(3):
+        nl = int(rng.integers(20, 120))
+        nr = int(rng.integers(10, 80))
+        nk = int(rng.integers(2, 6))
+        lpd = pd.DataFrame({
+            "k": rng.integers(0, nk, nl),
+            "t": pd.to_datetime(rng.integers(1_000, 9_000, nl), unit="s"),
+            "lv": np.arange(nl),
+        })
+        # right times unique per key so the asof pick is deterministic
+        rpd = pd.DataFrame({
+            "k": rng.integers(0, nk, nr),
+            "t": pd.to_datetime(rng.choice(
+                np.arange(1_000, 9_000, 3), nr, replace=False), unit="s"),
+            "rv": np.arange(nr),
+        }).drop_duplicates(["k", "t"])
+        l = spark.createDataFrame(lpd)
+        r = spark.createDataFrame(rpd).withColumnRenamed("t", "rt0")
+        for d, op in (("backward", ">="), ("forward", "<=")):
+            out = asof_join(l, r, on="k", left_time="t", right_time="rt0",
+                            direction=d, right_cols=["rv", "rt0"])
+            got = sorted(((x["k"], x["t"], x["lv"], x["rv"], x["rt0"])
+                          for x in out.collect()), key=repr)
+            con = duckdb.connect()
+            con.register("l", lpd)
+            con.register("r", rpd)
+            want = sorted(con.execute(f"""
+                SELECT l.k, l.t, l.lv, r.rv, r.t
+                FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.t {op} r.t
+            """).fetchall(), key=repr)
+            assert got == want, (trial, d)
