@@ -39,7 +39,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from .graphrank import _iter_partitions, _pinned_cache_partitioning
 
-__all__ = ["shortest_paths", "triangle_count", "label_propagation"]
+__all__ = ["shortest_paths", "weighted_shortest_paths", "triangle_count",
+           "label_propagation"]
 
 # Same bound discipline as paths.MAX_ITERATIONS: deeper graphs raise
 # instead of silently truncating.
@@ -91,30 +92,121 @@ def shortest_paths(edges: DataFrame, landmarks: Sequence, *,
     known = frontier
     bound = max_dist if max_dist is not None else MAX_ROUNDS
     dist = 0
-    while dist < bound:
-        dist += 1
-        # walk one edge backward: anything pointing AT the frontier is
-        # one hop further from the landmark
-        step = (e.join(frontier.withColumnRenamed("node", "dst")
-                       .select("dst", "landmark"), "dst")
-                .select(F.col("src").alias("node"), "landmark",
-                        F.lit(dist).alias("dist"))
-                .dropDuplicates(["node", "landmark"]))
-        new = step.join(known.select("node", "landmark"),
-                        ["node", "landmark"], "leftanti") \
-                  .localCheckpoint(eager=False)
-        if new.count() == 0:
-            break
-        known = known.unionByName(new)
-        frontier = new
-    else:
-        if max_dist is None:
-            raise RuntimeError(
-                f"shortest_paths did not converge within {MAX_ROUNDS} "
-                "hops; raise oxigraph_spark.operators.graphalgo."
-                "MAX_ROUNDS for deeper graphs")
-    out = known.localCheckpoint()
-    e.unpersist()
+    try:
+        while dist < bound:
+            dist += 1
+            # walk one edge backward: anything pointing AT the frontier
+            # is one hop further from the landmark
+            step = (e.join(frontier.withColumnRenamed("node", "dst")
+                           .select("dst", "landmark"), "dst")
+                    .select(F.col("src").alias("node"), "landmark",
+                            F.lit(dist).alias("dist"))
+                    .dropDuplicates(["node", "landmark"]))
+            new = step.join(known.select("node", "landmark"),
+                            ["node", "landmark"], "leftanti") \
+                      .localCheckpoint(eager=False)
+            if new.count() == 0:
+                break
+            known = known.unionByName(new)
+            frontier = new
+        else:
+            if max_dist is None:
+                raise RuntimeError(
+                    f"shortest_paths did not converge within {MAX_ROUNDS} "
+                    "hops; raise oxigraph_spark.operators.graphalgo."
+                    "MAX_ROUNDS for deeper graphs")
+        out = known.localCheckpoint()
+    finally:
+        e.unpersist()
+    return out
+
+
+def weighted_shortest_paths(edges: DataFrame, landmarks: Sequence, *,
+                            src: str = "src", dst: str = "dst",
+                            weight: str = "weight",
+                            max_rounds: Optional[int] = None) -> DataFrame:
+    """Weighted directed shortest-path distances TO each landmark →
+    ``(node, landmark, dist DOUBLE)`` — the weighted analog of
+    :func:`shortest_paths` (same orientation: cost of the cheapest
+    directed path FROM ``node`` TO ``landmark``; unreachable pairs are
+    absent).  Weights must be non-negative (checked — a silent negative
+    weight would corrupt every downstream distance).
+
+    Pregel-style frontier Bellman–Ford (the SSSP of Malewicz et al.,
+    SIGMOD 2010), all landmarks in one fixpoint: each round relaxes
+    every edge INTO the improved set and keeps candidates that beat the
+    current best.  Unlike BFS, a settled node can re-improve, so the
+    distance vector is re-min-merged per round — the per-round exchange
+    is the 24-byte ``(long, long, double)`` vector rows only, never the
+    edges (hash-partitioned on ``dst`` and persisted once, exactly the
+    :func:`shortest_paths` discipline).
+
+    Rounds are bounded by the longest shortest path in EDGE COUNT (each
+    round extends optimal paths by ≥1 edge), not by the weight range —
+    delta-stepping's bucket refinement buys nothing under BSP rounds
+    where a full frontier relaxation is one job either way.
+    ``max_rounds`` bounds the relaxation (distances then reflect
+    cheapest paths of ≤ that many edges); without it, non-convergence
+    within MAX_ROUNDS raises, matching the module convention.
+    """
+    lm = sorted(set(landmarks))
+    if not lm:
+        raise ValueError("weighted_shortest_paths: empty landmark set")
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
+                      F.col(weight).cast("double").alias("w"))
+         .where(F.col("src").isNotNull() & F.col("dst").isNotNull()
+                & F.col("w").isNotNull())
+         # parallel edges: only the cheapest can ever win a relaxation
+         .groupBy("src", "dst").agg(F.min("w").alias("w")))
+    p = _iter_partitions(edges.sparkSession, e.count(), None)
+    with _pinned_cache_partitioning(e):
+        e = e.repartition(p, "dst").persist()
+    e.count()
+    try:
+        if e.where(F.col("w") < 0).limit(1).count() > 0:
+            raise ValueError(
+                "weighted_shortest_paths: negative edge weight")
+        nodes = e.select(F.col("src").alias("node")) \
+                 .unionAll(e.select(F.col("dst").alias("node"))).distinct()
+        dist = (nodes.where(F.col("node").isin(lm))
+                .select("node", F.col("node").alias("landmark"),
+                        F.lit(0.0).alias("dist"))
+                .localCheckpoint())
+        frontier = dist
+        bound = max_rounds if max_rounds is not None else MAX_ROUNDS
+        rounds = 0
+        while rounds < bound:
+            rounds += 1
+            # relax one edge backward: u -> frontier-node costs w + dist
+            cand = (e.join(frontier.withColumnRenamed("node", "dst")
+                           .select("dst", "landmark",
+                                   F.col("dist").alias("fd")), "dst")
+                    .groupBy(F.col("src").alias("node"), "landmark")
+                    .agg(F.min(F.col("fd") + F.col("w")).alias("dist")))
+            improved = (cand.join(dist.select(
+                            "node", "landmark",
+                            F.col("dist").alias("best")),
+                            ["node", "landmark"], "left")
+                        .where(F.col("best").isNull()
+                               | (F.col("dist") < F.col("best")))
+                        .select("node", "landmark", "dist")
+                        .localCheckpoint(eager=False))
+            if improved.count() == 0:
+                break
+            dist = (dist.unionByName(improved)
+                    .groupBy("node", "landmark")
+                    .agg(F.min("dist").alias("dist"))
+                    .localCheckpoint())
+            frontier = improved
+        else:
+            if max_rounds is None:
+                raise RuntimeError(
+                    f"weighted_shortest_paths did not converge within "
+                    f"{MAX_ROUNDS} rounds; pass max_rounds= to bound the "
+                    "relaxation or raise graphalgo.MAX_ROUNDS")
+        out = dist.localCheckpoint()
+    finally:
+        e.unpersist()
     return out
 
 

@@ -325,10 +325,15 @@ def _expr_vars(e) -> frozenset:
 class Compiler:
     def __init__(self, spark: SparkSession, source, *,
                  optimize: bool = True,
-                 default_graph_as_union: bool = False):
+                 default_graph_as_union: bool = False,
+                 service_bind_join: bool = True):
         self.spark = spark
         self.source = source  # exposes .scan(p_lex) -> DataFrame(s,p,o,g)
         self.optimize = optimize
+        # False disables the FedX bind-join seed (used by explain-only
+        # compilation: seeding collects local bindings, i.e. runs Spark
+        # jobs, which explain is documented not to do)
+        self.service_bind_join = service_bind_join
         # pyoxigraph's use_default_graph_as_union: patterns outside GRAPH
         # match quads from EVERY graph (the RDF merge), instead of the
         # store's default graph only.  Overridden by an explicit FROM
@@ -1246,13 +1251,18 @@ class Compiler:
     def register_service_handler(cls, iri: str, handler) -> None:
         cls.SERVICE_HANDLERS[iri] = handler
 
-    # bind-join seed cap: one protocol request ships at most this many
-    # distinct bindings; larger local sides fall back to the plain
-    # evaluate-then-join (the remote response is the bounded object, so
-    # the cap guards the REQUEST size, not the driver)
+    # bind-join seed caps: one protocol REQUEST ships at most
+    # MAX_SERVICE_BINDINGS distinct bindings; local sides larger than
+    # that are shipped as sequential VALUES chunks (one request each, the
+    # FedX bound-join batching) up to MAX_SERVICE_TOTAL_BINDINGS, beyond
+    # which the plain evaluate-then-join runs instead — at that point the
+    # local side is no longer selective enough for probing to beat one
+    # bulk download
     MAX_SERVICE_BINDINGS = 1000
+    MAX_SERVICE_TOTAL_BINDINGS = 10000
 
-    def _service_values(self, n: A.Service, bind_from) -> Optional[str]:
+    def _service_values(self, n: A.Service,
+                        bind_from) -> "Optional[List[str]]":
         """FedX-style bound join (Schwarte et al., ISWC 2011): when a
         SERVICE pattern joins a local operand, ship the local side's
         DISTINCT bindings of their shared variables as a VALUES block so
@@ -1266,8 +1276,19 @@ class Compiler:
         so per-(l, μ) multiplicities match the unseeded evaluation —
         with UNDEF rows a single μ could merge with several v and
         duplicate.  Blank nodes / quoted triples abort (not shippable).
-        The |shared-bindings| collect is driver-side and capped."""
-        if bind_from is None or n.raw is None:
+        The |shared-bindings| collect is driver-side and capped.
+
+        Snapshot semantics: the seed collects the local operand AT
+        COMPILE TIME.  For the engine's own stores this is sound — every
+        mutation bumps ``source.generation``, which keys the plan cache,
+        so a stale compiled plan is never re-executed.  For mutable
+        EXTERNAL sources whose generation never changes (e.g.
+        ``Store.from_dataframes`` over a live JDBC/Delta view), re-running
+        the compiled DataFrame after upstream rows appear would probe the
+        endpoint with the OLD seed and drop matches for the new local
+        rows — re-compile (``use_cache=False``) after upstream changes,
+        or disable seeding via ``service_bind_join=False``."""
+        if bind_from is None or n.raw is None or not self.service_bind_join:
             return None
         shared = sorted(frozenset(bind_from.certain)
                         & A.pattern_vars(n.inner))
@@ -1275,10 +1296,16 @@ class Compiler:
             return None
         from ..sources.service_http import values_clause
         rows = (bind_from.df.select(*shared).distinct()
-                .limit(self.MAX_SERVICE_BINDINGS + 1).collect())
-        if not rows or len(rows) > self.MAX_SERVICE_BINDINGS:
+                .limit(self.MAX_SERVICE_TOTAL_BINDINGS + 1).collect())
+        if not rows or len(rows) > self.MAX_SERVICE_TOTAL_BINDINGS:
             return None
-        return values_clause(shared, rows)
+        chunks: List[str] = []
+        for i in range(0, len(rows), self.MAX_SERVICE_BINDINGS):
+            vc = values_clause(shared, rows[i:i + self.MAX_SERVICE_BINDINGS])
+            if vc is None:  # unshippable term anywhere ⇒ unseeded join
+                return None
+            chunks.append(vc)
+        return chunks
 
     def _c_Service(self, n: A.Service, graph_ctx,
                    bind_from: "Optional[Compiled]" = None) -> Compiled:
@@ -1353,9 +1380,19 @@ class Compiler:
             takes_raw = takes_values = False
         if takes_raw:
             kw = {"raw": n.raw, "prefixes": n.prefixes}
-            if takes_values:
-                kw["values"] = self._service_values(n, bind_from)
-            return handler(self.spark, n.inner, **kw)
+            if not takes_values:
+                return handler(self.spark, n.inner, **kw)
+            seeds = self._service_values(n, bind_from)
+            if not seeds:
+                return handler(self.spark, n.inner, values=None, **kw)
+            # chunked bound join: each distinct seed row lives in exactly
+            # one chunk, so the bag-union of per-chunk responses equals
+            # the single-request response row for row
+            parts = [handler(self.spark, n.inner, values=vc, **kw)
+                     for vc in seeds]
+            return reduce(
+                lambda x, y: x.unionByName(y, allowMissingColumns=True),
+                parts)
         return handler(self.spark, n.inner)
 
     def _c_Project(self, n: A.Project, graph_ctx) -> Compiled:

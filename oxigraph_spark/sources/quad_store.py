@@ -338,6 +338,28 @@ class TransactionalQuadStore(ParquetQuadStore):
         mut.apply_all(parse_update(sparql))
         return self.overwrite_quads(mut.quads())
 
+    def update_with_retry(self, sparql: str, max_retries: int = 5) -> int:
+        """:meth:`update` with the optimistic-concurrency retry loop a
+        multi-writer deployment needs: on :class:`ConcurrentWriteError`
+        the instance re-reads the LATEST committed snapshot and
+        re-applies the update against it (the SPARQL Update semantics
+        are per-snapshot, so re-execution against the new base is the
+        correct serialization, not a blind re-commit of stale output).
+        Raises after ``max_retries`` losses — under that much write
+        contention the caller should batch its updates instead."""
+        for attempt in range(max_retries + 1):
+            try:
+                return self.update(sparql)
+            except ConcurrentWriteError:
+                if attempt == max_retries:
+                    raise
+                latest = self._latest()
+                self.version = latest
+                self.generation = latest
+                self._dirs = (self._manifest(latest)["dirs"]
+                              if latest else [])
+        raise AssertionError("unreachable")
+
     def compact(self) -> int:
         """Fold every live data dir into one predicate-partitioned
         snapshot (same quads, one dir): scan-time unions go back to
@@ -347,19 +369,44 @@ class TransactionalQuadStore(ParquetQuadStore):
         return self._commit([self._write_data_dir(self.quads())],
                             "compact")
 
-    def vacuum(self) -> int:
-        """Delete data dirs the CURRENT manifest doesn't reference and
-        manifests older than the current version (breaks time travel to
-        them).  Call only when no reader is pinned to an old version.
-        Refuses on a STALE instance — vacuuming from a snapshot older
-        than the latest commit would delete a newer writer's committed
-        data (review finding r5); refresh() first."""
+    def vacuum(self, retain_last: int = 1,
+               retain_age_sec: Optional[float] = None) -> int:
+        """Retention: delete data dirs and manifests outside the
+        retention horizon (breaking time travel to them).  The horizon
+        keeps the newest ``retain_last`` versions (≥1 — the current
+        version is always retained) UNION every version whose manifest
+        is younger than ``retain_age_sec`` (manifest file mtime) — a
+        version inside EITHER horizon survives, so a scheduled
+        ``vacuum(retain_last=1, retain_age_sec=7*86400)`` is the classic
+        "keep a week of time travel" policy.  A data dir referenced by
+        ANY retained manifest is kept; ``as_of`` readers pinned WITHIN
+        the horizon stay correct.  Call only when no reader is pinned to
+        a version outside it.  Refuses on a STALE instance — vacuuming
+        from a snapshot older than the latest commit would delete a
+        newer writer's committed data (review finding r5); refresh()
+        first."""
         import shutil
+        import time
         if self._latest() != self.version:
             raise ConcurrentWriteError(
                 f"vacuum from stale snapshot v{self.version} "
                 f"(latest is v{self._latest()}); refresh() first")
-        keep = {os.path.normpath(d) for d in self._dirs}
+        if retain_last < 1:
+            raise ValueError("vacuum: retain_last must be >= 1")
+        versions = sorted(
+            int(f[1:-5]) for f in os.listdir(self._txn_dir)
+            if f.startswith("v") and f.endswith(".json"))
+        retained = set(versions[-retain_last:])
+        if retain_age_sec is not None:
+            cutoff = time.time() - retain_age_sec
+            for v in versions:
+                mf = os.path.join(self._txn_dir, f"v{v:08d}.json")
+                if os.path.getmtime(mf) >= cutoff:
+                    retained.add(v)
+        keep = set()
+        for v in retained:
+            keep.update(os.path.normpath(d)
+                        for d in self._manifest(v)["dirs"])
         removed = 0
         data_root = os.path.join(self.path, "data")
         if os.path.isdir(data_root):
@@ -367,10 +414,9 @@ class TransactionalQuadStore(ParquetQuadStore):
                 if os.path.normpath(os.path.join("data", d)) not in keep:
                     shutil.rmtree(os.path.join(data_root, d))
                     removed += 1
-        for f in os.listdir(self._txn_dir):
-            if f.startswith("v") and f.endswith(".json") \
-                    and int(f[1:-5]) != self.version:
-                os.unlink(os.path.join(self._txn_dir, f))
+        for v in versions:
+            if v not in retained:
+                os.unlink(os.path.join(self._txn_dir, f"v{v:08d}.json"))
         return removed
 
     # -- quad-log compaction (continuous-SPARQL ingest tier) -----------------

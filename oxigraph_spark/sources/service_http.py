@@ -86,13 +86,26 @@ def _parse_results(doc: str, ctype: str) -> Tuple[List[str], List[dict]]:
     raise ValueError(f"unsupported SERVICE response content type {ctype!r}")
 
 
+#: Characters that cannot appear inside an IRIREF token (SPARQL grammar
+#: [139]): angle brackets, quotes, braces, pipe, caret, backtick,
+#: backslash, space.  Control chars are checked separately.
+_IRIREF_ILLEGAL = set('<>"{}|^`\\ ')
+
+
 def term_sparql_token(t) -> Optional[str]:
     """TERM struct Row → SPARQL term token, or None when the term cannot
     be shipped over the protocol (blank nodes are scoped to their
-    dataset; quoted triples would need SPARQL-star remotes)."""
+    dataset; quoted triples would need SPARQL-star remotes).  IRIs whose
+    lexical form contains characters illegal in an IRIREF are also
+    unshippable — interpolating them into ``<...>`` would produce a
+    malformed (or injected) remote query; returning None makes the
+    caller fall back to the unseeded join instead."""
     k = t["kind"]
     if k == T.KIND_IRI:
-        return f"<{t['lex']}>"
+        lex = t["lex"]
+        if any(c in _IRIREF_ILLEGAL or ord(c) <= 0x20 for c in lex):
+            return None
+        return f"<{lex}>"
     if k == T.KIND_LITERAL:
         lex = (t["lex"].replace("\\", "\\\\").replace('"', '\\"')
                .replace("\n", "\\n").replace("\r", "\\r"))

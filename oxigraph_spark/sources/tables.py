@@ -64,10 +64,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # throws ArrayIndexOutOfBounds when a pushed filter meets a
             # zero-column required schema — exactly the shape of an
             # `?x a <table>` scan, which projects no data columns.  CSV
-            # is the ingest-convenience tier, so trade its pushdown away.
-            spark.conf.set("spark.sql.csv.filterPushdown.enabled", "false")
-            return spark.read.option("header", "true") \
-                .option("inferSchema", "true").csv(p)
+            # is the ingest-convenience tier, so trade its pushdown away —
+            # but only for THIS read: eagerly cache the parsed frame under
+            # the disabled conf, then restore the session value so other
+            # CSV workloads sharing the SparkSession keep their pushdown.
+            key = "spark.sql.csv.filterPushdown.enabled"
+            prev = spark.conf.get(key, None)
+            spark.conf.set(key, "false")
+            try:
+                df = spark.read.option("header", "true") \
+                    .option("inferSchema", "true").csv(p)
+                df = df.cache()
+                df.count()  # materialize while pushdown is off
+                return df
+            finally:
+                if prev is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, prev)
         for ext, reader in (("csv", _csv),
                             ("jsonl", spark.read.json),
                             ("json", spark.read.json)):

@@ -104,9 +104,16 @@ class Store:
         ``mode`` ('simple' | 'extended' | 'formatted' | 'cost' |
         'codegen').  The profiling surface for the Catalyst story —
         check ``ReadSchema``/``PushedFilters`` on bound-predicate scans
-        and ``Exchange`` placement without running the query."""
+        and ``Exchange`` placement without running the query.
+
+        SERVICE bind-join seeding is disabled here (collecting the seed
+        would run Spark jobs, and explain must not); a query executed
+        via ``query()`` may therefore carry an extra VALUES seed inside
+        its SERVICE call that this plan does not show."""
         ast = parse_query(sparql)
-        df = self.query(sparql)
+        compiler = Compiler(self.spark, self.source, optimize=self.optimize,
+                            service_bind_join=False)
+        df = compiler.compile_query(ast)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), mode)
         return f"== SPARQL algebra ==\n{ast!r}\n\n{plan}"

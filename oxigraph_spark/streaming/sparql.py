@@ -46,7 +46,8 @@ from ..algebra import ast as A
 from ..model import terms as T
 from ..sources.ntriples import parse_nt_lines
 
-__all__ = ["stream_ntriples", "continuous_sparql"]
+__all__ = ["stream_ntriples", "continuous_sparql",
+           "start_standing_queries", "resume_standing_queries"]
 
 # synthetic graph name the incremental evaluator tags each batch's new
 # quads with — never collides with user data (no scheme registration)
@@ -185,6 +186,81 @@ def _delta_rewrites(query_ast):
     return [A.SelectQuery(rewrap(v)) for v in variants]
 
 
+def _write_json_atomic(path: str, obj: dict) -> None:
+    """Publish a JSON document with rename atomicity (a reader never
+    sees a torn write; a crash mid-write leaves the previous version)."""
+    import json
+    import tempfile
+    d = os.path.dirname(path) or "."
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(obj, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def start_standing_queries(spark: SparkSession, drop_dir: str,
+                           queries: Dict[str, str], *, quad_log: str,
+                           results_dir: str,
+                           checkpoint: Optional[str] = None,
+                           registry: Optional[str] = None,
+                           quads: bool = False,
+                           available_now: bool = True,
+                           window_batches: Optional[int] = None,
+                           incremental: bool = True,
+                           max_files_per_trigger: int = 1):
+    """:func:`continuous_sparql` with a CRASH-RECOVERABLE registration:
+    the standing-query set and every stream location are persisted to a
+    registry JSON sidecar (default ``<results_dir>/_registry.json``,
+    published atomically) and the last successfully processed batch id
+    is recorded after each batch.  After a driver restart,
+    :func:`resume_standing_queries` reloads the registry and restarts
+    the stream against the SAME checkpoint — Structured Streaming
+    replays the one possibly-uncommitted batch, and the per-batch
+    idempotence (dynamic-partition log overwrite; keyed anti-join
+    snapshot append) makes the replay exactly-once.  A checkpoint is
+    mandatory for that guarantee, so one is defaulted here
+    (``<results_dir>/_checkpoint``) rather than left optional."""
+    checkpoint = checkpoint or os.path.join(results_dir, "_checkpoint")
+    registry = registry or os.path.join(results_dir, "_registry.json")
+    cfg = {"drop_dir": drop_dir, "queries": dict(queries),
+           "quad_log": quad_log, "results_dir": results_dir,
+           "checkpoint": checkpoint, "quads": quads,
+           "window_batches": window_batches, "incremental": incremental,
+           "max_files_per_trigger": max_files_per_trigger,
+           "last_batch": None}
+    _write_json_atomic(registry, cfg)
+    lines = stream_ntriples(spark, drop_dir,
+                            max_files_per_trigger=max_files_per_trigger)
+    return continuous_sparql(
+        lines, queries, quad_log=quad_log, results_dir=results_dir,
+        checkpoint=checkpoint, quads=quads, available_now=available_now,
+        window_batches=window_batches, incremental=incremental,
+        registry=registry)
+
+
+def resume_standing_queries(spark: SparkSession, registry: str, *,
+                            available_now: bool = True):
+    """Restart a registered standing-query stream after a driver
+    restart: reload the registry written by
+    :func:`start_standing_queries` and resume from its checkpoint.
+    Returns the new StreamingQuery."""
+    import json
+    with open(registry) as f:
+        cfg = json.load(f)
+    lines = stream_ntriples(
+        spark, cfg["drop_dir"],
+        max_files_per_trigger=cfg.get("max_files_per_trigger", 1))
+    return continuous_sparql(
+        lines, cfg["queries"], quad_log=cfg["quad_log"],
+        results_dir=cfg["results_dir"], checkpoint=cfg["checkpoint"],
+        quads=cfg.get("quads", False), available_now=available_now,
+        window_batches=cfg.get("window_batches"),
+        incremental=cfg.get("incremental", True), registry=registry)
+
+
 def stream_ntriples(spark: SparkSession, drop_dir: str,
                     max_files_per_trigger: int = 1,
                     pattern: str = "*.n[tq]") -> DataFrame:
@@ -201,7 +277,8 @@ def continuous_sparql(lines: DataFrame, queries: Dict[str, str], *,
                       checkpoint: Optional[str] = None,
                       available_now: bool = True,
                       window_batches: Optional[int] = None,
-                      incremental: bool = True):
+                      incremental: bool = True,
+                      registry: Optional[str] = None):
     """Start the standing-query stream; returns the StreamingQuery
     (callers own ``awaitTermination``/``stop``).
 
@@ -331,6 +408,14 @@ def continuous_sparql(lines: DataFrame, queries: Dict[str, str], *,
                         .parquet(snap_path)
         finally:
             cached.unpersist()
+        if registry is not None and os.path.exists(registry):
+            # bookkeeping only (the checkpoint is the replay authority):
+            # lets operators see stream progress without Spark APIs
+            import json
+            with open(registry) as f:
+                cfg = json.load(f)
+            cfg["last_batch"] = batch_id
+            _write_json_atomic(registry, cfg)
 
     writer = lines.writeStream.foreachBatch(process)
     if checkpoint:

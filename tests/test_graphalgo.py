@@ -7,7 +7,8 @@ import numpy as np
 import pytest
 
 from oxigraph_spark.operators.graphalgo import (
-    label_propagation, shortest_paths, triangle_count)
+    label_propagation, shortest_paths, triangle_count,
+    weighted_shortest_paths)
 
 EDGES = [  # two triangles sharing edge (1,2), a tail, and an island
     (0, 1), (1, 2), (2, 0), (1, 3), (3, 2), (3, 4), (10, 11),
@@ -128,6 +129,96 @@ def test_shortest_paths_random_differential(spark):
             for node, d in bfs_to_landmark(edges, lm).items():
                 want[(node, lm)] = d
         assert got == want
+
+
+def dijkstra_to_landmark(edges, landmark):
+    """cheapest cost(node -> landmark) following edge direction;
+    edges = [(src, dst, w)]."""
+    import heapq
+    rev = {}
+    nodes = set()
+    for s, d, w in edges:
+        rev.setdefault(d, []).append((s, w))
+        nodes.update((s, d))
+    if landmark not in nodes:
+        return {}
+    dist = {landmark: 0.0}
+    heap = [(0.0, landmark)]
+    while heap:
+        dv, v = heapq.heappop(heap)
+        if dv > dist.get(v, float("inf")):
+            continue
+        for u, w in rev.get(v, []):
+            nd = dv + w
+            if nd < dist.get(u, float("inf")):
+                dist[u] = nd
+                heapq.heappush(heap, (nd, u))
+    return dist
+
+
+WEIGHTED = [  # cheap long way round beats the heavy direct edge
+    (0, 2, 10.0), (0, 1, 1.0), (1, 2, 1.0), (3, 0, 2.5),
+    (2, 4, 0.5), (10, 11, 7.0),
+]
+
+
+def test_weighted_shortest_paths_known_graph(spark):
+    df = spark.createDataFrame(WEIGHTED, "src long, dst long, weight double")
+    got = {(r["node"], r["landmark"]): r["dist"]
+           for r in weighted_shortest_paths(df, [2, 11]).collect()}
+    want = {}
+    for lm in (2, 11):
+        for n, d in dijkstra_to_landmark(WEIGHTED, lm).items():
+            want[(n, lm)] = d
+    assert got == pytest.approx(want)
+    # the detour 0->1->2 (2.0) beats the direct 0->2 (10.0)
+    assert got[(0, 2)] == 2.0
+
+
+def test_weighted_shortest_paths_validates(spark):
+    df = spark.createDataFrame(WEIGHTED, "src long, dst long, weight double")
+    with pytest.raises(ValueError):
+        weighted_shortest_paths(df, [])
+    neg = spark.createDataFrame([(0, 1, -1.0)],
+                                "src long, dst long, weight double")
+    with pytest.raises(ValueError):
+        weighted_shortest_paths(neg, [1])
+    # absent landmark: empty result, not an error
+    assert weighted_shortest_paths(df, [999]).count() == 0
+    # parallel edges: the cheapest wins
+    par = spark.createDataFrame([(0, 1, 5.0), (0, 1, 2.0)],
+                                "src long, dst long, weight double")
+    rows = weighted_shortest_paths(par, [1]).collect()
+    assert {(r["node"], r["dist"]) for r in rows} == {(1, 0.0), (0, 2.0)}
+
+
+def test_weighted_shortest_paths_max_rounds_bound(spark):
+    # chain 0->1->2->3 of unit weights: 2 rounds only reaches 2 edges back
+    chain = [(i, i + 1, 1.0) for i in range(4)]
+    df = spark.createDataFrame(chain, "src long, dst long, weight double")
+    got = {r["node"]: r["dist"]
+           for r in weighted_shortest_paths(df, [4], max_rounds=2).collect()}
+    assert got == {4: 0.0, 3: 1.0, 2: 2.0}
+
+
+def test_weighted_shortest_paths_random_differential(spark):
+    rng = np.random.default_rng(37)
+    for _ in range(3):
+        n = int(rng.integers(6, 14))
+        m = int(rng.integers(n, 4 * n))
+        edges = [(int(rng.integers(0, n)), int(rng.integers(0, n)),
+                  round(float(rng.uniform(0.5, 4.0)), 2))
+                 for _ in range(m)]
+        lms = [int(rng.integers(0, n)) for _ in range(2)]
+        df = spark.createDataFrame(
+            edges, "src long, dst long, weight double")
+        got = {(r["node"], r["landmark"]): r["dist"]
+               for r in weighted_shortest_paths(df, lms).collect()}
+        want = {}
+        for lm in sorted(set(lms)):
+            for node, d in dijkstra_to_landmark(edges, lm).items():
+                want[(node, lm)] = d
+        assert got == pytest.approx(want)
 
 
 def test_triangle_count_known_graph(spark):

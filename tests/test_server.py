@@ -177,7 +177,79 @@ def test_bind_join_ships_values(spark):
         assert got == {"urn:ex:a": "Alice", "urn:ex:zz": None}
         assert "VALUES (?s)" in spy.queries[-1]
         assert "urn:ex:zz" in spy.queries[-1]  # both seeds shipped
+
+        # explain-only compilation elides the seed: collecting local
+        # bindings would run Spark jobs, which explain must not
+        spy.queries.clear()
+        plan = local.explain(q)
+        assert "== Physical Plan ==" in plan
+        assert spy.queries and "VALUES (?s)" not in spy.queries[-1]
     finally:
+        Compiler.SERVICE_HANDLERS.pop(svc, None)
+        ep.stop()
+
+
+def test_bind_join_chunks_large_seed_sets(spark):
+    """Local sides above MAX_SERVICE_BINDINGS ship as sequential VALUES
+    chunks (one request each), wire-asserted; only above
+    MAX_SERVICE_TOTAL_BINDINGS does the unseeded fallback run."""
+    import re
+
+    from oxigraph_spark.plans.compiler import Compiler
+    from oxigraph_spark.sources.service_http import HttpServiceHandler
+    from tests.test_semantics import iri, lit, quads_store
+
+    ep, base = _mk_endpoint(spark)
+
+    class Spy(HttpServiceHandler):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            self.queries = []
+
+        def build_query(self, raw, prefixes, values=None):
+            q = super().build_query(raw, prefixes, values)
+            self.queries.append(q)
+            return q
+
+    svc = "urn:svc:chunky"
+    spy = Spy(f"{base}/query")
+    Compiler.register_service_handler(svc, spy)
+    old_per, old_total = (Compiler.MAX_SERVICE_BINDINGS,
+                          Compiler.MAX_SERVICE_TOTAL_BINDINGS)
+    Compiler.MAX_SERVICE_BINDINGS, Compiler.MAX_SERVICE_TOTAL_BINDINGS = 2, 4
+    try:
+        # endpoint knows a, b; local side has 3 distinct subjects -> 2
+        # chunks of <=2 seeds; answers match the unseeded evaluation
+        local = quads_store(spark, [
+            (iri("a"), iri("flag"), lit("1")),
+            (iri("b"), iri("flag"), lit("1")),
+            (iri("zz"), iri("flag"), lit("1")),
+        ])
+        q = f"""SELECT ?s ?n WHERE {{
+            ?s <urn:ex:flag> ?f .
+            SERVICE <{svc}> {{ ?s <urn:ex:name> ?n }}
+        }}"""
+        got = {(r.s.lex, r.n.lex) for r in local.query(q).collect()}
+        assert got == {("urn:ex:a", "Alice"), ("urn:ex:b", "Bob")}
+        assert len(spy.queries) == 2
+        sizes = sorted(len(re.findall(r"\(<urn:ex:", t))
+                       for t in spy.queries)
+        assert sizes == [1, 2]  # 3 seeds split 2+1
+        seen = "".join(spy.queries)
+        for s in ("urn:ex:a", "urn:ex:b", "urn:ex:zz"):
+            assert s in seen
+
+        # above the TOTAL cap: one unseeded request, same answers
+        spy.queries.clear()
+        local2 = quads_store(spark, [
+            (iri(x), iri("flag"), lit("1"))
+            for x in ("a", "b", "c", "d", "e")])
+        got2 = {(r.s.lex, r.n.lex) for r in local2.query(q).collect()}
+        assert got2 == {("urn:ex:a", "Alice"), ("urn:ex:b", "Bob")}
+        assert len(spy.queries) == 1 and "VALUES" not in spy.queries[0]
+    finally:
+        Compiler.MAX_SERVICE_BINDINGS = old_per
+        Compiler.MAX_SERVICE_TOTAL_BINDINGS = old_total
         Compiler.SERVICE_HANDLERS.pop(svc, None)
         ep.stop()
 
@@ -246,6 +318,14 @@ def test_bind_join_unshippable_terms_fall_back(spark):
     assert values_clause(
         ["x", "y"], [R({"x": R(iri_row), "y": R(lit_row)})]) \
         == 'VALUES (?x ?y) { (<urn:x> "say \\"hi\\"\\n"@en) }'
+    # IRIs whose lex would break out of <...> (IRIREF-illegal chars /
+    # controls) are unshippable too — a '>' in local data must not become
+    # injected query text at the remote endpoint
+    for bad in ("urn:x>. } DROP ALL #", "urn:x x", "urn:\tx",
+                'urn:"x', "urn:{x}", "urn:x|y", "urn:x\\y", "urn:x`^"):
+        row = {"kind": 0, "lex": bad, "datatype": None, "lang": None}
+        assert term_sparql_token(R(row)) is None, bad
+        assert values_clause(["x"], [R({"x": R(row)})]) is None, bad
 
 
 def test_concurrent_clients(spark):

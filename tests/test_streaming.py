@@ -193,6 +193,75 @@ def test_continuous_sparql_replay_idempotent(spark, tmp_path):
     assert total[0]["total"]["lex"] == "3"
 
 
+def test_standing_query_registry_kill_and_resume(spark, tmp_path):
+    """Crash-recovery for the standing-query tier: the registry sidecar
+    persists queries + locations + last batch id; a driver 'restart'
+    resumes via resume_standing_queries against the SAME checkpoint.
+    Then a simulated crash (latest checkpoint commit marker deleted, so
+    Structured Streaming replays that batch) appends exactly-once."""
+    import json
+    import os
+
+    from oxigraph_spark.streaming.sparql import (resume_standing_queries,
+                                                 start_standing_queries)
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    (drop / "a.nt").write_text('<urn:k:s1> <urn:k:p> "1" .\n'
+                               '<urn:k:s2> <urn:k:p> "2" .\n')
+    out = str(tmp_path / "out")
+    queries = {"all": "SELECT DISTINCT ?s WHERE { ?s <urn:k:p> ?v }"}
+
+    def drain(q):
+        # availableNow terminates on its own; stop() + poll makes sure
+        # the query has DEREGISTERED from the checkpoint before the next
+        # start (Spark forbids two live queries on one checkpoint)
+        import time
+        q.awaitTermination(120)
+        q.stop()
+        for _ in range(100):
+            if not q.isActive:
+                return
+            time.sleep(0.2)
+        raise AssertionError("stream did not stop")
+
+    q = start_standing_queries(
+        spark, str(drop), queries, quad_log=str(tmp_path / "log"),
+        results_dir=out)
+    drain(q)
+    reg_path = os.path.join(out, "_registry.json")
+    with open(reg_path) as f:
+        reg = json.load(f)
+    assert reg["queries"] == queries and reg["last_batch"] == 0
+    snap = lambda: sorted(  # noqa: E731
+        r["s"]["lex"]
+        for r in spark.read.parquet(os.path.join(out, "all")).collect())
+    assert snap() == ["urn:k:s1", "urn:k:s2"]
+
+    # driver restart: new file dropped while 'down', resume from registry
+    (drop / "b.nt").write_text('<urn:k:s3> <urn:k:p> "3" .\n')
+    q = resume_standing_queries(spark, reg_path)
+    drain(q)
+    assert snap() == ["urn:k:s1", "urn:k:s2", "urn:k:s3"]
+    with open(reg_path) as f:
+        assert json.load(f)["last_batch"] == 1
+
+    # crash BETWEEN batch work and checkpoint commit: delete the last
+    # commit marker -> the next start replays batch 1 -> snapshot and
+    # quad log must be byte-identical (exactly-once append)
+    ckpt = reg["checkpoint"]
+    os.unlink(os.path.join(ckpt, "commits", "1"))
+    # local-fs checksum sidecar: a real crash loses it with the commit
+    # file; leaving it behind makes Hadoop's create-if-absent fail
+    crc = os.path.join(ckpt, "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.unlink(crc)
+    q = resume_standing_queries(spark, reg_path)
+    drain(q)
+    assert snap() == ["urn:k:s1", "urn:k:s2", "urn:k:s3"]
+    assert spark.read.parquet(str(tmp_path / "log")).count() == 3
+
+
 def test_delta_rewrites_eligibility():
     """Monotone DISTINCT BGP(+FILTER/BIND) → n per-pattern rewrites;
     anything non-monotone (no DISTINCT, OPTIONAL, EXISTS, paths) → None

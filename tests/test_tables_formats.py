@@ -20,6 +20,10 @@ def test_csv_and_jsonl_tables_map_like_parquet(spark, sf_dir, tmp_path):
     got_csv = load_table(spark, str(tmp_path), "region")
     assert sorted(got_csv.columns) == sorted(cols)
     assert got_csv.count() == len(rows)
+    # the CSV pushdown workaround is scoped to the read — the session
+    # conf is restored so other CSV workloads keep their filter pushdown
+    assert spark.conf.get(
+        "spark.sql.csv.filterPushdown.enabled", "true") == "true"
 
     # same table as JSON Lines
     import json

@@ -179,6 +179,65 @@ def test_vacuum_refuses_stale_snapshot(spark, tmp_path):
                                            "urn:t:s3"]
 
 
+def test_vacuum_retention_horizon(spark, tmp_path):
+    """vacuum(retain_last=N) keeps the newest N versions: an as_of
+    reader pinned WITHIN the horizon stays correct after vacuum, one
+    outside it loses time travel; retain_age_sec widens the horizon."""
+    path = str(tmp_path / "txn")
+    ts = TransactionalQuadStore(spark, path)
+    ts.overwrite_quads(_quads(spark, tmp_path, "a.nt", NT1))   # v1
+    ts.append_quads(_quads(spark, tmp_path, "b.nt", NT2))      # v2
+    ts.append_quads(_quads(
+        spark, tmp_path, "c.nt", '<urn:t:s4> <urn:t:q> "y" .\n'))  # v3
+    ts.append_quads(_quads(
+        spark, tmp_path, "d.nt", '<urn:t:s5> <urn:t:q> "z" .\n'))  # v4
+    pinned_v3 = ts.as_of(3)   # inside a retain_last=2 horizon
+
+    with pytest.raises(ValueError):
+        ts.vacuum(retain_last=0)
+    # all four manifests share v1's data dir etc. (appends reuse dirs):
+    # only dirs referenced by NO retained manifest may die.  v1/v2's
+    # dirs are all referenced by v3/v4 here, so nothing is removed —
+    # but v1/v2 manifests are gone.
+    ts.vacuum(retain_last=2)
+    assert _lexes(pinned_v3.quads()) == \
+        ["urn:t:s1", "urn:t:s2", "urn:t:s3", "urn:t:s4"]
+    assert _lexes(ts.as_of(3).quads()) == \
+        ["urn:t:s1", "urn:t:s2", "urn:t:s3", "urn:t:s4"]
+    with pytest.raises(FileNotFoundError):
+        ts.as_of(2).quads()
+
+    # overwrite makes old dirs unreferenced; age horizon keeps them all
+    ts = ts.refresh()
+    ts.overwrite_quads(_quads(spark, tmp_path, "a.nt", NT1))   # v5
+    assert ts.vacuum(retain_last=1, retain_age_sec=3600.0) == 0
+    assert _lexes(ts.as_of(3).quads())[0] == "urn:t:s1"
+    # zero age horizon: only v5 survives, its one dir keeps, rest die
+    assert ts.vacuum(retain_last=1, retain_age_sec=None) == 4
+    assert _lexes(ts.quads()) == ["urn:t:s1", "urn:t:s2"]
+    with pytest.raises(FileNotFoundError):
+        ts.as_of(4).quads()
+
+
+def test_update_with_retry_under_contention(spark, tmp_path):
+    """A writer that loses the optimistic race re-reads the latest
+    snapshot and re-applies its update; both writers' effects land."""
+    path = str(tmp_path / "txn")
+    a = TransactionalQuadStore(spark, path)
+    a.overwrite_quads(_quads(spark, tmp_path, "a.nt", NT1))   # v1
+    b = TransactionalQuadStore(spark, path)                   # also v1
+    a.update("INSERT DATA { <urn:t:sA> <urn:t:p> 7 }")        # v2: b stale
+    v = b.update_with_retry("INSERT DATA { <urn:t:sB> <urn:t:p> 8 }")
+    assert v == 3
+    assert _lexes(b.quads()) == \
+        ["urn:t:s1", "urn:t:s2", "urn:t:sA", "urn:t:sB"]
+    # exhausted retries surface the conflict
+    c = TransactionalQuadStore(spark, path, version=1)
+    with pytest.raises(ConcurrentWriteError):
+        c.update_with_retry("INSERT DATA { <urn:t:sC> <urn:t:p> 9 }",
+                            max_retries=0)
+
+
 def test_reopen_via_different_path_spelling(spark, tmp_path):
     """Manifests record store-relative data dirs, so the store survives
     being reopened through another path spelling (absolute vs
