@@ -322,6 +322,111 @@ def _expr_vars(e) -> frozenset:
     return frozenset()
 
 
+def _expr_mentioned(e) -> frozenset:
+    """Like _expr_vars but EExists recurses into every variable MENTIONED
+    in the sub-pattern (filter-only variables included)."""
+    if isinstance(e, A.EExists):
+        return _mentioned_vars(e.pattern)
+    if isinstance(e, A.EOp):
+        out = frozenset()
+        for a in e.args:
+            out |= _expr_mentioned(a)
+        return out
+    if isinstance(e, A.ECall):
+        out = frozenset()
+        for a in e.args:
+            if isinstance(a, (A.EVar, A.ETerm, A.EOp, A.ECall, A.EIn,
+                              A.EExists)):
+                out |= _expr_mentioned(a)
+        return out
+    if isinstance(e, A.EIn):
+        out = _expr_mentioned(e.expr)
+        for o in e.options:
+            out |= _expr_mentioned(o)
+        return out
+    return _expr_vars(e)
+
+
+def _mentioned_vars(node) -> frozenset:
+    """Every variable MENTIONED anywhere in a pattern — the §18.6
+    substitution scope, which unlike ``A.pattern_vars`` (in-scope/bindable
+    variables) also includes variables used only inside FILTER / BIND /
+    OPTIONAL-condition expressions.  Subqueries (Project) are their own
+    scope: only the projected variables correlate."""
+    if isinstance(node, _Precompiled):
+        return node.compiled.vars
+    if isinstance(node, (A.TriplePattern, A.PathPattern, A.Values)):
+        return A.pattern_vars(node)
+    if isinstance(node, A.BGP):
+        out = frozenset()
+        for p in node.patterns:
+            out |= _mentioned_vars(p)
+        return out
+    if isinstance(node, (A.Join, A.Union_, A.Minus)):
+        return _mentioned_vars(node.left) | _mentioned_vars(node.right)
+    if isinstance(node, A.LeftJoin):
+        out = _mentioned_vars(node.left) | _mentioned_vars(node.right)
+        if node.expr is not None:
+            out |= _expr_mentioned(node.expr)
+        return out
+    if isinstance(node, A.Filter):
+        return _mentioned_vars(node.inner) | _expr_mentioned(node.expr)
+    if isinstance(node, A.Extend):
+        return (_mentioned_vars(node.inner) | frozenset([node.var.name])
+                | _expr_mentioned(node.expr))
+    if isinstance(node, A.Graph):
+        extra = (frozenset([node.name.name])
+                 if isinstance(node.name, A.Var) else frozenset())
+        return _mentioned_vars(node.inner) | extra
+    if isinstance(node, A.Group):
+        out = (frozenset(v.name for v in node.by)
+               | frozenset(v.name for v, _ in node.aggregates))
+        for _, agg in node.aggregates:
+            if getattr(agg, "expr", None) is not None:
+                out |= _expr_mentioned(agg.expr)
+        return out | _mentioned_vars(node.inner)
+    if isinstance(node, A.OrderBy):
+        out = _mentioned_vars(node.inner)
+        for c in node.conds:
+            out |= _expr_mentioned(c.expr)
+        return out
+    if isinstance(node, (A.Distinct, A.Reduced, A.Slice)):
+        return _mentioned_vars(node.inner)
+    if isinstance(node, A.Project):
+        return frozenset(v.name for v in node.vars)
+    if isinstance(node, A.Service):
+        return A.pattern_vars(node)
+    return A.pattern_vars(node)
+
+
+def _seed_into(node, pre: "_Precompiled"):
+    """Rewrite an EXISTS sub-pattern so the outer correlated bindings
+    (``pre``, a distinct projection) are joined INSIDE it — the compiled
+    equivalent of §18.6's substitution (reference: correlated
+    ``Expression::Exists`` nested-loop).  The seed is pushed under
+    top-level Filter/Extend chains (so inner filters see the outer
+    bindings), into the LEFT side of OPTIONAL (a lone OPTIONAL keeps the
+    seed row even when its right side has no match) and MINUS, and into
+    both UNION branches.  Other nodes (BGP, paths, VALUES, subqueries,
+    SERVICE) get the seed joined at their root."""
+    if isinstance(node, A.Filter):
+        return A.Filter(node.expr, _seed_into(node.inner, pre))
+    if isinstance(node, A.Extend):
+        return A.Extend(_seed_into(node.inner, pre), node.var, node.expr)
+    if isinstance(node, A.Join):
+        return A.Join(_seed_into(node.left, pre), node.right)
+    if isinstance(node, A.LeftJoin):
+        return A.LeftJoin(_seed_into(node.left, pre), node.right, node.expr)
+    if isinstance(node, A.Minus):
+        return A.Minus(_seed_into(node.left, pre), node.right)
+    if isinstance(node, A.Union_):
+        return A.Union_(_seed_into(node.left, pre),
+                        _seed_into(node.right, pre))
+    if isinstance(node, A.Graph):
+        return A.Graph(node.name, _seed_into(node.inner, pre))
+    return A.Join(pre, node)
+
+
 class Compiler:
     def __init__(self, spark: SparkSession, source, *,
                  optimize: bool = True,
@@ -1559,10 +1664,44 @@ class Compiler:
         exists_nodes = _find_exists(expr)
         df = inner.df
         for node in exists_nodes:
-            sub = self.compile_pattern(node.pattern, graph_ctx)
-            shared = sorted(frozenset(inner.vars) & sub.vars)
             marker = self._fresh("ex")
-            if shared:
+            mentioned = _mentioned_vars(node.pattern)
+            scope = frozenset(A.pattern_vars(node.pattern))
+            corr = sorted(mentioned & inner.vars)
+            extras = (mentioned & inner.vars) - scope
+            sub = None
+            if corr and not extras:
+                sub = self.compile_pattern(node.pattern, graph_ctx)
+                if not all(v in inner.certain and v in sub.certain
+                           for v in corr):
+                    sub = None  # fall through to the seeded compilation
+            if corr and sub is None:
+                # §18.6 substitution semantics: variables mentioned only
+                # in inner FILTER/BIND expressions, or bindable only on
+                # an inner OPTIONAL/UNION branch, must see the OUTER
+                # binding — compile the sub-pattern with the distinct
+                # outer correlated bindings seeded INSIDE it (reference:
+                # correlated ``Expression::Exists``).
+                seed_cols = [inner.df[v].alias(v) for v in corr]
+                seed_ids: Dict[str, str] = {}
+                for v in corr:
+                    if v in inner.ids:
+                        seed_cols.append(
+                            inner.df[inner.ids[v]].alias(inner.ids[v]))
+                        seed_ids[v] = inner.ids[v]
+                seed = Compiled(
+                    inner.df.select(*seed_cols).distinct(),
+                    frozenset(corr), inner.certain & frozenset(corr),
+                    {v: inner.stypes[v] for v in corr
+                     if v in inner.stypes},
+                    {v: inner.ntypes[v] for v in corr
+                     if v in inner.ntypes},
+                    seed_ids)
+                sub = self.compile_pattern(
+                    _seed_into(node.pattern, _Precompiled(seed)),
+                    graph_ctx)
+            if corr:
+                shared = corr
                 # the marker join only needs the subpattern's term
                 # IDENTITIES: ship 16-byte keys, not term structs (§1.4)
                 kn = {v: f"{v}__e{marker}" for v in shared}
@@ -1609,6 +1748,7 @@ class Compiler:
             else:
                 # uncorrelated EXISTS: one-row broadcast flag (true iff the
                 # subpattern has any solution; agg over empty input → NULL)
+                sub = self.compile_pattern(node.pattern, graph_ctx)
                 flag = sub.df.select(F.lit(True).alias(marker)) \
                     .agg(F.max(F.col(marker)).alias(marker))
                 df = df.crossJoin(F.broadcast(flag))
