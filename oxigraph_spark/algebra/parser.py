@@ -606,6 +606,16 @@ class Parser:
         if self.at_kw("UNDEF"):
             self.next()
             return None
+        if self.at_op("<<"):
+            # SPARQL-star DataBlockValue: GROUND quoted triple only
+            self.eat_op("<<")
+            s = self._data_value()
+            p = A.NamedNode(self._iri())
+            o = self._data_value()
+            self.eat_op(">>")
+            if s is None or o is None:
+                raise ParseError("UNDEF inside a VALUES quoted triple")
+            return A.QuotedTriple(s, p, o)
         return self._term_literal_or_iri()
 
     # -- triples ---------------------------------------------------------

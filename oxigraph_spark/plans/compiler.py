@@ -660,7 +660,7 @@ class Compiler:
         if not bgp.patterns:
             df = self.spark.range(1).select(F.lit(1).alias("__unit"))
             out = Compiled(df, frozenset(), frozenset())
-            return self._apply_conjuncts(out, pending)
+            return self._apply_conjuncts(out, pending, graph_ctx)
 
         stars, loose = self._extract_star_groups(list(bgp.patterns), graph_ctx,
                                                  pending)
@@ -693,7 +693,7 @@ class Compiler:
                     if _expr_vars(e) <= c.vars and not _find_exists(e)]
             if mine:
                 pending = [e for e in pending if e not in mine]
-                c = self._apply_conjuncts(c, mine)
+                c = self._apply_conjuncts(c, mine, graph_ctx)
             return c
 
         acc = compile_one(units[0])
@@ -717,8 +717,8 @@ class Compiler:
                      if _expr_vars(e) <= acc.vars and not _find_exists(e)]
             if ready:
                 pending = [e for e in pending if e not in ready]
-                acc = self._apply_conjuncts(acc, ready)
-        return self._apply_conjuncts(acc, pending)
+                acc = self._apply_conjuncts(acc, ready, graph_ctx)
+        return self._apply_conjuncts(acc, pending, graph_ctx)
 
     def _extract_star_groups(self, pats: List, graph_ctx,
                              pending: Optional[List] = None):
@@ -831,10 +831,12 @@ class Compiler:
                                      ids))
         return compiled, loose
 
-    def _apply_conjuncts(self, c: Compiled,
-                         conjuncts: List[A.Expression]) -> Compiled:
+    def _apply_conjuncts(self, c: Compiled, conjuncts: List[A.Expression],
+                         graph_ctx=None) -> Compiled:
+        # graph_ctx matters only for conjuncts containing EXISTS: their
+        # sub-patterns must evaluate against the ACTIVE graph (§13.3)
         for e in conjuncts:
-            c = self._c_Filter(A.Filter(e, _Precompiled(c)), None)
+            c = self._c_Filter(A.Filter(e, _Precompiled(c)), graph_ctx)
         return c
 
     def _order_patterns(self, pats: List) -> List:

@@ -215,8 +215,9 @@ def _parse_turtle_triples(body: str, prefixes: dict) -> List[Tuple]:
     py-term tuples.  Reuses the SPARQL triples grammar: a Turtle
     statement block is the same surface as a BGP with ground terms."""
     from ..algebra import ast as A
-    from ..algebra.parser import Parser
+    from ..algebra.parser import ParseError, Parser
     from ..plans.compiler import _term_to_py
+    _require_final_dot(body)
     p = Parser("{" + body + "}")
     p.prefixes.update(prefixes)
     pattern = p._group_graph_pattern()
@@ -229,10 +230,45 @@ def _parse_turtle_triples(body: str, prefixes: dict) -> List[Tuple]:
 
         for tp in pattern.patterns:
             if isinstance(tp, A.TriplePattern):
+                # Turtle is stricter than the SPARQL triples grammar:
+                # no literal subjects (the SPARQL grammar's GraphTerm
+                # allows them in patterns; Turtle's `subject` does not)
+                if isinstance(tp.s, A.Literal):
+                    raise ParseError(
+                        f"literal {tp.s.lex!r} as Turtle subject")
                 triples.append((_term_to_py(ground(tp.s)),
                                 _term_to_py(ground(tp.p)),
                                 _term_to_py(ground(tp.o))))
     return triples
+
+
+def _require_final_dot(body: str) -> None:
+    """Turtle requires '.' after every statement; the SPARQL group
+    grammar this parser reuses makes the FINAL one optional — enforce it
+    here.  Scans with string/IRI/comment opacity (same discipline as
+    _split_trig_blocks)."""
+    from ..algebra.parser import ParseError
+    last = ""
+    i, n = 0, len(body)
+    while i < n:
+        ch = body[i]
+        if ch in "\"'":
+            i = _skip_string(body, i)
+            last = '"'
+        elif ch == "<":
+            j = body.find(">", i)
+            i = n if j < 0 else j + 1
+            last = ">"
+        elif ch == "#":
+            j = body.find("\n", i)
+            i = n if j < 0 else j
+        elif ch in " \t\r\n":
+            i += 1
+        else:
+            last = ch
+            i += 1
+    if last and last != ".":
+        raise ParseError("Turtle statement not terminated by '.'")
 
 
 # -- TriG: Turtle + named-graph blocks (S3) ---------------------------------
