@@ -93,6 +93,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in nanos:
+        # the legacy conf surfaces ns-timestamps as LONG on some writer
+        # layouts only; when Spark 4 reads the column natively as
+        # TIMESTAMP already, there is nothing to convert
+        if df.schema[c].dataType.simpleString() != "bigint":
+            continue
         # integer division — `/` promotes to double and loses ~100 µs of
         # precision at 2024-epoch nanosecond magnitudes
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
