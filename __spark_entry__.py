@@ -524,13 +524,16 @@ def q_x_dedup_minhash(spark, sf):
     every planted pair with full signature agreement (sim = 1.0) — a
     recall guarantee DuckDB can state exactly without replicating the
     seeded xxhash64 signatures.  The full pipeline (shingle→signature→
-    band→bucket-join→score) runs unfiltered; only the output is projected
-    onto the provable subset.  Unfiltered output is pytest-covered."""
+    band→bucket-join→score) runs with the PRODUCTION skew guard
+    (max_bucket=64 — at sf0.01 no band bucket exceeds it, so the oracle
+    is unchanged; at scale it bounds degenerate-family fan-out, verified
+    by tools/scale_soak.py); only the output is projected onto the
+    provable subset.  Unfiltered output is pytest-covered."""
     from oxigraph_spark.pipeline.dedup import minhash_lsh_pairs
     d = _docs(spark, sf).select("doc_id", "text")
     both = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1000000))
     pairs = minhash_lsh_pairs(both, "text", "doc_id", num_perm=16, bands=4,
-                              threshold=0.5)
+                              threshold=0.5, max_bucket=64)
     return (pairs.where((F.col("id_b") == F.col("id_a") + 1000000)
                         & (F.col("sim") >= 0.999))
                  .select("id_a", "id_b", F.round("sim", 6).alias("sim")))
@@ -548,11 +551,13 @@ def q_x_dedup_ngram(spark, sf):
 def q_x_dedup_simhash(spark, sf):
     """SimHash near-dup pairs, planted-duplicate property oracle (see
     q_x_dedup_minhash): identical texts have identical fingerprints, so
-    every planted pair must surface with hamming 0."""
+    every planted pair must surface with hamming 0.  Runs with the
+    production max_bucket guard (no sf0.01 bucket exceeds it)."""
     from oxigraph_spark.pipeline.dedup import simhash_pairs
     d = _docs(spark, sf).select("doc_id", "text")
     both = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1000000))
-    pairs = simhash_pairs(both, "text", "doc_id", max_hamming=3)
+    pairs = simhash_pairs(both, "text", "doc_id", max_hamming=3,
+                          max_bucket=64)
     return pairs.where((F.col("id_b") == F.col("id_a") + 1000000)
                        & (F.col("hamming") == 0))
 
@@ -568,13 +573,16 @@ def _query_vec(sf):
 def q_x_embed_dedup(spark, sf):
     """Embedding-cosine near-dup pairs via hyperplane LSH buckets,
     planted-duplicate property oracle: identical vectors share a bucket
-    and have cosine 1.0, so every planted pair must be recovered."""
+    and have cosine 1.0, so every planted pair must be recovered.
+    max_bucket=128 clears sf0.01's largest bucket (82 at planes=8) while
+    still bounding clustered-corpus fan-out at scale."""
     from oxigraph_spark.pipeline.dedup import embedding_cosine_pairs
     from oxigraph_spark.sources.tables import load_table
     emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
     both = emb.unionByName(emb.withColumn("vec_id", F.col("vec_id") + 1000000))
     pairs = embedding_cosine_pairs(both, "embedding", "vec_id",
-                                   threshold=0.999, planes=8)
+                                   threshold=0.999, planes=8,
+                                   max_bucket=128)
     return (pairs.where(F.col("id_b") == F.col("id_a") + 1000000)
                  .select("id_a", "id_b", F.round("sim", 6).alias("sim")))
 
