@@ -330,7 +330,33 @@ def main() -> None:
         "endpoint_qps": endpoint_qps,   # 4 HTTP clients, 13-template mix
         "n": N_RUNS,                    # per-query runs; values are medians
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # informational 10x scale-soak summary (tools/scale_soak.py over
+        # self-generated sf1-style data with planted power-law skew);
+        # refreshed whenever the soak is re-run, absent if never run
+        "soak_10x": _soak_summary(),
     }))
+
+
+def _soak_summary():
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "SOAK_r06.json")
+    try:
+        with open(path) as f:
+            d = json.load(f)
+    except Exception:  # noqa: BLE001 — soak never run locally
+        return None
+    return {
+        "headline_warm_total_sec": d.get("value"),
+        "max_warm_ratio_vs_sf0.1": max(d.get("ratio_vs_sf0.1", {}).values(),
+                                       default=None),
+        "cliffs": d.get("cliffs_over_ratio", {}).get("queries"),
+        "skew_cap_held": d.get("dedup_skew", {}).get(
+            "surviving_max_bucket", 10**9) <= d.get("dedup_skew", {}).get(
+            "cap", 0),
+        "pagerank_sec": d.get("pagerank_sec"),
+        "bfs_sec": d.get("bfs_sec"),
+        "weighted_sp_sec": d.get("weighted_sp_sec"),
+    }
 
 
 if __name__ == "__main__":
