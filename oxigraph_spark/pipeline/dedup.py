@@ -188,13 +188,16 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     sig = _persist_sig(minhash_signatures(df, text_col, id_col, num_perm))
     buckets = _band_buckets(sig, num_perm, bands)
     if max_bucket is not None:
-        # one map-side-combinable count per bucket; hot buckets never
-        # reach the self-join
-        sizes = buckets.groupBy("band", "bh") \
-                       .agg(F.count(F.lit(1)).alias("__n")) \
-                       .where(F.col("__n") <= max_bucket)
-        buckets = buckets.join(sizes.select("band", "bh"), ["band", "bh"],
-                               "leftsemi")
+        # window count over the SAME (band, bh) partitioning the
+        # self-join needs: one exchange serves the size filter AND the
+        # join (a groupBy+semijoin guard costs two extra shuffles of the
+        # same 24-byte rows; measured 2x on the sf0.1 headline).  Hot
+        # buckets never reach the self-join; the hot partition's window
+        # count is linear, not quadratic.
+        from pyspark.sql import Window
+        w = Window.partitionBy("band", "bh")
+        buckets = buckets.withColumn("__n", F.count(F.lit(1)).over(w)) \
+                         .where(F.col("__n") <= max_bucket).drop("__n")
     # candidate generation shuffles ONLY ids: the bucket self-join and the
     # pair-dedup never carry the 32-element signatures (on hot buckets the
     # wide alternative shuffles sig × bucket² — the round-1 bottleneck);
@@ -364,11 +367,12 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
                  .alias("ch"))
         for i in range(4)])).alias("c")).select("id", "fp", "c.chunk", "c.ch")
     if max_bucket is not None:
-        cold = chunks.groupBy("chunk", "ch") \
-                     .agg(F.count(F.lit(1)).alias("__n")) \
-                     .where(F.col("__n") <= max_bucket)
-        chunks = chunks.join(cold.select("chunk", "ch"), ["chunk", "ch"],
-                             "leftsemi")
+        # window count over the self-join's own (chunk, ch) partitioning
+        # (same one-exchange guard as minhash_lsh_pairs)
+        from pyspark.sql import Window
+        w = Window.partitionBy("chunk", "ch")
+        chunks = chunks.withColumn("__n", F.count(F.lit(1)).over(w)) \
+                       .where(F.col("__n") <= max_bucket).drop("__n")
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
                    & (F.col("a.ch") == F.col("b.ch"))
@@ -453,11 +457,13 @@ def embedding_cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
     emb = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                     bucket.alias("bkt"))
     if max_bucket is not None:
-        # bucket sizing on (id, bkt) only — vectors never shuffle here
-        cold = emb.select("id", "bkt").groupBy("bkt") \
-                  .agg(F.count(F.lit(1)).alias("__n")) \
-                  .where(F.col("__n") <= max_bucket)
-        emb = emb.join(cold.select("bkt"), "bkt", "leftsemi")
+        # window count over the self-join's own bkt partitioning (same
+        # one-exchange guard as minhash_lsh_pairs); rows carry the
+        # vector, but they shuffle to the join on bkt anyway
+        from pyspark.sql import Window
+        w = Window.partitionBy("bkt")
+        emb = emb.withColumn("__n", F.count(F.lit(1)).over(w)) \
+                 .where(F.col("__n") <= max_bucket).drop("__n")
     a, b = emb.alias("a"), emb.alias("b")
     cand = a.join(b, (F.col("a.bkt") == F.col("b.bkt"))
                   & (F.col("a.id") < F.col("b.id")))
