@@ -1139,6 +1139,9 @@ class Parser:
             self.next()
             if self.at_kw("DATA"):
                 self.next()
+                if with_graph is not None:
+                    # grammar: WITH belongs to Modify only (§19.8 Update1)
+                    raise ParseError("WITH is not allowed with INSERT DATA")
                 return U.InsertData(tuple(self._check_quads(
                     self._quad_data(), "INSERT DATA",
                     vars_ok=False, bnodes_ok=True)))
@@ -1152,11 +1155,16 @@ class Parser:
             self.next()
             if self.at_kw("DATA"):
                 self.next()
+                if with_graph is not None:
+                    raise ParseError("WITH is not allowed with DELETE DATA")
                 return U.DeleteData(tuple(self._check_quads(
                     self._quad_data(), "DELETE DATA",
                     vars_ok=False, bnodes_ok=False)))
             if self.at_kw("WHERE"):
                 self.next()
+                if with_graph is not None:
+                    # DeleteWhere is its own Update1 production, no WITH
+                    raise ParseError("WITH is not allowed with DELETE WHERE")
                 dq = self._check_quads(self._quad_data(), "DELETE WHERE",
                                        vars_ok=True, bnodes_ok=False)
                 return U.DeleteInsert(tmpl(dq), (), None)
