@@ -59,8 +59,94 @@ def json_binding(t: Column) -> Column:
                                       _jesc(t["datatype"]))),
                       F.lit("")),
                   F.lit('"}')))
+        # distributed-path flattening: the quoted triple as its
+        # N-Triples text.  The bounded document form
+        # (:func:`to_json_document`) emits the full SPARQL 1.2 nested
+        # {"type":"triple","value":{subject,predicate,object}} object —
+        # nesting needs recursion, which column expressions can't do.
+        .when(t["kind"] == T.KIND_TRIPLE,
+              F.concat(F.lit('{"type":"triple","value":"'),
+                       _jesc(t["lex"]), F.lit('"}')))
     )
     return obj
+
+
+# -- Python-side term formatting (bounded/document paths) -------------------
+
+def _split_nt_tokens(s: str) -> List[str]:
+    """Split an N-Triples term sequence into top-level tokens, treating
+    strings, IRIs and nested ``<< … >>`` quoted triples as opaque."""
+    toks: List[str] = []
+    cur: List[str] = []
+    i, n, depth = 0, len(s), 0
+    while i < n:
+        c = s[i]
+        if c == '"':
+            j = i + 1
+            while j < n:
+                if s[j] == "\\":
+                    j += 2
+                elif s[j] == '"':
+                    j += 1
+                    break
+                else:
+                    j += 1
+            cur.append(s[i:j]); i = j
+        elif s.startswith("<<", i):
+            depth += 1; cur.append("<<"); i += 2
+        elif s.startswith(">>", i):
+            depth -= 1; cur.append(">>"); i += 2
+        elif c == "<":
+            j = s.find(">", i)
+            j = n if j < 0 else j + 1
+            cur.append(s[i:j]); i = j
+        elif c.isspace() and depth == 0:
+            if cur:
+                toks.append("".join(cur)); cur = []
+            i += 1
+        else:
+            cur.append(c); i += 1
+    if cur:
+        toks.append("".join(cur))
+    return toks
+
+
+def term_to_json_obj(t) -> Optional[dict]:
+    """TERM struct Row → SPARQL results JSON binding object, including
+    the SPARQL 1.2 nested ``triple`` form for quoted-triple terms."""
+    if t is None:
+        return None
+    k = t["kind"]
+    if k == T.KIND_IRI:
+        return {"type": "uri", "value": t["lex"]}
+    if k == T.KIND_BNODE:
+        return {"type": "bnode", "value": t["lex"]}
+    if k == T.KIND_LITERAL:
+        d = {"type": "literal", "value": t["lex"]}
+        if t["lang"]:
+            d["xml:lang"] = t["lang"]
+        elif t["datatype"] and t["datatype"] != T.XSD_STRING:
+            d["datatype"] = t["datatype"]
+        return d
+    if k == T.KIND_TRIPLE:
+        return _triple_lex_to_json(t["lex"])
+    raise ValueError(f"unexpected term kind {k}")
+
+
+def _triple_lex_to_json(lex: str) -> dict:
+    s, p, o = _split_nt_tokens(lex)
+    return {"type": "triple",
+            "value": {"subject": _nt_token_to_json(s),
+                      "predicate": _nt_token_to_json(p),
+                      "object": _nt_token_to_json(o)}}
+
+
+def _nt_token_to_json(tok: str) -> dict:
+    if tok.startswith("<<") and tok.endswith(">>"):
+        return _triple_lex_to_json(tok[2:-2].strip())
+    d = parse_tsv_term(tok)
+    assert d is not None
+    return d
 
 
 def _jesc(c: Column) -> Column:
@@ -109,8 +195,12 @@ def to_json_document(df: DataFrame, limit: Optional[int] = None) -> str:
     unbounded result at scale (pass ``limit`` or use
     ``json_rows(df).write.text(...)``, which formats and writes fully
     distributed)."""
-    rows = json_rows(df if limit is None else df.limit(limit)).collect()
-    bindings = ",".join(r.json for r in rows)
+    rows = (df if limit is None else df.limit(limit)).collect()
+    bindings = ",".join(
+        json.dumps({c: term_to_json_obj(r[c]) for c in df.columns
+                    if r[c] is not None}, ensure_ascii=False,
+                   separators=(",", ":"))
+        for r in rows)
     head = json.dumps({"vars": list(df.columns)})
     return ('{"head":' + head
             + ',"results":{"bindings":[' + bindings + "]}}")
@@ -135,21 +225,33 @@ def to_xml_document(df: DataFrame, limit: Optional[int] = None) -> str:
             if t is None:
                 continue
             out.append(f'<binding name="{xml_escape(c)}">')
-            if t.kind == T.KIND_IRI:
-                out.append(f"<uri>{xml_escape(t.lex)}</uri>")
-            elif t.kind == T.KIND_BNODE:
-                out.append(f"<bnode>{xml_escape(t.lex)}</bnode>")
-            else:
-                attrs = ""
-                if t.lang:
-                    attrs = f' xml:lang="{xml_escape(t.lang)}"'
-                elif t.datatype and t.datatype != T.XSD_STRING:
-                    attrs = f' datatype="{xml_escape(t.datatype)}"'
-                out.append(f"<literal{attrs}>{xml_escape(t.lex)}</literal>")
+            out.append(_xml_term(term_to_json_obj(t)))
             out.append("</binding>")
         out.append("</result>")
     out.append("</results></sparql>")
     return "".join(out)
+
+
+def _xml_term(d: dict) -> str:
+    """Binding JSON object → SPARQL results XML element (SPARQL 1.2
+    ``<triple>`` nesting for quoted-triple terms)."""
+    t = d["type"]
+    if t == "uri":
+        return f"<uri>{xml_escape(d['value'])}</uri>"
+    if t == "bnode":
+        return f"<bnode>{xml_escape(d['value'])}</bnode>"
+    if t == "triple":
+        v = d["value"]
+        return ("<triple><subject>" + _xml_term(v["subject"])
+                + "</subject><predicate>" + _xml_term(v["predicate"])
+                + "</predicate><object>" + _xml_term(v["object"])
+                + "</object></triple>")
+    attrs = ""
+    if d.get("xml:lang"):
+        attrs = f' xml:lang="{xml_escape(d["xml:lang"])}"'
+    elif d.get("datatype"):
+        attrs = f' datatype="{xml_escape(d["datatype"])}"'
+    return f"<literal{attrs}>{xml_escape(d['value'])}</literal>"
 
 
 def to_csv_document(df: DataFrame, limit: Optional[int] = None) -> str:
@@ -209,24 +311,38 @@ def parse_xml_results(doc: str) -> List[Dict[str, dict]]:
         b: Dict[str, dict] = {}
         for bind in res.findall(f"{_XMLNS}binding"):
             name = bind.attrib["name"]
-            uri = bind.find(f"{_XMLNS}uri")
-            bnode = bind.find(f"{_XMLNS}bnode")
-            lit = bind.find(f"{_XMLNS}literal")
-            if uri is not None:
-                b[name] = {"type": "uri", "value": uri.text or ""}
-            elif bnode is not None:
-                b[name] = {"type": "bnode", "value": bnode.text or ""}
-            elif lit is not None:
-                d = {"type": "literal", "value": lit.text or ""}
-                lang = lit.attrib.get(_XML_LANG)
-                dt = lit.attrib.get("datatype")
-                if lang:
-                    d["xml:lang"] = lang
-                elif dt:
-                    d["datatype"] = dt
-                b[name] = d
+            term = _parse_xml_term(bind)
+            if term is not None:
+                b[name] = term
         out.append(b)
     return out
+
+
+def _parse_xml_term(el) -> Optional[dict]:
+    """First term child of a binding/subject/predicate/object element →
+    binding JSON object (recursive for SPARQL 1.2 <triple>)."""
+    uri = el.find(f"{_XMLNS}uri")
+    bnode = el.find(f"{_XMLNS}bnode")
+    lit = el.find(f"{_XMLNS}literal")
+    tri = el.find(f"{_XMLNS}triple")
+    if uri is not None:
+        return {"type": "uri", "value": uri.text or ""}
+    if bnode is not None:
+        return {"type": "bnode", "value": bnode.text or ""}
+    if tri is not None:
+        return {"type": "triple", "value": {
+            pos: _parse_xml_term(tri.find(f"{_XMLNS}{pos}"))
+            for pos in ("subject", "predicate", "object")}}
+    if lit is not None:
+        d = {"type": "literal", "value": lit.text or ""}
+        lang = lit.attrib.get(_XML_LANG)
+        dt = lit.attrib.get("datatype")
+        if lang:
+            d["xml:lang"] = lang
+        elif dt:
+            d["datatype"] = dt
+        return d
+    return None
 
 
 def parse_xml_boolean(doc: str) -> Optional[bool]:
@@ -259,6 +375,8 @@ def parse_tsv_term(tok: str) -> Optional[dict]:
     """One TSV cell (N-Triples-style token) → binding dict; '' = unbound."""
     if tok == "":
         return None
+    if tok.startswith("<<") and tok.endswith(">>"):
+        return _triple_lex_to_json(tok[2:-2].strip())
     if tok.startswith("<") and tok.endswith(">"):
         return {"type": "uri", "value": tok[1:-1]}
     if tok.startswith("_:"):

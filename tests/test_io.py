@@ -507,3 +507,51 @@ def test_http_service_tsv_fallback(spark, nt_path):
         assert got == [(0, "urn:ex:r1"), (2, "42")]
     finally:
         srv.shutdown()
+
+
+def test_results_rdfstar_triple_terms(spark):
+    """SPARQL 1.2 quoted-triple bindings round-trip through the results
+    JSON/XML/TSV document forms (reference: sparesults' RDF-star
+    support; json {"type":"triple","value":{subject,predicate,object}},
+    xml <triple><subject>..., tsv << ... >> tokens)."""
+    from oxigraph_spark.operators.update import MutableQuadSource
+    from oxigraph_spark.sources.rdf_io import load_rdf
+    from oxigraph_spark.store import Store
+    import os
+    here = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "w3c_mini")
+    st = Store(spark, MutableQuadSource(
+        spark, load_rdf(spark, os.path.join(here, "data-star.ttl"))))
+    df = st.query("""
+        PREFIX : <http://example/>
+        SELECT ?t ?c WHERE { ?t :certainty ?c . FILTER(?c > 0.5) }
+    """)
+    doc = results_io.to_json_document(df)
+    parsed = results_io.parse_json_results(doc)
+    assert len(parsed) == 1
+    t = parsed[0]["t"]
+    assert t["type"] == "triple"
+    assert t["value"]["subject"] == {"type": "uri",
+                                     "value": "http://example/bob"}
+    assert t["value"]["predicate"] == {"type": "uri",
+                                       "value": "http://example/age"}
+    assert t["value"]["object"]["value"] == "23"
+
+    xml_doc = results_io.to_xml_document(df)
+    px = results_io.parse_xml_results(xml_doc)
+    assert px[0]["t"]["value"]["subject"]["value"] == "http://example/bob"
+
+    tsv_doc = results_io.to_tsv_document(df)
+    pt = results_io.parse_tsv_results(tsv_doc)
+    assert pt[0]["t"]["type"] == "triple"
+    assert pt[0]["t"]["value"]["object"]["value"] == "23"
+
+    # nested quoted triple: << << s p o >> cert 0.9 >> src doc1
+    df2 = st.query("""
+        PREFIX : <http://example/>
+        SELECT ?t WHERE { ?t :src :doc1 }
+    """)
+    p2 = results_io.parse_json_results(results_io.to_json_document(df2))
+    inner = p2[0]["t"]["value"]["subject"]
+    assert inner["type"] == "triple"
+    assert inner["value"]["subject"]["value"] == "http://example/bob"

@@ -1,7 +1,7 @@
 """Mini W3C-style manifest-driven evaluation suite (round-4 VERDICT item
 5; upstream's backbone is ``testsuite/rdf-tests`` manifests).
 
-``tests/w3c_mini/manifest.ttl`` lists 214 entries targeting known-hard
+``tests/w3c_mini/manifest.ttl`` lists 215 entries targeting known-hard
 semantics: nested OPTIONAL scoping, VALUES+UNDEF join compatibility,
 aggregate error propagation, MINUS vs NOT EXISTS divergence, property
 paths on cycles / zero-length over ground terms (in AND out of the
@@ -52,6 +52,9 @@ def _norm_binding(b):
     lang = b.get("xml:lang")
     if lang:
         return ("lit-lang", v, lang.lower())
+    if t == "triple":
+        return ("triple", _norm_binding(v["subject"]),
+                _norm_binding(v["predicate"]), _norm_binding(v["object"]))
     dt = b.get("datatype") or XSD + "string"
     if dt in NUMERIC:
         num = (float(v) if dt in (XSD + "double", XSD + "float")
@@ -61,22 +64,10 @@ def _norm_binding(b):
 
 
 def _row_term_binding(t):
-    """Engine TERM struct Row → results-JSON binding dict (None=unbound)."""
-    if t is None:
-        return None
-    k = t["kind"]
-    if k == T.KIND_IRI:
-        return {"type": "uri", "value": t["lex"]}
-    if k == T.KIND_BNODE:
-        return {"type": "bnode", "value": t["lex"]}
-    if k == T.KIND_LITERAL:
-        d = {"type": "literal", "value": t["lex"]}
-        if t["lang"]:
-            d["xml:lang"] = t["lang"]
-        elif t["datatype"] and t["datatype"] != T.XSD_STRING:
-            d["datatype"] = t["datatype"]
-        return d
-    raise ValueError(f"unexpected term kind {k}")
+    """Engine TERM struct Row → results-JSON binding dict (None=unbound);
+    quoted triples nest per SPARQL 1.2 results JSON."""
+    from oxigraph_spark.sources.results_io import term_to_json_obj
+    return term_to_json_obj(t)
 
 
 def _solution_multiset(bindings, variables):
@@ -133,7 +124,7 @@ def test_manifest_suite(spark):
     from pyspark.sql import functions as F
 
     entries = _load_manifest(spark)
-    assert len(entries) == 214
+    assert len(entries) == 215
     failures = []
     for e in entries:
         name = e["name"]
