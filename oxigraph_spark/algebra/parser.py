@@ -30,6 +30,28 @@ class ParseError(ValueError):
     pass
 
 
+def resolve_iri(base: Optional[str], iri: str) -> str:
+    """RFC 3986 reference resolution of ``iri`` against ``base``
+    (§19.2.1 / Turtle @base; reference: oxiri's Iri::resolve).
+    Absolute IRIs (with a scheme) pass through; with no base, relative
+    IRIs pass through unchanged (pre-round-6 behavior for callers that
+    operate on already-absolute data)."""
+    if not base or re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", iri):
+        return iri
+    from urllib.parse import urljoin
+    # urljoin implements RFC 3986 merge + dot-segment removal for
+    # hierarchical bases; non-hierarchical bases (urn:...) get the
+    # simple concat fallback it would otherwise mangle
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", base):
+        out = urljoin(base, iri)
+        # urljoin drops an EMPTY fragment ('ns#' → 'ns'); RDF namespace
+        # IRIs end with '#' meaningfully
+        if iri.endswith("#") and not out.endswith("#"):
+            out += "#"
+        return out
+    return base + iri
+
+
 # ---------------------------------------------------------------------------
 # tokenizer
 # ---------------------------------------------------------------------------
@@ -213,10 +235,7 @@ class Parser:
         t = self.next()
         if t.kind != "IRIREF":
             raise ParseError(f"expected IRIREF, got {t}")
-        iri = t.value[1:-1]
-        if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", iri):
-            iri = self.base + iri
-        return iri
+        return resolve_iri(self.base, t.value[1:-1])
 
     # -- query forms -----------------------------------------------------
 

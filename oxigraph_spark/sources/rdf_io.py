@@ -137,7 +137,8 @@ def turtle_to_ntriples(spark: SparkSession, in_path: str,
 
 
 def turtle_text_to_nt_lines(text: str,
-                            prefixes: Optional[dict] = None) -> List[str]:
+                            prefixes: Optional[dict] = None,
+                            base: Optional[str] = None) -> List[str]:
     """One Turtle document → canonical N-Triples lines (pure Python —
     runs on executors inside :func:`turtle_to_ntriples`).  ``prefixes``
     supplies externally-known prefix bindings (the chunked path's
@@ -145,10 +146,9 @@ def turtle_text_to_nt_lines(text: str,
     from ..algebra import ast as A
     from ..algebra.parser import Parser
     from ..plans.compiler import _py_token
-    merged = dict(prefixes or {})
-    merged.update(_TTL_PREFIX.findall(text))
-    body = _TTL_PREFIX.sub("", text)
+    base, merged, body = _strip_directives(text, prefixes, base)
     p = Parser("{" + body + "}")
+    p.base = base
     p.prefixes.update(merged)
     pattern = p._group_graph_pattern()
     out: List[str] = []
@@ -165,7 +165,30 @@ def turtle_text_to_nt_lines(text: str,
 
 # -- minimal driver-side Turtle reader (small files only) -------------------
 
-_TTL_PREFIX = re.compile(r"@prefix\s+([A-Za-z0-9_-]*):\s*<([^>]*)>\s*\.")
+_TTL_PREFIX = re.compile(
+    r"(?:@prefix|^[ \t]*PREFIX)\s+([A-Za-z0-9_-]*):\s*<([^>]*)>\s*\.?",
+    re.MULTILINE | re.IGNORECASE)
+_TTL_BASE = re.compile(
+    r"(?:@base|^[ \t]*BASE)\s*<([^>]*)>\s*\.?",
+    re.MULTILINE | re.IGNORECASE)
+
+
+def _strip_directives(text: str, ext_prefixes: dict = None,
+                      ext_base: str = None):
+    """Extract Turtle prologue directives (@prefix/@base and their
+    SPARQL-style PREFIX/BASE forms, Turtle 1.1 §6.3) → (base, prefixes,
+    body).  Prefix IRIs resolve against the base (first @base wins;
+    mid-document re-declaration is not supported — the grammar subset
+    documented on _read_turtle_small).  External bindings (chunked-path
+    document header) lose to in-document ones."""
+    from ..algebra.parser import resolve_iri
+    m = _TTL_BASE.search(text)
+    base = resolve_iri(ext_base, m.group(1)) if m else ext_base
+    prefixes = dict(ext_prefixes or {})
+    for pfx, iri in _TTL_PREFIX.findall(text):
+        prefixes[pfx] = resolve_iri(base, iri)
+    body = _TTL_BASE.sub("", _TTL_PREFIX.sub("", text))
+    return base, prefixes, body
 
 
 def _read_turtle_small(spark: SparkSession, path: str,
@@ -192,10 +215,9 @@ def _read_turtle_small(spark: SparkSession, path: str,
                 raise NotImplementedError(
                     f"N3 {tok!r}: formulas/rules are outside the RDF data "
                     "model; only the Turtle-compatible N3 subset is read")
-    prefixes = dict(_TTL_PREFIX.findall(text))
-    body = _TTL_PREFIX.sub("", text)
+    base, prefixes, body = _strip_directives(text)
     triples = [(s, p, o, _DEFAULT_G)
-               for s, p, o in _parse_turtle_triples(body, prefixes)]
+               for s, p, o in _parse_turtle_triples(body, prefixes, base)]
     return _quads_df(spark, triples)
 
 
@@ -210,7 +232,8 @@ def _quads_df(spark: SparkSession, rows: List[Tuple]) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
-def _parse_turtle_triples(body: str, prefixes: dict) -> List[Tuple]:
+def _parse_turtle_triples(body: str, prefixes: dict,
+                          base: Optional[str] = None) -> List[Tuple]:
     """Turtle statement text (sans @prefix directives) → ``(s, p, o)``
     py-term tuples.  Reuses the SPARQL triples grammar: a Turtle
     statement block is the same surface as a BGP with ground terms."""
@@ -219,6 +242,7 @@ def _parse_turtle_triples(body: str, prefixes: dict) -> List[Tuple]:
     from ..plans.compiler import _term_to_py
     _require_final_dot(body)
     p = Parser("{" + body + "}")
+    p.base = base
     p.prefixes.update(prefixes)
     pattern = p._group_graph_pattern()
     triples: List[Tuple] = []
@@ -372,11 +396,13 @@ def _split_trig_blocks(body: str):
     return "".join(cur), blocks
 
 
-def _graph_term_tuple(label: str, prefixes: dict) -> Tuple:
+def _graph_term_tuple(label: str, prefixes: dict,
+                      base: Optional[str] = None) -> Tuple:
     from ..algebra import ast as A
+    from ..algebra.parser import resolve_iri
     from ..plans.compiler import _term_to_py
     if label.startswith("<"):
-        return _term_to_py(A.NamedNode(label[1:-1]))
+        return _term_to_py(A.NamedNode(resolve_iri(base, label[1:-1])))
     if label.startswith("_:"):
         return _term_to_py(A.BlankNode(label[2:]))
     pfx, _, local = label.partition(":")
@@ -402,14 +428,14 @@ def _read_trig_small(spark: SparkSession, path: str,
             f"trig file {size >> 20} MiB > {max_bytes >> 20} MiB limit: "
             "convert to N-Quads for the distributed path")
     text = open(path, encoding="utf-8").read()
-    prefixes = dict(_TTL_PREFIX.findall(text))
-    body = _TTL_PREFIX.sub("", text)
+    base, prefixes, body = _strip_directives(text)
     default_text, block_list = _split_trig_blocks(body)
     rows = [(s, p, o, _DEFAULT_G)
-            for s, p, o in _parse_turtle_triples(default_text, prefixes)]
+            for s, p, o in _parse_turtle_triples(default_text, prefixes,
+                                                 base)]
     for label, btext in block_list:
         g = (_DEFAULT_G if label is None
-             else _graph_term_tuple(label, prefixes))
+             else _graph_term_tuple(label, prefixes, base))
         rows += [(s, p, o, g)
                  for s, p, o in _parse_turtle_triples(btext, prefixes)]
     return _quads_df(spark, rows)
@@ -586,12 +612,13 @@ def turtle_to_ntriples_chunked(spark: SparkSession, in_path: str,
     header: List[str] = []
     with open(in_path, encoding="utf-8") as f:
         for line in f:
-            if _TTL_PREFIX.search(line) or not line.strip() \
+            if _TTL_PREFIX.search(line) or _TTL_BASE.search(line) \
+                    or not line.strip() \
                     or line.lstrip().startswith("#"):
                 header.append(line)
             else:
                 break
-    prefixes = dict(_TTL_PREFIX.findall("".join(header)))
+    base, prefixes, _ = _strip_directives("".join(header))
 
     conf_key = "spark.sql.files.maxPartitionBytes"
     old = spark.conf.get(conf_key)
@@ -635,7 +662,8 @@ def turtle_to_ntriples_chunked(spark: SparkSession, in_path: str,
                         seen_boundary = True
                         yield ("frag", idx, "head", text)
                     else:
-                        for nt in turtle_text_to_nt_lines(text, prefixes):
+                        for nt in turtle_text_to_nt_lines(text, prefixes,
+                                                          base):
                             yield ("nt", idx, "", nt)
             tail = "\n".join(buf)
             if not seen_boundary:
@@ -663,9 +691,11 @@ def turtle_to_ntriples_chunked(spark: SparkSession, in_path: str,
                 piece = pending + "\n" + text  # pending == "" normally
                 pending = piece
                 continue
-            stitched_nt.extend(turtle_text_to_nt_lines(piece, prefixes))
+            stitched_nt.extend(turtle_text_to_nt_lines(piece, prefixes,
+                                                       base))
         if pending.strip():
-            stitched_nt.extend(turtle_text_to_nt_lines(pending, prefixes))
+            stitched_nt.extend(turtle_text_to_nt_lines(pending, prefixes,
+                                                       base))
 
         body_df = rdd.filter(lambda t: t[0] == "nt") \
                      .map(lambda t: (t[3],)).toDF(["value"])
