@@ -1054,6 +1054,20 @@ class Parser:
             self.eat_op(")")
             return A.ECall(name, ())
         args = tuple(self._expr_list())
+        if name in ("IRI", "URI") and self.base and len(args) == 1:
+            # §17.4.2.8: IRI(str) resolves against the query base.
+            # Constant strings resolve exactly (RFC 3986) at parse time;
+            # dynamic arguments carry the base as a second argument for
+            # the kernel's column-level resolution.
+            a0 = args[0]
+            if (isinstance(a0, A.ETerm) and isinstance(a0.term, A.Literal)
+                    and a0.term.lang is None
+                    and (a0.term.datatype or XSD + "string")
+                    == XSD + "string"):
+                return A.ETerm(A.NamedNode(
+                    resolve_iri(self.base, a0.term.lex)))
+            args = (a0, A.ETerm(A.Literal(self.base,
+                                          datatype=XSD + "string")))
         return A.ECall(name, args)
 
     def _aggregate(self, name: str) -> A.ECall:

@@ -9,7 +9,7 @@ UDFs anywhere in the expression path.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List
+from typing import Callable, Dict, List, Optional
 
 from pyspark.sql import Column, functions as F
 
@@ -77,9 +77,36 @@ def fn_datatype(t: Column) -> Column:
     return F.when(t["kind"] == T.KIND_LITERAL, T.iri(dt)).otherwise(err())
 
 
-def fn_iri(t: Column) -> Column:
+def fn_iri(t: Column, base: Optional[Column] = None) -> Column:
+    """IRI()/URI().  ``base`` (a string-literal TERM of the query base,
+    attached by the parser when a BASE is declared and the argument is
+    dynamic) resolves relative strings per RFC 3986: scheme-relative,
+    absolute-path, fragment and relative-path references, with bounded
+    dot-segment normalization (4 passes — constant arguments resolve
+    exactly at parse time instead)."""
+    if base is None:
+        return (F.when(t["kind"] == T.KIND_IRI, t)
+                 .when(_is_plain_string(t), T.iri(t["lex"]))
+                 .otherwise(err()))
+    lex, b = t["lex"], base["lex"]
+    scheme = F.regexp_extract(b, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    root = F.regexp_extract(b, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)", 1)
+    bdir = F.regexp_replace(F.regexp_replace(b, r"[#?].*$", ""),
+                            r"[^/]*$", "")
+    merged = F.concat(bdir, lex)
+    for _ in range(4):
+        merged = F.regexp_replace(merged, r"/\./", "/")
+        merged = F.regexp_replace(merged, r"/[^/]+/\.\./", "/")
+    resolved = (
+        F.when(lex.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:"), lex)
+         .when(lex.startswith("//"), F.concat(scheme, F.lit(":"), lex))
+         .when(lex.startswith("/"), F.concat(root, lex))
+         .when(lex == "", F.regexp_replace(b, r"#.*$", ""))
+         .when(lex.startswith("#"),
+               F.concat(F.regexp_replace(b, r"#.*$", ""), lex))
+         .otherwise(merged))
     return (F.when(t["kind"] == T.KIND_IRI, t)
-             .when(_is_plain_string(t), T.iri(t["lex"]))
+             .when(_is_plain_string(t), T.iri(resolved))
              .otherwise(err()))
 
 
