@@ -634,6 +634,8 @@ class Parser:
             self.eat_op(">>")
             if s is None or o is None:
                 raise ParseError("UNDEF inside a VALUES quoted triple")
+            if isinstance(s, A.Literal):
+                raise ParseError("literal as quoted-triple subject")
             return A.QuotedTriple(s, p, o)
         return self._term_literal_or_iri()
 
@@ -709,6 +711,8 @@ class Parser:
         its statements on — same lowering rules as ``_quoted_triple``:
         ground or in a template → constant/runtime QuotedTriple; with
         variables in a pattern → fresh var + accessor constraints."""
+        if isinstance(s, A.Literal):
+            raise ParseError("literal as quoted-triple subject")
         if all(not isinstance(x, A.Var) for x in (s, p, o)) \
                 or self._template_depth:
             return A.QuotedTriple(s, p, o)
@@ -725,6 +729,8 @@ class Parser:
         group (see _apply_qt_lowerings)."""
         self.eat_op("<<")
         s = self._graph_node(out)
+        if isinstance(s, A.Literal):
+            raise ParseError("literal as quoted-triple subject")
         if self.peek().kind == "VAR":
             p: object = A.Var(self.next().value[1:])
         else:
