@@ -128,11 +128,18 @@ def test_with_graph_update(spark):
     df1 = st2.query(
         f"SELECT ?o WHERE {{ GRAPH <{EX}g1> {{ ?s <{EX}p> ?o }} }}")
     assert [int(r.o.num) for r in df1.collect()] == [20]
-    # WITH + DELETE WHERE shorthand also scopes to the graph
-    st3 = st2.update(f"WITH <{EX}g1> DELETE WHERE {{ ?s <{EX}p> ?o }}")
+    # WITH scopes a full DELETE-template Modify to the graph; the
+    # DELETE WHERE shorthand is its own Update1 production the grammar
+    # gives no WITH to (§19.8 — round-6 strictness, matching upstream
+    # spargebra)
+    st3 = st2.update(f"WITH <{EX}g1> DELETE {{ ?s <{EX}p> ?o }} "
+                     f"WHERE {{ ?s <{EX}p> ?o }}")
     assert st3.query(
         f"SELECT ?o WHERE {{ GRAPH <{EX}g1> {{ ?s ?p ?o }} }}").count() == 0
     assert st3.query(f"SELECT ?o WHERE {{ ?s <{EX}p> ?o }}").count() == 1
+    from oxigraph_spark.algebra.parser import ParseError
+    with pytest.raises(ParseError):
+        st2.update(f"WITH <{EX}g1> DELETE WHERE {{ ?s <{EX}p> ?o }}")
 
 
 def test_temporal_timezones(spark):
