@@ -300,6 +300,15 @@ def _decimal_lex(c: Column) -> Column:
     return F.when(is_sci, sci_plain).otherwise(plain)
 
 
+_LONG_MIN, _LONG_MAX = -(2 ** 63), 2 ** 63 - 1
+
+
+def _in_long(n: Column) -> Column:
+    """True iff the exact value fits signed 64-bit (checked-i64 bound)."""
+    return n.between(F.lit(_LONG_MIN).cast(T.DECIMAL_T),
+                     F.lit(_LONG_MAX).cast(T.DECIMAL_T))
+
+
 def arith_typed(op: str, a: Column, b: Column, nta, ntb) -> Column:
     """Arithmetic with static numeric-subtype hints ('integer', 'decimal',
     'double', or None).  The slim paths avoid building both promotion
@@ -334,8 +343,13 @@ def arith_typed(op: str, a: Column, b: Column, nta, ntb) -> Column:
             n = na / nb  # /0 → NULL = error ✓
         n = n.cast(T.DECIMAL_T)
         if nta == ntb == "integer" and op != "/":
+            # checked 64-bit integer semantics (reference: oxsdatatypes
+            # Integer = i64 with checked_add/sub/mul — overflow is an
+            # evaluation error, never a wrap)
             out = T.term_struct(T.KIND_LITERAL, n.cast("long").cast("string"),
                                 datatype=T._dtlit(T.XSD_INTEGER), num=n)
+            return F.when(n.isNotNull() & _in_long(n), out) \
+                    .otherwise(_null_term())
         else:
             out = T.term_struct(T.KIND_LITERAL, _decimal_lex(n),
                                 datatype=T._dtlit(T.XSD_DECIMAL), num=n)
@@ -471,8 +485,12 @@ def arith(op: str, a: Column, b: Column) -> Column:
                              datatype=dt_dbl, dbl=dres)
 
     result = F.when(use_double, dbl_term).otherwise(exact_term)
-    # error (NULL) when: non-numeric operand, or exact-path overflow/div0
-    payload_ok = F.when(use_double, dres.isNotNull()).otherwise(nres.isNotNull())
+    # error (NULL) when: non-numeric operand, exact-path overflow/div0,
+    # or an integer result outside signed-64 range (reference:
+    # oxsdatatypes checked i64 — overflow errors, never wraps)
+    payload_ok = F.when(use_double, dres.isNotNull()) \
+                  .otherwise(nres.isNotNull()
+                             & ((dt_exact != T.XSD_INTEGER) | _in_long(nres)))
     out = F.when(valid & payload_ok, result)
     # temporal arithmetic (XPath operator mapping; reference duration.rs):
     # dateTime ± duration, duration ± duration, dateTime - dateTime
