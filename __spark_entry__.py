@@ -544,7 +544,10 @@ def q_x_dedup_ngram(spark, sf):
     from oxigraph_spark.pipeline.dedup import ngram_jaccard_pairs
     d = _docs(spark, sf).select("doc_id", "text")
     both = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1000000))
-    out = ngram_jaccard_pairs(both, "text", "doc_id", n=1, threshold=0.9)
+    # oracle-exact gate config: explicit max_doc_freq=None opt-out
+    # (production default is the guarded cap; see dedup.py)
+    out = ngram_jaccard_pairs(both, "text", "doc_id", n=1, threshold=0.9,
+                              max_doc_freq=None)
     return out.select("id_a", "id_b", F.round("sim", 6).alias("sim"))
 
 

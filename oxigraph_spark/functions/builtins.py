@@ -90,9 +90,13 @@ def fn_iri(t: Column, base: Optional[Column] = None) -> Column:
                  .otherwise(err()))
     lex, b = t["lex"], base["lex"]
     scheme = F.regexp_extract(b, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)
-    root = F.regexp_extract(b, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)", 1)
-    bdir = F.regexp_replace(F.regexp_replace(b, r"[#?].*$", ""),
-                            r"[^/]*$", "")
+    root = F.regexp_extract(b, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    b_noq = F.regexp_replace(b, r"[#?].*$", "")
+    bdir = F.regexp_replace(b_noq, r"[^/]*$", "")
+    # RFC 3986 §5.3.3 merge: an authority-only base (empty path, e.g.
+    # <http://example.org>) merges as if its path were "/"
+    bdir = F.when((root != "") & (bdir == F.concat(scheme, F.lit("://"))),
+                  F.concat(root, F.lit("/"))).otherwise(bdir)
     merged = F.concat(bdir, lex)
     for _ in range(4):
         merged = F.regexp_replace(merged, r"/\./", "/")
@@ -100,10 +104,15 @@ def fn_iri(t: Column, base: Optional[Column] = None) -> Column:
     resolved = (
         F.when(lex.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:"), lex)
          .when(lex.startswith("//"), F.concat(scheme, F.lit(":"), lex))
-         .when(lex.startswith("/"), F.concat(root, lex))
+         .when(lex.startswith("/"),
+               F.when(root != "", F.concat(root, lex))
+                .otherwise(F.concat(scheme, F.lit(":"), lex)))
          .when(lex == "", F.regexp_replace(b, r"#.*$", ""))
          .when(lex.startswith("#"),
                F.concat(F.regexp_replace(b, r"#.*$", ""), lex))
+         # RFC 3986 §5.3: query-only reference keeps the base PATH
+         # (merge against the full base sans query/fragment, not dirname)
+         .when(lex.startswith("?"), F.concat(b_noq, lex))
          .otherwise(merged))
     return (F.when(t["kind"] == T.KIND_IRI, t)
              .when(_is_plain_string(t), T.iri(resolved))

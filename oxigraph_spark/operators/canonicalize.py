@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..model import terms as T
+from ..session import pin
 
 MAX_ROUNDS = 32
 
@@ -58,12 +59,12 @@ def canonical_bnode_hashes(df: DataFrame) -> DataFrame:
         _ground_hash(df["p"]).alias("ph"),
         _bl(df["o"]).alias("ob"), _ground_hash(df["o"]).alias("oh0"),
         _bl(df["g"]).alias("gb"), _ground_hash(df["g"]).alias("gh0"),
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     hashes = (enc.select(F.explode(F.array("sb", "ob", "gb")).alias("b"))
               .where(F.col("b").isNotNull())
               .distinct()
               .select("b", F.lit(0).cast("long").alias("h"))
-              .localCheckpoint(eager=False))
+              .transform(pin))
     n_classes = 1 if hashes.take(1) else 0
     if n_classes == 0:
         return hashes
@@ -92,7 +93,7 @@ def canonical_bnode_hashes(df: DataFrame) -> DataFrame:
         hashes = (sums.join(prev, sums["b"] == prev["__pb"])
                   .select("b", F.xxhash64(F.col("__ph"), F.col("cs"),
                                           F.lit(_SEED)).alias("h"))
-                  .localCheckpoint(eager=False))
+                  .transform(pin))
         n2 = hashes.select("h").distinct().count()
         if n2 == n_classes:
             return hashes

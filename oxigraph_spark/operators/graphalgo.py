@@ -38,6 +38,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, functions as F
 
 from .graphrank import _iter_partitions, _pinned_cache_partitioning
+from ..session import pin, pin_eager
 
 __all__ = ["shortest_paths", "weighted_shortest_paths", "triangle_count",
            "label_propagation"]
@@ -88,7 +89,7 @@ def shortest_paths(edges: DataFrame, landmarks: Sequence, *,
     seed = (nodes.where(F.col("node").isin(lm))
             .select("node", F.col("node").alias("landmark"),
                     F.lit(0).alias("dist")))
-    frontier = seed.localCheckpoint()
+    frontier = seed.transform(pin_eager)
     known = frontier
     bound = max_dist if max_dist is not None else MAX_ROUNDS
     dist = 0
@@ -104,7 +105,7 @@ def shortest_paths(edges: DataFrame, landmarks: Sequence, *,
                     .dropDuplicates(["node", "landmark"]))
             new = step.join(known.select("node", "landmark"),
                             ["node", "landmark"], "leftanti") \
-                      .localCheckpoint(eager=False)
+                      .transform(pin)
             if new.count() == 0:
                 break
             known = known.unionByName(new)
@@ -115,7 +116,7 @@ def shortest_paths(edges: DataFrame, landmarks: Sequence, *,
                     f"shortest_paths did not converge within {MAX_ROUNDS} "
                     "hops; raise oxigraph_spark.operators.graphalgo."
                     "MAX_ROUNDS for deeper graphs")
-        out = known.localCheckpoint()
+        out = known.transform(pin_eager)
     finally:
         e.unpersist()
     return out
@@ -171,7 +172,7 @@ def weighted_shortest_paths(edges: DataFrame, landmarks: Sequence, *,
         dist = (nodes.where(F.col("node").isin(lm))
                 .select("node", F.col("node").alias("landmark"),
                         F.lit(0.0).alias("dist"))
-                .localCheckpoint())
+                .transform(pin_eager))
         frontier = dist
         bound = max_rounds if max_rounds is not None else MAX_ROUNDS
         rounds = 0
@@ -190,13 +191,13 @@ def weighted_shortest_paths(edges: DataFrame, landmarks: Sequence, *,
                         .where(F.col("best").isNull()
                                | (F.col("dist") < F.col("best")))
                         .select("node", "landmark", "dist")
-                        .localCheckpoint(eager=False))
+                        .transform(pin))
             if improved.count() == 0:
                 break
             dist = (dist.unionByName(improved)
                     .groupBy("node", "landmark")
                     .agg(F.min("dist").alias("dist"))
-                    .localCheckpoint())
+                    .transform(pin_eager))
             frontier = improved
         else:
             if max_rounds is None:
@@ -204,7 +205,7 @@ def weighted_shortest_paths(edges: DataFrame, landmarks: Sequence, *,
                     f"weighted_shortest_paths did not converge within "
                     f"{MAX_ROUNDS} rounds; pass max_rounds= to bound the "
                     "relaxation or raise graphalgo.MAX_ROUNDS")
-        out = dist.localCheckpoint()
+        out = dist.transform(pin_eager)
     finally:
         e.unpersist()
     return out
@@ -261,7 +262,7 @@ def triangle_count(edges: DataFrame, *, src: str = "src",
     out = (deg.select("node").join(counts, "node", "left")
            .select("node", F.coalesce("triangles", F.lit(0))
                    .cast("bigint").alias("triangles"))
-           .localCheckpoint())
+           .transform(pin_eager))
     o.unpersist()
     return out
 
@@ -299,7 +300,7 @@ def label_propagation(edges: DataFrame, *, src: str = "src",
     nodes.count()
 
     labels = nodes.select("node", F.col("node").alias("label")) \
-                  .localCheckpoint()
+                  .transform(pin_eager)
     for _ in range(max_iter):
         # each neighbor v contributes its current label to u
         votes = (nbrs.join(labels.withColumnRenamed("node", "v"), "v")
@@ -314,7 +315,7 @@ def label_propagation(edges: DataFrame, *, src: str = "src",
         labels = (labels.join(best, "node", "left")
                   .select("node", F.coalesce("new_label", "label")
                           .alias("label"))
-                  .localCheckpoint())
+                  .transform(pin_eager))
     nbrs.unpersist()
     nodes.unpersist()
     return labels

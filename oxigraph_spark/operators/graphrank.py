@@ -33,6 +33,7 @@ from contextlib import contextmanager
 from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
+from ..session import pin_eager
 
 __all__ = ["pagerank", "degree_stats", "rdf_edges", "pagerank_terms",
            "hits", "connected_components"]
@@ -131,7 +132,7 @@ def rdf_edges(quads: DataFrame, predicate: Optional[str] = None,
         pairs = q.select(F.col("s")["lex"].alias("s_iri"),
                          F.col("o")["lex"].alias("o_iri"),
                          F.col("s_key").alias("sk"),
-                         F.col("o_key").alias("ok")).localCheckpoint()
+                         F.col("o_key").alias("ok")).transform(pin_eager)
         edges = pairs.select(F.col("sk").alias("src"),
                              F.col("ok").alias("dst"))
         nodes = (pairs.select(F.col("sk").alias("id"),
@@ -141,7 +142,7 @@ def rdf_edges(quads: DataFrame, predicate: Optional[str] = None,
                  .dropDuplicates(["id"]))
         return edges, nodes
     pairs = q.select(F.col("s")["lex"].alias("s_iri"),
-                     F.col("o")["lex"].alias("o_iri")).localCheckpoint()
+                     F.col("o")["lex"].alias("o_iri")).transform(pin_eager)
     edges = pairs.select(_node_id(F.col("s_iri")).alias("src"),
                          _node_id(F.col("o_iri")).alias("dst"))
     nodes = (pairs.select(F.col("s_iri").alias("iri"))
@@ -273,12 +274,12 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
             # its lineage per round — exponential recompute.  One cheap
             # (node, rank) checkpoint per round keeps every iteration
             # O(edges) and the logical plan O(1)-deep.
-            ranks = ranks.localCheckpoint()
+            ranks = ranks.transform(pin_eager)
 
     # sever lineage, then release every cache this call registered —
     # a long-lived session calling pagerank per request must not
     # accumulate dead edge sets in the executor storage registry
-    ranks = ranks.localCheckpoint()
+    ranks = ranks.transform(pin_eager)
     for frame in (e, flags):
         frame.unpersist()
     return ranks
@@ -380,7 +381,7 @@ def hits(edges: DataFrame, *, src: str = "src", dst: str = "dst",
                         .otherwise(F.lit(0.0)).alias(col)))
 
     hubs = nodes.select("node", F.lit(1.0 / (n ** 0.5)).alias("hub")) \
-                .localCheckpoint()
+                .transform(pin_eager)
     auths = None
     for _ in range(max_iter):
         raw_a = _half_step(e_fwd, hubs, "src", "dst", "hub") \
@@ -388,13 +389,13 @@ def hits(edges: DataFrame, *, src: str = "src", dst: str = "dst",
         auths = _normed(
             nodes.join(raw_a, "node", "left")
             .select("node", F.coalesce("auth", F.lit(0.0)).alias("auth")),
-            "auth").localCheckpoint()
+            "auth").transform(pin_eager)
         raw_h = _half_step(e_rev, auths, "dst", "src", "auth") \
             .withColumnRenamed("auth", "hub")
         hubs = _normed(
             nodes.join(raw_h, "node", "left")
             .select("node", F.coalesce("hub", F.lit(0.0)).alias("hub")),
-            "hub").localCheckpoint()
+            "hub").transform(pin_eager)
     # both vectors are checkpointed (lineage severed) — release the
     # caches this call registered before returning
     out = hubs.join(auths, "node")

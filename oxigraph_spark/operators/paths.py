@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from ..algebra import ast as A
 from ..model import terms as T
+from ..session import pin
 
 
 def _key(c: Column) -> Column:
@@ -317,12 +318,12 @@ def _closure(compiler, edges: DataFrame, start: Optional[DataFrame]) -> DataFram
         # 9-field TERM structs in memory; the decode's pruned
         # dictionary re-derives terms from the raw (lazy) edge scans
         # once, inside the (checkpointed) decode
-        ek = edges.select("sk", "dk").localCheckpoint(eager=False)
+        ek = edges.select("sk", "dk").transform(pin)
     else:
         # unseeded: the full-domain decode dictionary needs the term
         # payloads anyway — one wide checkpoint serves both the loop
         # and the dictionary
-        edges = edges.localCheckpoint(eager=False)
+        edges = edges.transform(pin)
         ek = edges.select("sk", "dk")
     endpoints = edges.select(F.col("sk").alias("k"),
                              F.col("src").alias("term")) \
@@ -336,7 +337,7 @@ def _closure(compiler, edges: DataFrame, start: Optional[DataFrame]) -> DataFram
         paths = ek
     # lazy: materialized by round 1's count() together with everything
     # else — an eager checkpoint here would cost one extra driver sync
-    frontier = paths.distinct().localCheckpoint(eager=False)
+    frontier = paths.distinct().transform(pin)
     paths = frontier
     # seeded closures keep a bounded frontier (reachable set of the seed
     # nodes): broadcasting it turns each round's join into a map-side
@@ -360,7 +361,7 @@ def _closure(compiler, edges: DataFrame, start: Optional[DataFrame]) -> DataFram
         new = stepped.join(
             seen,
             (stepped["sk"] == seen["psk"]) & (stepped["dk"] == seen["pdk"]),
-            "leftanti").localCheckpoint(eager=False)
+            "leftanti").transform(pin)
         if new.count() == 0:
             return _decode(paths, endpoints, seeded=start is not None)
         paths = paths.unionByName(new)
@@ -393,8 +394,8 @@ def _decode(paths: DataFrame, endpoints: DataFrame,
         # reachable closure): repeated consumption (cached plans
         # re-counting, multi-operand BGPs) must not re-run the edge
         # scans + pruned dedup per action
-        return _decode_pairs(paths, dic).localCheckpoint(eager=False)
-    dic = endpoints.dropDuplicates(["k"]).localCheckpoint(eager=False)
+        return _decode_pairs(paths, dic).transform(pin)
+    dic = endpoints.dropDuplicates(["k"]).transform(pin)
     return _decode_pairs(paths, dic)
 
 

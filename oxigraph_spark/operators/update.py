@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..algebra import ast as A
 from ..model import terms as T
+from ..session import pin, pin_eager
 
 
 # -- operation ASTs (mirror GraphUpdateOperation) ---------------------------
@@ -113,7 +114,7 @@ class MutableQuadSource:
         # re-reads the full per-predicate union from parquet.  Inherit
         # the source's key width so Store.update keeps the same
         # dictionary mode end to end.
-        return cls(spark, source.quads().localCheckpoint(),
+        return cls(spark, source.quads().transform(pin_eager),
                    key_width=getattr(source, "key_width", 64))
 
     def scan(self, p_lex: Optional[str] = None) -> DataFrame:
@@ -146,7 +147,7 @@ class MutableQuadSource:
             self._load(op)
         else:
             raise TypeError(type(op))
-        self.df = self.df.localCheckpoint(eager=False)
+        self.df = self.df.transform(pin)
         self.generation += 1
 
     def apply_all(self, ops: List[UpdateOp]) -> None:
@@ -213,7 +214,7 @@ class MutableQuadSource:
             # template quads within a solution (see _compile_construct)
             sol = sol.withColumn(
                 "__crow", F.monotonically_increasing_id()
-            ).localCheckpoint(eager=False)
+            ).transform(pin)
         env = {v: sol[v] for v in sol_vars}
         bprefix = f"ub{uuid.uuid4().hex[:8]}"
         frames = []
@@ -366,7 +367,7 @@ class MutableQuadSource:
         try:
             # materialize before the temp file disappears (lazy reads
             # would fail later); remote docs are bounded so this is fine
-            return load_rdf(self.spark, tmp).localCheckpoint()
+            return load_rdf(self.spark, tmp).transform(pin_eager)
         finally:
             import os as _os
             _os.unlink(tmp)

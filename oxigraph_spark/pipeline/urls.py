@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import List, Optional
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from ..session import pin_eager
 
 # query parameters that never change page content — the standard
 # tracking/click-id strip list
@@ -180,7 +181,7 @@ def domain_authority(links: DataFrame, src_url: str = "src_url",
                           domain_of(F.col(dst_url)).alias("dd"))
              .where(F.col("sd").isNotNull() & F.col("dd").isNotNull()
                     & (F.col("sd") != F.col("dd")))
-             .localCheckpoint())
+             .transform(pin_eager))
     edges = pairs.select(F.xxhash64("sd").alias("src"),
                          F.xxhash64("dd").alias("dst"))
     domains = (pairs.select(F.col("sd").alias("domain"))

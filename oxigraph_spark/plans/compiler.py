@@ -36,6 +36,7 @@ from ..algebra import ast as A
 from ..functions import builtins as B
 from ..functions import kernels as K
 from ..model import terms as T
+from ..session import pin
 
 
 
@@ -431,7 +432,9 @@ class Compiler:
     def __init__(self, spark: SparkSession, source, *,
                  optimize: bool = True,
                  default_graph_as_union: bool = False,
-                 service_bind_join: bool = True):
+                 service_bind_join: bool = True,
+                 service_max_total_bindings: "Optional[int]" = None,
+                 service_pool: int = 4):
         self.spark = spark
         self.source = source  # exposes .scan(p_lex) -> DataFrame(s,p,o,g)
         self.optimize = optimize
@@ -439,6 +442,15 @@ class Compiler:
         # compilation: seeding collects local bindings, i.e. runs Spark
         # jobs, which explain is documented not to do)
         self.service_bind_join = service_bind_join
+        # per-instance override of the class-level bound-join seed cap
+        # (Store exposes it as a constructor option)
+        if service_max_total_bindings is not None:
+            self.MAX_SERVICE_TOTAL_BINDINGS = service_max_total_bindings
+        # bounded concurrency for shipping the ≤10 bound-join VALUES
+        # chunks: each chunk is an independent HTTP round-trip; a small
+        # pool cuts federated latency ~pool× without hammering the
+        # endpoint (1 = sequential)
+        self.service_pool = max(1, service_pool)
         # pyoxigraph's use_default_graph_as_union: patterns outside GRAPH
         # match quads from EVERY graph (the RDF merge), instead of the
         # store's default graph only.  Overridden by an explicit FROM
@@ -1204,7 +1216,7 @@ class Compiler:
         r = self.compile_pattern(n.right, graph_ctx)
         rid = self._fresh("ljrow")
         ldf = l0.df.withColumn(rid, F.monotonically_increasing_id()) \
-                   .localCheckpoint(eager=False)
+                   .transform(pin)
         l = Compiled(ldf, l0.vars | {rid}, l0.certain | {rid},
                      l0.stypes, l0.ntypes, l0.ids)
         joined = self._join(l, r, "inner")
@@ -1494,9 +1506,21 @@ class Compiler:
                 return handler(self.spark, n.inner, values=None, **kw)
             # chunked bound join: each distinct seed row lives in exactly
             # one chunk, so the bag-union of per-chunk responses equals
-            # the single-request response row for row
-            parts = [handler(self.spark, n.inner, values=vc, **kw)
-                     for vc in seeds]
+            # the single-request response row for row.  Chunks are
+            # independent HTTP round-trips → ship them through a bounded
+            # thread pool (futures gathered in chunk order, so the union
+            # plan is deterministic; the RESULT is a bag either way).
+            if len(seeds) > 1 and self.service_pool > 1:
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(
+                        max_workers=min(self.service_pool,
+                                        len(seeds))) as pool:
+                    parts = list(pool.map(
+                        lambda vc: handler(self.spark, n.inner,
+                                           values=vc, **kw), seeds))
+            else:
+                parts = [handler(self.spark, n.inner, values=vc, **kw)
+                         for vc in seeds]
             return reduce(
                 lambda x, y: x.unionByName(y, allowMissingColumns=True),
                 parts)
@@ -1741,7 +1765,7 @@ class Compiler:
                     rid = self._fresh("exrow")
                     df = df.withColumn(
                         rid, F.monotonically_increasing_id()) \
-                        .localCheckpoint(eager=False)
+                        .transform(pin)
                     hits = df.join(sdf, cond_for(df), "leftsemi") \
                              .select(F.col(rid).alias(f"{rid}__h"),
                                      F.lit(True).alias(marker))
@@ -1948,7 +1972,7 @@ class Compiler:
             # ids against re-evaluation across the union branches
             sol_df = sol_df.withColumn(
                 "__crow", F.monotonically_increasing_id()
-            ).localCheckpoint(eager=False)
+            ).transform(pin)
         env = {v: sol_df[v] for v in sol.vars}
         bprefix = f"tb{_uuid.uuid4().hex[:8]}"
         frames = []
@@ -1994,7 +2018,7 @@ class Compiler:
                 self._jk(quads["s"]) == self._jk(frontier["node"]),
                 "leftsemi")
 
-        out = outgoing(nodes).localCheckpoint(eager=False)
+        out = outgoing(nodes).transform(pin)
         # concise-bounded-description closure: a blank-node OBJECT cannot
         # be referenced from outside the result, so its own description
         # is recursively included (matches upstream's DESCRIBE eval).
@@ -2007,12 +2031,12 @@ class Compiler:
                           .select(F.col("o").alias("node")).distinct()
             bn = bn.join(F.broadcast(seen),
                          self._jk(bn["node"]) == seen["k"], "leftanti") \
-                   .localCheckpoint(eager=False)
+                   .transform(pin)
             if bn.count() == 0:
                 break
             seen = seen.unionByName(
                 bn.select(self._jk(bn["node"]).alias("k")))
-            described = outgoing(bn).localCheckpoint(eager=False)
+            described = outgoing(bn).transform(pin)
             out = out.unionByName(described)
         return out.select("s", "p", "o").distinct()
 

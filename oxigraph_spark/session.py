@@ -87,6 +87,54 @@ def configure(spark: SparkSession) -> None:
         pass
 
 
+_RELIABLE_CHECKPOINTS = {"enabled": False}
+
+
+def set_reliable_checkpoints(spark: SparkSession,
+                             directory: str | None) -> None:
+    """Opt-in CLUSTER-DURABLE checkpoints for the engine's fixpoint /
+    pinning tier (property-path closures, graph algorithms, PageRank,
+    EXISTS row-id pinning, bnode canonicalization...).
+
+    By default those loops cut lineage with ``localCheckpoint`` —
+    executor-local blocks, the fastest option and exactly right for
+    ``local[N]`` — but on a real cluster a lost executor loses its
+    blocks and, because lineage was truncated, fails the job.  Passing a
+    ``directory`` here (HDFS/S3/NFS visible to all executors) switches
+    every :func:`pin` call to reliable ``df.checkpoint()``, which writes
+    the blocks there and survives executor loss.  ``None`` switches back.
+
+    Checkpoint files are reference-tracked; set
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` at session
+    build time for automatic cleanup, or clean the directory after the
+    job."""
+    if directory is None:
+        _RELIABLE_CHECKPOINTS["enabled"] = False
+        return
+    spark.sparkContext.setCheckpointDir(directory)
+    _RELIABLE_CHECKPOINTS["enabled"] = True
+
+
+def pin(df, eager: bool = False):
+    """Lineage-cutting materialization for iterative plans: the ONLY
+    sanctioned way engine code truncates lineage.  Default
+    ``localCheckpoint`` (single-node durability); after
+    :func:`set_reliable_checkpoints` it is a reliable ``checkpoint``
+    into the configured directory (executor-loss durability).  Both
+    also PIN nondeterministic columns (row ids, fresh bnode labels), so
+    correctness-pinning call sites are safe under either mode."""
+    if _RELIABLE_CHECKPOINTS["enabled"]:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
+def pin_eager(df):
+    """:func:`pin` with eager materialization — ``df.transform(pin_eager)``
+    chain form for call sites that need the blocks NOW (e.g. before
+    unpersisting an input the pinned frame was computed from)."""
+    return pin(df, eager=True)
+
+
 import contextlib
 
 

@@ -173,6 +173,37 @@ _TTL_BASE = re.compile(
     re.MULTILINE | re.IGNORECASE)
 
 
+def _opaque_spans(text: str) -> List[Tuple[int, int]]:
+    """Half-open index spans of string literals, IRIs and comments —
+    regions where directive-looking text is DATA, not syntax (same
+    opacity discipline as :func:`_require_final_dot` /
+    :func:`_split_trig_blocks`)."""
+    spans: List[Tuple[int, int]] = []
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch in "\"'":
+            try:
+                j = _skip_string(text, i)
+            except ValueError:
+                j = n  # unterminated (chunk fragment): opaque to the end
+            spans.append((i, j))
+            i = j
+        elif ch == "<":
+            j = text.find(">", i)
+            j = n if j < 0 else j + 1
+            spans.append((i, j))
+            i = j
+        elif ch == "#":
+            j = text.find("\n", i)
+            j = n if j < 0 else j
+            spans.append((i, j))
+            i = j
+        else:
+            i += 1
+    return spans
+
+
 def _strip_directives(text: str, ext_prefixes: dict = None,
                       ext_base: str = None):
     """Extract Turtle prologue directives (@prefix/@base and their
@@ -180,14 +211,31 @@ def _strip_directives(text: str, ext_prefixes: dict = None,
     body).  Prefix IRIs resolve against the base (first @base wins;
     mid-document re-declaration is not supported — the grammar subset
     documented on _read_turtle_small).  External bindings (chunked-path
-    document header) lose to in-document ones."""
+    document header) lose to in-document ones.
+
+    Directive matches INSIDE string literals, IRIs or comments are data
+    and are neither honored nor stripped (a literal containing
+    ``@base <x> .`` survives intact)."""
     from ..algebra.parser import resolve_iri
-    m = _TTL_BASE.search(text)
+    spans = _opaque_spans(text)
+
+    def outside(pos: int) -> bool:
+        return not any(a <= pos < b for a, b in spans)
+
+    m = next((m for m in _TTL_BASE.finditer(text) if outside(m.start())),
+             None)
     base = resolve_iri(ext_base, m.group(1)) if m else ext_base
     prefixes = dict(ext_prefixes or {})
-    for pfx, iri in _TTL_PREFIX.findall(text):
-        prefixes[pfx] = resolve_iri(base, iri)
-    body = _TTL_BASE.sub("", _TTL_PREFIX.sub("", text))
+    cuts: List[Tuple[int, int]] = []
+    for m in _TTL_PREFIX.finditer(text):
+        if outside(m.start()):
+            prefixes[m.group(1)] = resolve_iri(base, m.group(2))
+            cuts.append(m.span())
+    cuts.extend(m.span() for m in _TTL_BASE.finditer(text)
+                if outside(m.start()))
+    body = text
+    for a, b in sorted(cuts, reverse=True):
+        body = body[:a] + body[b:]
     return base, prefixes, body
 
 
@@ -233,14 +281,21 @@ def _quads_df(spark: SparkSession, rows: List[Tuple]) -> DataFrame:
 
 
 def _parse_turtle_triples(body: str, prefixes: dict,
-                          base: Optional[str] = None) -> List[Tuple]:
+                          base: Optional[str] = None,
+                          require_dot: bool = True) -> List[Tuple]:
     """Turtle statement text (sans @prefix directives) → ``(s, p, o)``
     py-term tuples.  Reuses the SPARQL triples grammar: a Turtle
-    statement block is the same surface as a BGP with ground terms."""
+    statement block is the same surface as a BGP with ground terms.
+
+    ``require_dot=False`` for TriG graph-block text: the TriG grammar
+    (``wrappedGraph ::= '{' triplesBlock? '}'``, ``triplesBlock ::=
+    triples ('.' triplesBlock?)?``) makes the final '.' inside braces
+    optional, unlike top-level Turtle statements."""
     from ..algebra import ast as A
     from ..algebra.parser import ParseError, Parser
     from ..plans.compiler import _term_to_py
-    _require_final_dot(body)
+    if require_dot:
+        _require_final_dot(body)
     p = Parser("{" + body + "}")
     p.base = base
     p.prefixes.update(prefixes)
@@ -437,7 +492,8 @@ def _read_trig_small(spark: SparkSession, path: str,
         g = (_DEFAULT_G if label is None
              else _graph_term_tuple(label, prefixes, base))
         rows += [(s, p, o, g)
-                 for s, p, o in _parse_turtle_triples(btext, prefixes)]
+                 for s, p, o in _parse_turtle_triples(btext, prefixes, base,
+                                                      require_dot=False)]
     return _quads_df(spark, rows)
 
 

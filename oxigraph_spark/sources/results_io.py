@@ -59,11 +59,11 @@ def json_binding(t: Column) -> Column:
                                       _jesc(t["datatype"]))),
                       F.lit("")),
                   F.lit('"}')))
-        # distributed-path flattening: the quoted triple as its
-        # N-Triples text.  The bounded document form
-        # (:func:`to_json_document`) emits the full SPARQL 1.2 nested
-        # {"type":"triple","value":{subject,predicate,object}} object —
-        # nesting needs recursion, which column expressions can't do.
+        # TSV-style flattening: the quoted triple as its N-Triples text.
+        # Column expressions can't recurse, so :func:`json_rows` routes
+        # triple-bearing rows through an Arrow-batched Python path that
+        # emits the spec's nested object instead; this branch only
+        # remains for direct callers of json_binding.
         .when(t["kind"] == T.KIND_TRIPLE,
               F.concat(F.lit('{"type":"triple","value":"'),
                        _jesc(t["lex"]), F.lit('"}')))
@@ -173,9 +173,20 @@ def write_tsv(df: DataFrame, path: str) -> None:
 
 
 def json_rows(df: DataFrame) -> DataFrame:
-    """One JSON object string per solution (distributed)."""
+    """One JSON object string per solution (distributed).
+
+    Rows whose bindings are all IRI/bnode/literal format as pure column
+    expressions (JVM-side, whole-stage codegen).  Rows holding a
+    quoted-triple term are split off and formatted in an Arrow-batched
+    ``mapInPandas`` via :func:`term_to_json_obj`, so the distributed
+    writer emits the same SPARQL 1.2 nested
+    ``{"type":"triple","value":{subject,predicate,object}}`` object as
+    the bounded document form (line ORDER across the two branches is
+    not preserved — result sets without ORDER BY are unordered anyway,
+    and part files never preserve it)."""
+    cols = list(df.columns)
     parts: List[Column] = [F.lit("{")]
-    for i, c in enumerate(df.columns):
+    for i, c in enumerate(cols):
         entry = F.when(
             df[c].isNotNull(),
             F.concat(F.lit(f'"{c}":'), json_binding(df[c])))
@@ -184,7 +195,27 @@ def json_rows(df: DataFrame) -> DataFrame:
                    F.when(df[c].isNotNull(), F.concat(F.lit(","), entry)))
             .otherwise(entry), F.lit("")))
     parts.append(F.lit("}"))
-    return df.select(F.concat(*parts).alias("json"))
+    fast = F.concat(*parts).alias("json")
+
+    has_triple = F.lit(False)
+    for c in cols:
+        has_triple = has_triple | F.coalesce(
+            df[c]["kind"] == T.KIND_TRIPLE, F.lit(False))
+    plain = df.filter(~has_triple).select(fast)
+
+    def exact(batches):
+        import pandas as pd
+        for pdf in batches:
+            # Arrow structs arrive as dicts; null structs as None/NaN
+            vals = [json.dumps(
+                {c: term_to_json_obj(rec[c]) for c in cols
+                 if isinstance(rec[c], dict)},
+                ensure_ascii=False, separators=(",", ":"))
+                for rec in pdf.to_dict("records")]
+            yield pd.DataFrame({"json": vals})
+
+    tri = df.filter(has_triple).mapInPandas(exact, "json string")
+    return plain.unionByName(tri)
 
 
 def to_json_document(df: DataFrame, limit: Optional[int] = None) -> str:

@@ -17,10 +17,18 @@ from .plans.compiler import Compiler
 
 
 class Store:
-    def __init__(self, spark: SparkSession, source, *, optimize: bool = True):
+    def __init__(self, spark: SparkSession, source, *, optimize: bool = True,
+                 service_max_total_bindings: "int | None" = None,
+                 service_pool: int = 4):
         self.spark = spark
         self.source = source
         self.optimize = optimize
+        # SERVICE bound-join knobs (VERDICT r6 item 3): cap on the local
+        # seed size shipped as VALUES chunks (None = compiler default,
+        # 10k; above the cap the join falls back to full download), and
+        # the concurrent-chunk HTTP pool width (1 = sequential).
+        self.service_max_total_bindings = service_max_total_bindings
+        self.service_pool = service_pool
         # compiled-plan cache (the prepared-query analog of upstream's
         # ``Query`` objects, ``lib/spareval/src/lib.rs`` ·
         # ``SparqlEvaluator::parse_query`` reuse): SPARQL text → compiled
@@ -90,7 +98,9 @@ class Store:
         ast = parse_query(sparql)
         compiler = Compiler(
             self.spark, self.source, optimize=self.optimize,
-            default_graph_as_union=use_default_graph_as_union)
+            default_graph_as_union=use_default_graph_as_union,
+            service_max_total_bindings=self.service_max_total_bindings,
+            service_pool=self.service_pool)
         df = compiler.compile_query(ast)
         if use_cache:
             if len(self._plan_cache) > 256:
@@ -220,12 +230,18 @@ class Store:
                                                       "refresh"):
             self.source.update(sparql)
             return Store(self.spark, self.source.refresh(),
-                         optimize=self.optimize)
+                         optimize=self.optimize,
+                         service_max_total_bindings=(
+                             self.service_max_total_bindings),
+                         service_pool=self.service_pool)
         from .algebra.parser import parse_update
         from .operators.update import MutableQuadSource
         mut = MutableQuadSource.from_source(self.spark, self.source)
         mut.apply_all(parse_update(sparql))
-        return Store(self.spark, mut, optimize=self.optimize)
+        return Store(self.spark, mut, optimize=self.optimize,
+                     service_max_total_bindings=(
+                         self.service_max_total_bindings),
+                     service_pool=self.service_pool)
 
 
 # -- result extraction (for interop / oracle comparison) --------------------

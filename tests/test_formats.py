@@ -749,3 +749,76 @@ def test_write_jsonld_distributed_roundtrip(spark, tmp_path):
     JL.jsonld_to_ntriples(spark, out, nt)
     back = read_ntriples(spark, nt, quads=True)
     assert _key_of(back) == _key_of(df)
+
+
+# -- round-7 ADVICE regressions ---------------------------------------------
+
+def test_trig_block_relative_iris_resolve_against_base(spark, tmp_path):
+    """ADVICE r6: relative IRIs INSIDE named-graph blocks of an @base
+    document must resolve like default-graph ones (_read_trig_small
+    previously dropped `base` for block text)."""
+    path = str(tmp_path / "base.trig")
+    with open(path, "w") as f:
+        f.write("""@base <http://example.org/dir/> .
+<top> <p> <o1> .
+<g1> { <inner> <p> <o2> . }
+""")
+    df = rdf_io.load_rdf(spark, path)
+    got = {(r["s"]["lex"], r["o"]["lex"]) for r in df.collect()}
+    assert got == {
+        ("http://example.org/dir/top", "http://example.org/dir/o1"),
+        ("http://example.org/dir/inner", "http://example.org/dir/o2")}
+
+
+def test_trig_block_final_dot_optional(spark, tmp_path):
+    """ADVICE r6: TriG `wrappedGraph ::= '{' triplesBlock? '}'` makes
+    the final '.' inside braces OPTIONAL — `:g { :s :p :o }` is valid
+    TriG and must parse (top-level Turtle statements still require it)."""
+    path = str(tmp_path / "nodot.trig")
+    with open(path, "w") as f:
+        f.write("""@prefix ex: <urn:ex:> .
+ex:g1 { ex:a ex:p "one" }
+GRAPH ex:g2 { ex:b ex:p "two" . ex:c ex:p "three" }
+""")
+    df = rdf_io.load_rdf(spark, path)
+    got = {(r["s"]["lex"], r["g"]["lex"]) for r in df.collect()}
+    assert got == {("urn:ex:a", "urn:ex:g1"), ("urn:ex:b", "urn:ex:g2"),
+                   ("urn:ex:c", "urn:ex:g2")}
+
+
+def test_turtle_missing_final_dot_still_rejected(spark, tmp_path):
+    """The Turtle-level final-dot requirement survives the TriG fix."""
+    from oxigraph_spark.algebra.parser import ParseError
+    path = str(tmp_path / "nodot.ttl")
+    with open(path, "w") as f:
+        f.write('@prefix ex: <urn:ex:> .\nex:a ex:p "one"\n')
+    with pytest.raises(ParseError, match="not terminated"):
+        rdf_io.load_rdf(spark, path)
+
+
+def test_directive_text_inside_literal_not_stripped(spark, tmp_path):
+    """ADVICE r6: directive-looking text inside a (multi-line) string
+    literal is DATA — _strip_directives must neither honor nor delete
+    it (regex-over-raw-text previously corrupted the literal)."""
+    path = str(tmp_path / "tricky2.ttl")
+    body = 'use @base <http://evil.example/> .\nand @prefix p: <urn:no:> .'
+    with open(path, "w") as f:
+        f.write('@prefix ex: <urn:ex:> .\n'
+                'ex:a ex:doc """' + body + '""" .\n'
+                'ex:b ex:p ex:c .\n')
+    df = rdf_io.load_rdf(spark, path)
+    got = {(r["s"]["lex"], r["o"]["lex"]) for r in df.collect()}
+    assert ("urn:ex:a", body) in got
+    # the bogus @base inside the literal must NOT have affected ex:c
+    assert ("urn:ex:b", "urn:ex:c") in got
+
+
+def test_directive_in_comment_ignored(spark, tmp_path):
+    path = str(tmp_path / "tricky3.ttl")
+    with open(path, "w") as f:
+        f.write('@prefix ex: <urn:ex:> .\n'
+                '# @prefix zz: <urn:zz:> . not a directive\n'
+                'ex:a ex:p "x # @base <urn:q:> ." .\n')
+    df = rdf_io.load_rdf(spark, path)
+    got = {(r["s"]["lex"], r["o"]["lex"]) for r in df.collect()}
+    assert got == {("urn:ex:a", "x # @base <urn:q:> .")}

@@ -555,3 +555,44 @@ def test_results_rdfstar_triple_terms(spark):
     inner = p2[0]["t"]["value"]["subject"]
     assert inner["type"] == "triple"
     assert inner["value"]["subject"]["value"] == "http://example/bob"
+
+
+def test_json_rows_distributed_rdfstar_nested(spark):
+    """ADVICE r6: the DISTRIBUTED SRJ writer (json_rows) must emit the
+    SPARQL 1.2 nested {"type":"triple","value":{subject,predicate,
+    object}} object for quoted-triple bindings — same shape as the
+    bounded to_json_document path — while plain rows keep the pure
+    column-expression fast path."""
+    from oxigraph_spark.operators.update import MutableQuadSource
+    from oxigraph_spark.sources.rdf_io import load_rdf
+    here = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "w3c_mini")
+    st = Store(spark, MutableQuadSource(
+        spark, load_rdf(spark, os.path.join(here, "data-star.ttl"))))
+    df = st.query("""
+        PREFIX : <http://example/>
+        SELECT ?t ?c WHERE { ?t :certainty ?c }
+    """)
+    lines = [json.loads(r["json"])
+             for r in results_io.json_rows(df).collect()]
+    tri = [l for l in lines if l.get("t", {}).get("type") == "triple"]
+    assert tri, f"no triple bindings in {lines}"
+    for l in tri:
+        v = l["t"]["value"]
+        assert isinstance(v, dict), "flat-string triple value in SRJ"
+        assert set(v) == {"subject", "predicate", "object"}
+    # plain (non-triple) rows still format
+    df2 = st.query("""
+        PREFIX : <http://example/>
+        SELECT ?s WHERE { ?s :src :doc1 }
+    """)
+    lines2 = [json.loads(r["json"])
+              for r in results_io.json_rows(df2).collect()]
+    assert lines2
+    # nested quoted triple nests recursively
+    deep = [l for l in lines2
+            if l.get("s", {}).get("type") == "triple"]
+    for l in deep:
+        inner = l["s"]["value"]["subject"]
+        if inner["type"] == "triple":
+            assert isinstance(inner["value"], dict)

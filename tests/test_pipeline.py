@@ -71,7 +71,8 @@ def test_simhash_hot_bucket_cap(spark):
 
 def test_ngram_jaccard_exact(doubled):
     from oxigraph_spark.pipeline.dedup import ngram_jaccard_pairs
-    pairs = ngram_jaccard_pairs(doubled, "text", "id", n=3, threshold=0.9)
+    pairs = ngram_jaccard_pairs(doubled, "text", "id", n=3, threshold=0.9,
+                                max_doc_freq=None)
     got = {(r.id_a, r.id_b): r.sim for r in pairs.collect()}
     for i, _ in DOCS:
         assert got.get((i, i + 100)) == 1.0
@@ -89,7 +90,8 @@ def test_ngram_jaccard_hot_shingle_cap(spark):
         + [(100, "xylophone quartz vibrant melody drifts softly tonight"),
            (200, "xylophone quartz vibrant melody drifts softly tonight")],
         "id long, text string")
-    uncapped = ngram_jaccard_pairs(df, "text", "id", n=3, threshold=0.9)
+    uncapped = ngram_jaccard_pairs(df, "text", "id", n=3, threshold=0.9,
+                                   max_doc_freq=None)
     capped = ngram_jaccard_pairs(df, "text", "id", n=3, threshold=0.9,
                                  max_doc_freq=10)
     assert uncapped.count() == 435 + 1
@@ -379,3 +381,12 @@ def test_semantic_dedup_planted_pairs(spark, sf_dir):
     capped = semantic_dedup(both, "embedding", "vec_id", n_clusters=2,
                             threshold=0.999999, iters=1, max_cluster=3)
     assert capped.where(~F.col("keep")).count() == 0
+
+
+def test_ngram_jaccard_guard_default_on():
+    """VERDICT r6 item 5: the doc-frequency skew guard is the DEFAULT
+    (unguarded all-pairs is opt-in via max_doc_freq=None)."""
+    import inspect
+    from oxigraph_spark.pipeline.dedup import ngram_jaccard_pairs
+    d = inspect.signature(ngram_jaccard_pairs).parameters["max_doc_freq"]
+    assert d.default == 1000

@@ -131,3 +131,41 @@ def test_plain_filter_above_join_pushes_even_with_exclusions(spark):
     plan = j._jdf.queryExecution().optimizedPlan().toString()
     below = plan[plan.find("Join"):]
     assert "Filter" in below and "r_name" in below
+
+
+def test_reliable_checkpoint_mode_differential(spark, tmp_path):
+    """VERDICT r6 item 2b: with set_reliable_checkpoints(dir), every
+    fixpoint pin() becomes a reliable df.checkpoint() into the dir
+    (executor-loss durable on a real cluster); results must be
+    IDENTICAL to the default localCheckpoint mode and the directory
+    must actually receive checkpoint files."""
+    import os
+    from oxigraph_spark.operators.graphalgo import shortest_paths
+    from oxigraph_spark.operators.graphrank import pagerank
+    from oxigraph_spark.session import set_reliable_checkpoints
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 4), (1, 4)],
+        ["src", "dst"])
+
+    def run():
+        sp = sorted((r.node, r.landmark, r.dist)
+                    for r in shortest_paths(edges, [4]).collect())
+        pr = {r.node: round(r.rank, 9)
+              for r in pagerank(edges, max_iter=5).collect()}
+        return sp, pr
+
+    base = run()
+    ckdir = str(tmp_path / "reliable_ckpt")
+    set_reliable_checkpoints(spark, ckdir)
+    try:
+        got = run()
+    finally:
+        set_reliable_checkpoints(spark, None)
+    assert got == base
+    # reliable checkpoints actually landed in the directory
+    found = [os.path.join(dp, f) for dp, _, fs in os.walk(ckdir)
+             for f in fs]
+    assert found, "no checkpoint files written in reliable mode"
+    # and the default mode is restored
+    assert run() == base
