@@ -111,11 +111,18 @@ def _unescape(s: str) -> str:
         c = s[i]
         if c == "\\" and i + 1 < len(s):
             n = s[i + 1]
-            if n == "u":
-                out.append(chr(int(s[i + 2:i + 6], 16))); i += 6; continue
-            if n == "U":
-                out.append(chr(int(s[i + 2:i + 10], 16))); i += 10; continue
-            out.append(_ESCAPES.get(n, n)); i += 2; continue
+            try:
+                if n == "u":
+                    out.append(chr(int(s[i + 2:i + 6], 16))); i += 6; continue
+                if n == "U":
+                    out.append(chr(int(s[i + 2:i + 10], 16))); i += 10; continue
+            except ValueError:
+                raise ParseError(f"invalid \\{n} escape in string literal")
+            if n not in _ESCAPES:
+                # ECHAR ::= '\' [tbnrf"'\\] — anything else is a syntax
+                # error in both SPARQL and Turtle, not a literal backslash
+                raise ParseError(f"illegal string escape \\{n}")
+            out.append(_ESCAPES[n]); i += 2; continue
         out.append(c); i += 1
     return "".join(out)
 
@@ -424,7 +431,12 @@ class Parser:
         offset, limit = 0, None
         while self.at_kw("LIMIT", "OFFSET"):
             kw = self.eat_kw("LIMIT", "OFFSET")
-            n = int(self.next().value)
+            tok = self.next()
+            try:
+                n = int(tok.value)
+            except ValueError:
+                raise ParseError(
+                    f"{kw} requires a non-negative INTEGER, got {tok.value!r}")
             if kw == "LIMIT":
                 limit = n
             else:
@@ -455,7 +467,12 @@ class Parser:
         offset, limit = 0, None
         while self.at_kw("LIMIT", "OFFSET"):
             kw = self.eat_kw("LIMIT", "OFFSET")
-            n = int(self.next().value)
+            tok = self.next()
+            try:
+                n = int(tok.value)
+            except ValueError:
+                raise ParseError(
+                    f"{kw} requires a non-negative INTEGER, got {tok.value!r}")
             if kw == "LIMIT":
                 limit = n
             else:
@@ -1286,7 +1303,14 @@ class Parser:
         while not self.at_op("}"):
             if self.at_kw("GRAPH"):
                 self.next()
-                g = A.NamedNode(self._iri())
+                # QuadsNotTriples ::= 'GRAPH' VarOrIri '{' TriplesTemplate? '}'
+                # — a VARIABLE label is grammar-legal; _check_quads rejects
+                # it where groundness is required (INSERT/DELETE DATA)
+                if self.peek().kind == "VAR":
+                    g: Union[A.NamedNode, A.Var] = A.Var(
+                        self.next().value[1:])
+                else:
+                    g = A.NamedNode(self._iri())
                 self.eat_op("{")
                 if not self.at_op("}"):
                     add_triples(g)

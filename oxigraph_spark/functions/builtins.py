@@ -158,9 +158,22 @@ def fn_strlen(t: Column) -> Column:
 
 
 def fn_substr(t: Column, start: Column, length: Column = None) -> Column:
+    """XPath fn:substring window semantics (§17.4.3.3): the result is
+    the chars at 1-indexed positions p with start <= p < start+length —
+    so a zero/negative start SHRINKS the window instead of counting
+    from the end (SUBSTR("hello", 0, 3) = "he"; SUBSTR("hello", -1) =
+    "hello"), unlike Spark's substr which treats negatives as
+    from-the-end offsets."""
     pos = start["num"].cast("int")
-    ln = length["num"].cast("int") if length is not None else F.lit(2 ** 31 - 1)
-    out = _same_kind_string(t, t["lex"].substr(pos, ln))
+    if length is not None:
+        end = pos + length["num"].cast("int")   # exclusive
+        clamped = F.greatest(pos, F.lit(1))
+        ln = F.greatest(end - clamped, F.lit(0))
+        out_lex = t["lex"].substr(clamped, ln)
+    else:
+        out_lex = t["lex"].substr(F.greatest(pos, F.lit(1)),
+                                  F.lit(2 ** 31 - 1))
+    out = _same_kind_string(t, out_lex)
     return F.when(_is_stringish(t), out).otherwise(err())
 
 

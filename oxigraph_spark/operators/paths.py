@@ -42,14 +42,28 @@ _POS_KEY = {"s": "s_key", "o": "o_key"}
 
 
 def _with_keys(df: DataFrame, src_pos: str = "s", dst_pos: str = "o",
-               jk=_key) -> DataFrame:
+               jk=_key, with_graph: bool = False) -> DataFrame:
     """Scan → (src, dst, sk, dk), preferring store-persisted key columns
-    over re-hashing the terms (dictionary wiring, SURVEY.md §1.4)."""
+    over re-hashing the terms (dictionary wiring, SURVEY.md §1.4).
+    ``with_graph`` (GRAPH ?var contexts) also carries ``(g, gk)`` so the
+    closure stays PER-GRAPH — §18 Graph(?g, P) is a union of per-graph
+    evaluations, never a cross-graph stitch."""
     def k(pos: str) -> Column:
         name = _POS_KEY[pos]
         return df[name] if name in df.columns else jk(df[pos])
-    return df.select(df[src_pos].alias("src"), df[dst_pos].alias("dst"),
-                     k(src_pos).alias("sk"), k(dst_pos).alias("dk"))
+    cols = [df[src_pos].alias("src"), df[dst_pos].alias("dst"),
+            k(src_pos).alias("sk"), k(dst_pos).alias("dk")]
+    if with_graph:
+        cols += [df["g"].alias("g"), jk(df["g"]).alias("gk")]
+    return df.select(*cols)
+
+
+def _named_graphs(compiler, gvar) -> DataFrame:
+    """Distinct named graphs the GRAPH variable ranges over → (g, gk)
+    (respects FROM NAMED via _graph_filter)."""
+    df = compiler._graph_filter(compiler.source.scan(), gvar)
+    g = df.select(df["g"].alias("g"), compiler._jk(df["g"]).alias("gk"))
+    return g.dropDuplicates(["gk"])
 
 
 def compile_path(compiler, pp: A.PathPattern, graph_ctx,
@@ -65,9 +79,16 @@ def compile_path(compiler, pp: A.PathPattern, graph_ctx,
     # ground endpoint terms: zero-length sub-paths at any depth must
     # relate these to themselves even outside the graph domain (§9.3)
     grounds = tuple(t for t in (s, o) if not isinstance(t, A.Var))
+    wg = isinstance(graph_ctx, A.Var)
 
-    # seeded fast path for closures with a concrete endpoint
-    if isinstance(path, (A.POneOrMore, A.PZeroOrMore)):
+    # seeded fast path for closures with a concrete endpoint.  Under a
+    # VARIABLE graph context the general per-graph relation runs instead
+    # (seed bookkeeping would need a per-graph frontier; Graph(?g, P)
+    # with a closure is rare enough that correctness wins over the seed
+    # optimization here — the per-graph closure is still one fixpoint)
+    if wg:
+        rel = _relation(compiler, path, graph_ctx, grounds)
+    elif isinstance(path, (A.POneOrMore, A.PZeroOrMore)):
         include_zero = isinstance(path, A.PZeroOrMore)
         if not isinstance(s, A.Var):
             rel = _seeded_closure(compiler, path.inner, graph_ctx,
@@ -114,7 +135,7 @@ def compile_path(compiler, pp: A.PathPattern, graph_ctx,
     else:
         rel = _relation(compiler, path, graph_ctx, grounds)
 
-    kcol = {"src": "sk", "dst": "dk"}
+    kcol = {"src": "sk", "dst": "dk", "g": "gk"}
     conds = []
     sel = {}
     for col, term in (("src", s), ("dst", o)):
@@ -125,6 +146,12 @@ def compile_path(compiler, pp: A.PathPattern, graph_ctx,
                 sel[term.name] = col
         else:
             conds.append(rel[kcol[col]] == compiler._jk(_const_term_col(term)))
+    if wg:
+        # bind the GRAPH variable from the relation's per-graph column
+        if graph_ctx.name in sel:  # GRAPH ?g { ?g path ?x }
+            conds.append(rel["gk"] == rel[kcol[sel[graph_ctx.name]]])
+        else:
+            sel[graph_ctx.name] = "g"
     df = rel
     if conds:
         df = df.where(reduce(lambda a, b: a & b, conds))
@@ -175,25 +202,39 @@ def _relation(compiler, path, graph_ctx, extra_terms=()) -> DataFrame:
     non-domain terms that can flow through a path relation (edges
     produce domain terms; zero-length of domain + grounds stays in
     domain + grounds), so extending the identity component by them is
-    complete."""
+    complete.
+
+    Under a VARIABLE graph context every relation additionally carries
+    ``(g, gk)`` and all joins/dedups key on the graph too: Graph(?g, P)
+    is the UNION of per-graph evaluations (§18.1.7) — a sequence or
+    closure must never stitch an edge from one named graph onto an edge
+    from another."""
+    wg = isinstance(graph_ctx, A.Var)
+    dedup = ["gk", "sk", "dk"] if wg else ["sk", "dk"]
     if isinstance(path, A.PLink):
         df = compiler.source.scan(path.iri)
         df = compiler._graph_filter(df, graph_ctx)
         df = df.where((df["p"]["kind"] == T.KIND_IRI)
                       & (df["p"]["lex"] == path.iri))
-        return _with_keys(df, jk=compiler._jk)
+        return _with_keys(df, jk=compiler._jk, with_graph=wg)
     if isinstance(path, A.PInv):
         r = _relation(compiler, path.inner, graph_ctx, extra_terms)
-        return r.select(r["dst"].alias("src"), r["src"].alias("dst"),
-                        r["dk"].alias("sk"), r["sk"].alias("dk"))
+        cols = [r["dst"].alias("src"), r["src"].alias("dst"),
+                r["dk"].alias("sk"), r["sk"].alias("dk")]
+        if wg:
+            cols += [r["g"], r["gk"]]
+        return r.select(*cols)
     if isinstance(path, A.PSeq):
         l = _relation(compiler, path.left, graph_ctx, extra_terms).alias("l")
         r = _relation(compiler, path.right, graph_ctx, extra_terms).alias("r")
-        return l.join(r, F.col("l.dk") == F.col("r.sk")) \
-                .select(F.col("l.src").alias("src"),
-                        F.col("r.dst").alias("dst"),
-                        F.col("l.sk").alias("sk"),
-                        F.col("r.dk").alias("dk"))
+        cond = F.col("l.dk") == F.col("r.sk")
+        if wg:
+            cond = cond & (F.col("l.gk") == F.col("r.gk"))
+        cols = [F.col("l.src").alias("src"), F.col("r.dst").alias("dst"),
+                F.col("l.sk").alias("sk"), F.col("r.dk").alias("dk")]
+        if wg:
+            cols += [F.col("l.g").alias("g"), F.col("l.gk").alias("gk")]
+        return l.join(r, cond).select(*cols)
     if isinstance(path, A.PAlt):
         return _relation(compiler, path.left, graph_ctx, extra_terms) \
             .unionByName(_relation(compiler, path.right, graph_ctx,
@@ -201,7 +242,7 @@ def _relation(compiler, path, graph_ctx, extra_terms=()) -> DataFrame:
     if isinstance(path, A.PZeroOrOne):
         return _relation(compiler, path.inner, graph_ctx, extra_terms) \
             .unionByName(_zero_len_for(compiler, graph_ctx, extra_terms)) \
-            .dropDuplicates(["sk", "dk"])
+            .dropDuplicates(dedup)
     if isinstance(path, A.POneOrMore):
         return _closure(compiler,
                         _relation(compiler, path.inner, graph_ctx,
@@ -212,7 +253,7 @@ def _relation(compiler, path, graph_ctx, extra_terms=()) -> DataFrame:
                                     extra_terms), None)
         return closed.unionByName(_zero_len_for(compiler, graph_ctx,
                                                 extra_terms)) \
-                     .dropDuplicates(["sk", "dk"])
+                     .dropDuplicates(dedup)
     if isinstance(path, A.PNeg):
         df = compiler._graph_filter(compiler.source.scan(), graph_ctx)
         parts = []
@@ -220,12 +261,12 @@ def _relation(compiler, path, graph_ctx, extra_terms=()) -> DataFrame:
             fwd = df.where(df["p"]["kind"] == T.KIND_IRI)
             if path.forward:
                 fwd = fwd.where(~df["p"]["lex"].isin(*path.forward))
-            parts.append(_with_keys(fwd, jk=compiler._jk))
+            parts.append(_with_keys(fwd, jk=compiler._jk, with_graph=wg))
         if path.inverse:
             inv = df.where(df["p"]["kind"] == T.KIND_IRI)
             inv = inv.where(~df["p"]["lex"].isin(*path.inverse))
             parts.append(_with_keys(inv, src_pos="o", dst_pos="s",
-                                    jk=compiler._jk))
+                                    jk=compiler._jk, with_graph=wg))
         return reduce(lambda a, b: a.unionByName(b), parts)
     raise NotImplementedError(f"path {type(path).__name__}")
 
@@ -236,15 +277,37 @@ def _zero_len_for(compiler, graph_ctx, extra_terms=()) -> DataFrame:
     PP7), PLUS the enclosing pattern's ground endpoint terms
     (``extra_terms`` — zero-length relates them to themselves whether
     or not they occur in the graph).  Top-level concrete-endpoint
-    closures use :func:`_self_rows` alone instead."""
+    closures use :func:`_self_rows` alone instead.
+
+    Under a VARIABLE graph context the rows are per named graph —
+    domain nodes of EACH graph, and ground endpoints' self-pairs in
+    EVERY named graph (a ground zero-length match holds in a graph the
+    term never occurs in)."""
     df = compiler._graph_filter(compiler.source.scan(), graph_ctx)
+    wg = isinstance(graph_ctx, A.Var)
 
     def part(pos: str) -> DataFrame:
         name = _POS_KEY[pos]
         k = df[name] if name in df.columns else compiler._jk(df[pos])
-        return df.select(df[pos].alias("node"), k.alias("k"))
+        cols = [df[pos].alias("node"), k.alias("k")]
+        if wg:
+            cols += [df["g"].alias("g"), compiler._jk(df["g"]).alias("gk")]
+        return df.select(*cols)
 
     both = part("s").unionByName(part("o"))
+    if wg:
+        graphs = _named_graphs(compiler, graph_ctx)
+        for t in extra_terms:
+            gdf = _const_df(compiler, t)
+            both = both.unionByName(
+                F.broadcast(gdf).crossJoin(graphs).select(
+                    gdf["src"].alias("node"), gdf["sk"].alias("k"),
+                    graphs["g"], graphs["gk"]))
+        nodes = both.dropDuplicates(["gk", "k"])
+        return nodes.select(nodes["node"].alias("src"),
+                            nodes["node"].alias("dst"),
+                            nodes["k"].alias("sk"), nodes["k"].alias("dk"),
+                            nodes["g"], nodes["gk"])
     for t in extra_terms:
         gdf = _const_df(compiler, t)
         both = both.unionByName(gdf.select(gdf["src"].alias("node"),
@@ -265,16 +328,21 @@ MAX_ITERATIONS = 64
 
 
 def _one_hop(frontier: DataFrame, edges: DataFrame,
-             broadcast_frontier: bool = False) -> DataFrame:
+             broadcast_frontier: bool = False,
+             with_graph: bool = False) -> DataFrame:
     """One hop over ENCODED relations (sk, dk) — plain 16-byte column
     equality, no per-round key recomputation.  NOT deduplicated: callers
     chain hops and distinct the round's union once (one shuffle per
-    round instead of three)."""
+    round instead of three).  ``with_graph``: relations carry ``gk`` and
+    hops stay within one named graph."""
     f = F.broadcast(frontier) if broadcast_frontier else frontier
     f, e = f.alias("f"), edges.alias("e")
-    return f.join(e, F.col("f.dk") == F.col("e.sk")) \
-            .select(F.col("f.sk").alias("sk"),
-                    F.col("e.dk").alias("dk"))
+    cond = F.col("f.dk") == F.col("e.sk")
+    cols = [F.col("f.sk").alias("sk"), F.col("e.dk").alias("dk")]
+    if with_graph:
+        cond = cond & (F.col("f.gk") == F.col("e.gk"))
+        cols.append(F.col("f.gk").alias("gk"))
+    return f.join(e, cond).select(*cols)
 
 
 def _closure(compiler, edges: DataFrame, start: Optional[DataFrame]) -> DataFrame:
@@ -312,23 +380,27 @@ def _closure(compiler, edges: DataFrame, start: Optional[DataFrame]) -> DataFram
     references collapse to one shuffle via exchange reuse — deferring
     it merges its work into the decode job instead of paying a
     separate synchronous materialization before round 1."""
+    wg = "gk" in edges.columns  # GRAPH ?var context: per-graph closure
+    kcols = ["gk", "sk", "dk"] if wg else ["sk", "dk"]
     if start is not None:
         # seeded: the loop only ever touches (sk, dk) — checkpoint the
         # NARROW relation so the loop's materialization never builds
         # 9-field TERM structs in memory; the decode's pruned
         # dictionary re-derives terms from the raw (lazy) edge scans
         # once, inside the (checkpointed) decode
-        ek = edges.select("sk", "dk").transform(pin)
+        ek = edges.select(*kcols).transform(pin)
     else:
         # unseeded: the full-domain decode dictionary needs the term
         # payloads anyway — one wide checkpoint serves both the loop
         # and the dictionary
         edges = edges.transform(pin)
-        ek = edges.select("sk", "dk")
+        ek = edges.select(*kcols)
     endpoints = edges.select(F.col("sk").alias("k"),
                              F.col("src").alias("term")) \
                      .unionByName(edges.select(F.col("dk").alias("k"),
                                                F.col("dst").alias("term")))
+    gdic = (edges.select("gk", "g").dropDuplicates(["gk"])
+            if wg else None)
     if start is not None:
         sk = start["sk"] if "sk" in start.columns else compiler._jk(start["src"])
         sk0 = start.select(sk.alias("k")).distinct()
@@ -345,25 +417,27 @@ def _closure(compiler, edges: DataFrame, start: Optional[DataFrame]) -> DataFram
     # closures keep the shuffle join (the frontier IS the full relation).
     bc = start is not None
     for _ in range(MAX_ITERATIONS):
-        hop1 = _one_hop(frontier, ek, broadcast_frontier=bc)
+        hop1 = _one_hop(frontier, ek, broadcast_frontier=bc, with_graph=wg)
         if not bc:
             # unseeded frontiers are whole relations: dedup between the
             # chained hops bounds the intermediate at O(V^2) rows (multi-
             # predecessor fan-in would otherwise square the join input)
             hop1 = hop1.distinct()
         stepped = hop1.unionByName(
-            _one_hop(hop1, ek, broadcast_frontier=bc)).distinct()
-        seen = paths.select(F.col("sk").alias("psk"),
-                            F.col("dk").alias("pdk"))
+            _one_hop(hop1, ek, broadcast_frontier=bc,
+                     with_graph=wg)).distinct()
+        seen = paths.select(*[F.col(c).alias("p" + c) for c in kcols])
         # lazy checkpoint + count = ONE job per round (the count action
         # materializes the checkpoint); an eager checkpoint followed by
         # isEmpty would cost two driver round-trips per round
         new = stepped.join(
             seen,
-            (stepped["sk"] == seen["psk"]) & (stepped["dk"] == seen["pdk"]),
+            reduce(lambda a, b: a & b,
+                   [stepped[c] == seen["p" + c] for c in kcols]),
             "leftanti").transform(pin)
         if new.count() == 0:
-            return _decode(paths, endpoints, seeded=start is not None)
+            return _decode(paths, endpoints, seeded=start is not None,
+                           gdic=gdic)
         paths = paths.unionByName(new)
         frontier = new
     raise RuntimeError(
@@ -373,7 +447,7 @@ def _closure(compiler, edges: DataFrame, start: Optional[DataFrame]) -> DataFram
 
 
 def _decode(paths: DataFrame, endpoints: DataFrame,
-            seeded: bool) -> DataFrame:
+            seeded: bool, gdic: Optional[DataFrame] = None) -> DataFrame:
     """Build the decode dictionary and materialize the closure's terms.
 
     Seeded closures decode through a PRUNED dictionary: the closure's
@@ -394,19 +468,29 @@ def _decode(paths: DataFrame, endpoints: DataFrame,
         # reachable closure): repeated consumption (cached plans
         # re-counting, multi-operand BGPs) must not re-run the edge
         # scans + pruned dedup per action
-        return _decode_pairs(paths, dic).transform(pin)
+        return _decode_pairs(paths, dic, gdic).transform(pin)
     dic = endpoints.dropDuplicates(["k"]).transform(pin)
-    return _decode_pairs(paths, dic)
+    return _decode_pairs(paths, dic, gdic)
 
 
-def _decode_pairs(pairs: DataFrame, dic: DataFrame) -> DataFrame:
+def _decode_pairs(pairs: DataFrame, dic: DataFrame,
+                  gdic: Optional[DataFrame] = None) -> DataFrame:
     """(sk, dk) key pairs → (src, dst, sk, dk) via two dictionary joins —
-    the LATE materialization step, run once after the fixpoint."""
+    the LATE materialization step, run once after the fixpoint.  With a
+    graph dictionary (``gdic``: gk → g, GRAPH ?var contexts) the graph
+    term rides back too."""
     ds = dic.select(F.col("k").alias("__sk"), F.col("term").alias("src"))
     dd = dic.select(F.col("k").alias("__dk"), F.col("term").alias("dst"))
-    return pairs.join(ds, pairs["sk"] == ds["__sk"]) \
-                .join(dd, pairs["dk"] == dd["__dk"]) \
-                .select("src", "dst", "sk", "dk")
+    out = pairs.join(ds, pairs["sk"] == ds["__sk"]) \
+               .join(dd, pairs["dk"] == dd["__dk"])
+    if gdic is not None:
+        # plain equi-join: AQE broadcasts when the graph dictionary is
+        # small; with millions of named graphs it stays a shuffle join
+        gd = gdic.select(F.col("gk").alias("__gk"), F.col("g").alias("g"))
+        return out.join(gd, pairs["gk"] == gd["__gk"]) \
+                  .select("src", "dst", "sk", "dk", "g",
+                          pairs["gk"].alias("gk"))
+    return out.select("src", "dst", "sk", "dk")
 
 
 def _seeded_closure(compiler, inner_path, graph_ctx, seeds: DataFrame,

@@ -229,7 +229,15 @@ class MutableQuadSource:
             row = row.where(F.col("s").isNotNull() & F.col("p").isNotNull()
                             & F.col("o").isNotNull()
                             & (F.col("s")["kind"] != T.KIND_LITERAL)
-                            & (F.col("p")["kind"] == T.KIND_IRI))
+                            & (F.col("p")["kind"] == T.KIND_IRI)
+                            # GRAPH ?g templates: unbound/invalid graph
+                            # labels drop the quad (names are IRIs or
+                            # bnodes; None lowered to the default-graph
+                            # sentinel above)
+                            & F.col("g").isNotNull()
+                            & F.col("g")["kind"].isin(
+                                T.KIND_IRI, T.KIND_BNODE,
+                                T.KIND_DEFAULT_GRAPH))
             frames.append(row)
         if not frames:
             return self.spark.createDataFrame([], self.df.schema)
@@ -300,6 +308,15 @@ class MutableQuadSource:
                  else T.iri(F.lit(op.dst)))
         moved = self.df.where(pred(op.src)).select(
             "s", "p", "o", dst_g.alias("g"))
+        # §3.2.3-5: a NON-EXISTENT named source graph is a no-op, not
+        # "clear the destination then insert nothing" (quads-only model:
+        # a named graph exists iff it has quads; DEFAULT always exists).
+        # Without this check, COPY/MOVE from a missing graph destroyed
+        # the destination's data.
+        if op.src is not None and not moved.take(1):
+            return
+        if op.src == op.dst:           # COPY/MOVE/ADD g TO g: no-op
+            return
         df = self.df
         if op.kind in ("COPY", "MOVE"):
             df = df.where(~pred(op.dst))

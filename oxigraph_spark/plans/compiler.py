@@ -2294,6 +2294,19 @@ def _term_to_py(t: Optional[A.GroundTerm]):
                 dbl = float(lex)
             elif datatype == T.XSD_BOOLEAN:
                 b = lex in ("true", "1")
+            elif datatype in T.DURATION_DATATYPES:
+                # value payload (months, seconds) — same decomposition as
+                # the JVM kernels (terms._dur_months/_dur_seconds); a
+                # duration term missing it would compare by TERM identity
+                # instead of value (caught by the dur-* manifest entries)
+                m = re.match(T._DUR_RE, lex)
+                if m and re.search(r"\d", lex):
+                    g = [float(x) if x else 0.0 for x in m.groups()]
+                    sign = -1.0 if lex.startswith("-") else 1.0
+                    num = Decimal(sign * (g[0] * 12 + g[1])).quantize(
+                        Decimal(1))
+                    dbl = sign * (g[2] * 86400 + g[3] * 3600 + g[4] * 60
+                                  + g[5])
             elif datatype in (T.XSD_DATETIME, T.XSD_DATE, T.XSD_TIME,
                               T.XSD_GYEAR, T.XSD_GYEARMONTH):
                 iso = lex.replace("Z", "+00:00")

@@ -345,14 +345,21 @@ class TransactionalQuadStore(ParquetQuadStore):
         re-applies the update against it (the SPARQL Update semantics
         are per-snapshot, so re-execution against the new base is the
         correct serialization, not a blind re-commit of stale output).
-        Raises after ``max_retries`` losses — under that much write
-        contention the caller should batch its updates instead."""
+        Losses back off exponentially with jitter before retrying —
+        without it two same-cadence writers re-collide every round and
+        one starves (observed in the round-7 churn soak).  Raises after
+        ``max_retries`` losses — under that much write contention the
+        caller should batch its updates instead."""
+        import random
+        import time as _time
         for attempt in range(max_retries + 1):
             try:
                 return self.update(sparql)
             except ConcurrentWriteError:
                 if attempt == max_retries:
                     raise
+                _time.sleep(min(2.0, 0.05 * (2 ** attempt))
+                            * (0.5 + random.random()))
                 latest = self._latest()
                 self.version = latest
                 self.generation = latest

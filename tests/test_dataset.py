@@ -155,3 +155,41 @@ def test_store_parity_apis(spark):
     # named graphs
     gs = sorted(r.g.lex for r in st.named_graphs().collect())
     assert gs == ["urn:ex:g1"]
+
+
+def test_paths_respect_graph_contexts(spark, tmp_path_factory):
+    """Round-7 regression: property-path closures must stay PER-GRAPH
+    under `GRAPH ?g` (no cross-graph edge stitching, ?g bound), follow
+    a ground GRAPH, and under use_default_graph_as_union close over
+    the RDF merge (which IS the union default graph)."""
+    p = tmp_path_factory.mktemp("pg") / "data.nq"
+    p.write_text(
+        '<urn:a> <urn:r> <urn:b> <urn:g1> .\n'
+        '<urn:b> <urn:r> <urn:c> <urn:g1> .\n'
+        '<urn:a> <urn:r> <urn:d> <urn:g2> .\n'
+        '<urn:c> <urn:r> <urn:e> <urn:g2> .\n')
+    quads = read_ntriples(spark, str(p), quads=True)
+    st = Store(spark, MutableQuadSource(spark, quads))
+
+    got = sorted((r.g.lex, r.x.lex) for r in st.query(
+        "SELECT ?g ?x WHERE { GRAPH ?g { <urn:a> <urn:r>+ ?x } }"
+    ).collect())
+    # per-graph closure: urn:e is NOT reachable inside g2 alone
+    assert got == [("urn:g1", "urn:b"), ("urn:g1", "urn:c"),
+                   ("urn:g2", "urn:d")]
+
+    got2 = sorted(r.x.lex for r in st.query(
+        "SELECT ?x WHERE { GRAPH <urn:g2> { <urn:a> <urn:r>+ ?x } }"
+    ).collect())
+    assert got2 == ["urn:d"]
+
+    # union default graph: the merge makes e reachable (a->d? no:
+    # a->b->c->e via g1+g2 edges merged)
+    got3 = sorted(r.x.lex for r in st.query(
+        "SELECT ?x WHERE { <urn:a> <urn:r>+ ?x }",
+        use_default_graph_as_union=True).collect())
+    assert got3 == ["urn:b", "urn:c", "urn:d", "urn:e"]
+
+    # default graph without the flag: no edges at all
+    assert st.query(
+        "SELECT ?x WHERE { <urn:a> <urn:r>+ ?x }").count() == 0

@@ -596,3 +596,71 @@ def test_json_rows_distributed_rdfstar_nested(spark):
         inner = l["s"]["value"]["subject"]
         if inner["type"] == "triple":
             assert isinstance(inner["value"], dict)
+
+
+def test_results_roundtrip_fuzz(spark):
+    """VERDICT r6 item 1: seeded random solution sets — IRIs, bnodes,
+    plain/lang/typed literals with hostile lexical forms (quotes,
+    newlines, tabs, unicode), unbound cells, nested quoted triples —
+    serialized to JSON, XML and TSV document forms PLUS the distributed
+    SRJ writer, parsed back, and compared as normalized multisets.  Any
+    format pair disagreeing (escaping, nesting, term typing) fails."""
+    import random
+
+    from oxigraph_spark.plans.compiler import _term_to_py
+    from oxigraph_spark.algebra import ast as A
+    from pyspark.sql.types import StructField, StructType
+    import test_manifest as tm
+
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    LEXES = ["plain", 'quo"te', "new\nline", "tab\there", "back\\slash",
+             "uni·codé ≤ ∀", "", "  spaced  ", "a'b", "<not-an-iri>"]
+
+    def rand_term(rng, depth=0):
+        k = rng.randrange(0, 9 if depth == 0 else 8)
+        if k in (0, 1):
+            return A.NamedNode(f"http://ex.org/r{rng.randrange(20)}")
+        if k == 2:
+            return A.BlankNode(f"b{rng.randrange(8)}")
+        if k == 3:
+            return A.Literal(str(rng.randrange(-999, 999)),
+                             datatype=XSD + "integer")
+        if k == 4:
+            return A.Literal(rng.choice(LEXES),
+                             lang=rng.choice(["en", "en-US", "de"]))
+        if k == 5:
+            return A.Literal(rng.choice(LEXES), datatype="urn:my:dt")
+        if k in (6, 7):
+            return A.Literal(rng.choice(LEXES))
+        return A.QuotedTriple(
+            rand_term(rng, depth + 1),
+            A.NamedNode(f"http://ex.org/p{rng.randrange(5)}"),
+            rand_term(rng, depth + 1))
+
+    variables = ["a", "b", "c"]
+    schema = StructType([StructField(v, T.TERM_SCHEMA) for v in variables])
+    for seed in range(5):
+        rng = random.Random(seed)
+        rows = [tuple(None if rng.random() < 0.15
+                      else _term_to_py(rand_term(rng))
+                      for _ in variables) for _ in range(25)]
+        df = spark.createDataFrame(rows, schema)
+
+        ms = {}
+        ms["json"] = tm._solution_multiset(
+            results_io.parse_json_results(results_io.to_json_document(df)),
+            variables)
+        ms["xml"] = tm._solution_multiset(
+            results_io.parse_xml_results(results_io.to_xml_document(df)),
+            variables)
+        ms["tsv"] = tm._solution_multiset(
+            results_io.parse_tsv_results(results_io.to_tsv_document(df)),
+            variables)
+        dist = [json.loads(r["json"])
+                for r in results_io.json_rows(df).collect()]
+        ms["srj_distributed"] = tm._solution_multiset(dist, variables)
+        base = ms.pop("json")
+        for fmt, got in ms.items():
+            assert got == base, (
+                f"seed {seed}: {fmt} multiset diverges from json\n"
+                f"json: {base[:3]}...\n{fmt}: {got[:3]}...")
