@@ -836,6 +836,10 @@ class Parser:
         if self.at_op("-", "+"):
             sign = self.next().value
             n = self.next()
+            if n.kind not in ("INTEGER", "DECIMAL", "DOUBLE"):
+                raise ParseError(
+                    f"expected numeric literal after {sign!r}, got {n} "
+                    f"at {n.pos}")
             dt = {"INTEGER": XSD + "integer", "DECIMAL": XSD + "decimal",
                   "DOUBLE": XSD + "double"}[n.kind]
             lex = n.value if sign == "+" else "-" + n.value

@@ -370,7 +370,7 @@ def _is_dur(t: Column) -> Column:
 
 def _is_dt_val(t: Column) -> Column:
     return ((t["kind"] == T.KIND_LITERAL)
-            & t["datatype"].isin(T.XSD_DATETIME, T.XSD_DATE)
+            & t["datatype"].isin(T.XSD_DATETIME, T.XSD_DATE, T.XSD_TIME)
             & t["ts"].isNotNull())
 
 
@@ -411,13 +411,36 @@ def duration_term(months: Column, seconds: Column) -> Column:
 
 
 def _dt_shift(t: Column, dur: Column, sign: int) -> Column:
-    """dateTime ± duration → dateTime (year-month part via calendar
-    interval, day-time part via exact seconds)."""
+    """dateTime/date/time ± duration, PRESERVING the temporal subtype
+    (XPath op:add-…-to-date returns xs:date of the resulting instant,
+    op:add-…-to-time wraps on the clock): year-month part via calendar
+    interval, day-time part via exact seconds."""
     months = (F.lit(sign) * dur["num"]).cast("int")
     secs = (F.lit(sign) * dur["dbl"]).cast("decimal(24,6)")
     ts2 = (t["ts"] + F.make_ym_interval(F.lit(0), months)
            + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), secs))
-    return T.datetime_lit(ts2, tz_min=t["tz_min"])
+    date_ts = F.date_trunc("DAY", ts2)
+    # time payloads are epoch-day anchored (see typed_lit): re-anchor
+    time_ts = F.to_timestamp(F.concat(
+        F.lit("1970-01-01 "),
+        F.substring_index(ts2.cast("string"), " ", -1)))
+    return (
+        F.when(t["datatype"] == T.XSD_DATE,
+               T.term_struct(T.KIND_LITERAL,
+                             F.substring_index(date_ts.cast("string"),
+                                               " ", 1),
+                             datatype=T._dtlit(T.XSD_DATE), ts=date_ts,
+                             tz_min=t["tz_min"]))
+        .when(t["datatype"] == T.XSD_TIME,
+              # XPath defines only op:add-dayTimeDuration-to-time — a
+              # year-month component on a time is an error (NULL here)
+              F.when(months == 0,
+                     T.term_struct(T.KIND_LITERAL,
+                                   F.substring_index(time_ts.cast("string"),
+                                                     " ", -1),
+                                   datatype=T._dtlit(T.XSD_TIME),
+                                   ts=time_ts, tz_min=t["tz_min"])))
+        .otherwise(T.datetime_lit(ts2, tz_min=t["tz_min"])))
 
 
 def _dt_diff(a: Column, b: Column) -> Column:
