@@ -334,12 +334,46 @@ def main() -> None:
         # self-generated sf1-style data with planted power-law skew);
         # refreshed whenever the soak is re-run, absent if never run
         "soak_10x": _soak_summary(),
+        # round-7 evidence: constrained-heap spill soak (tools/mem_soak.py)
+        # and transactional/standing-query churn soak (tools/txn_soak.py)
+        "mem_soak": _mem_soak_summary(),
+        "txn_soak": _txn_soak_summary(),
     }))
 
 
+def _latest(pattern):
+    import glob
+    here = os.path.dirname(os.path.abspath(__file__))
+    files = sorted(glob.glob(os.path.join(here, pattern)))
+    return files[-1] if files else None
+
+
+def _mem_soak_summary():
+    try:
+        with open(_latest("MEMSOAK_r*.json")) as f:
+            d = json.load(f)
+    except Exception:  # noqa: BLE001 — never run locally
+        return None
+    return {"heap": d.get("heap"),
+            "all_completed": d.get("all_completed"),
+            "total_spill_disk_mb": d.get("total_spill_disk_mb"),
+            "oom": d.get("oom")}
+
+
+def _txn_soak_summary():
+    try:
+        with open(_latest("TXNSOAK_r*.json")) as f:
+            d = json.load(f)
+    except Exception:  # noqa: BLE001 — never run locally
+        return None
+    return {"all_green": d.get("all_green"),
+            "commits_per_sec": d.get("churn", {}).get("commits_per_sec"),
+            "standing_query_exactly_once": d.get("standing_query", {}).get(
+                "fold_matches_oracle")}
+
+
 def _soak_summary():
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "SOAK_r06.json")
+    path = _latest("SOAK_r*.json")
     try:
         with open(path) as f:
             d = json.load(f)

@@ -185,17 +185,17 @@ def json_rows(df: DataFrame) -> DataFrame:
     not preserved — result sets without ORDER BY are unordered anyway,
     and part files never preserve it)."""
     cols = list(df.columns)
-    parts: List[Column] = [F.lit("{")]
-    for i, c in enumerate(cols):
-        entry = F.when(
-            df[c].isNotNull(),
-            F.concat(F.lit(f'"{c}":'), json_binding(df[c])))
-        parts.append(F.coalesce(
-            F.when(F.lit(i) > 0,
-                   F.when(df[c].isNotNull(), F.concat(F.lit(","), entry)))
-            .otherwise(entry), F.lit("")))
-    parts.append(F.lit("}"))
-    fast = F.concat(*parts).alias("json")
+    # null-compacted array join: commas separate exactly the BOUND
+    # entries (the old prefix-comma chain emitted invalid `{,"b":…}`
+    # when the first column was unbound — caught by the round-7
+    # round-trip fuzz)
+    frags = [F.when(df[c].isNotNull(),
+                    F.concat(F.lit(f'"{c}":'), json_binding(df[c])))
+             for c in cols]
+    fast = F.concat(
+        F.lit("{"),
+        F.array_join(F.array_compact(F.array(*frags)), ","),
+        F.lit("}")).alias("json")
 
     has_triple = F.lit(False)
     for c in cols:
