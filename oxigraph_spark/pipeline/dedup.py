@@ -194,7 +194,14 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
         # join (a groupBy+semijoin guard costs two extra shuffles of the
         # same 24-byte rows; measured 2x on the sf0.1 headline).  Hot
         # buckets never reach the self-join; the hot partition's window
-        # count is linear, not quadratic.
+        # count is linear, not quadratic.  KNOWN BOUND (r6 verdict note):
+        # the whole hot bucket still lands in ONE window task before
+        # being dropped — linear and spill-capable (observed fine at the
+        # soak's 2,529-row family), but a DEGENERATE billion-row family
+        # would make that task a straggler; if a soak ever shows it,
+        # pre-filter with an approximate per-(band,bh) count
+        # (groupBy.count over a 1% sample, broadcast the over-cap keys)
+        # before the exact window.
         from pyspark.sql import Window
         w = Window.partitionBy("band", "bh")
         buckets = buckets.withColumn("__n", F.count(F.lit(1)).over(w)) \
