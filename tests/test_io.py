@@ -24,7 +24,6 @@ NT = """\
 _:b1 <urn:ex:p> <urn:ex:a> .
 # a comment line
 
-malformed junk line
 """
 
 
@@ -38,7 +37,7 @@ def nt_path(tmp_path_factory):
 def test_ntriples_read(spark, nt_path):
     df = read_ntriples(spark, nt_path)
     rows = df.collect()
-    assert len(rows) == 6  # comment/blank/malformed dropped
+    assert len(rows) == 6  # comment/blank lines skipped
     by_pred = {r.p.lex: r for r in rows}
     assert by_pred["urn:ex:name"].o.lex == "Alice"
     assert by_pred["urn:ex:note"].o.lex == 'multi\nline\t"quoted"'
@@ -664,3 +663,20 @@ def test_results_roundtrip_fuzz(spark):
             assert got == base, (
                 f"seed {seed}: {fmt} multiset diverges from json\n"
                 f"json: {base[:3]}...\n{fmt}: {got[:3]}...")
+
+
+def test_ntriples_strict_rejects_malformed(spark, tmp_path):
+    """Round-7: the distributed N-Triples reader is STRICT by default —
+    a malformed line raises (silent dropping at 100 TB is data loss);
+    lenient=True restores the drop-malformed path; comments and blank
+    lines are fine in both modes."""
+    p = tmp_path / "mixed.nt"
+    p.write_text('# comment\n\n<urn:s> <urn:p> "ok" .\n'
+                 '"literal subject" <urn:p> <urn:o> .\n')
+    with pytest.raises(ValueError, match="malformed"):
+        read_ntriples(spark, str(p))
+    rows = read_ntriples(spark, str(p), lenient=True).collect()
+    assert len(rows) == 1 and rows[0].o.lex == "ok"
+    good = tmp_path / "good.nt"
+    good.write_text('# only good lines\n<urn:s> <urn:p> "ok" .\n')
+    assert read_ntriples(spark, str(good)).count() == 1
