@@ -113,9 +113,19 @@ def _unescape(s: str) -> str:
             n = s[i + 1]
             try:
                 if n == "u":
-                    out.append(chr(int(s[i + 2:i + 6], 16))); i += 6; continue
+                    hx = s[i + 2:i + 6]
+                    # UCHAR requires exactly 4 HEX — a short slice like
+                    # "\u12" must reject, not decode as U+0012
+                    if len(hx) != 4 or not all(
+                            c in "0123456789abcdefABCDEF" for c in hx):
+                        raise ValueError(hx)
+                    out.append(chr(int(hx, 16))); i += 6; continue
                 if n == "U":
-                    out.append(chr(int(s[i + 2:i + 10], 16))); i += 10; continue
+                    hx = s[i + 2:i + 10]
+                    if len(hx) != 8 or not all(
+                            c in "0123456789abcdefABCDEF" for c in hx):
+                        raise ValueError(hx)
+                    out.append(chr(int(hx, 16))); i += 10; continue
             except ValueError:
                 raise ParseError(f"invalid \\{n} escape in string literal")
             if n not in _ESCAPES:
@@ -1258,11 +1268,14 @@ class Parser:
             return U.Create(self._iri())
         if self.at_kw("COPY", "MOVE", "ADD"):
             kind = self.eat_kw("COPY", "MOVE", "ADD")
+            silent = False
             if self.at_kw("SILENT"):
                 self.next()
+                silent = True
             src = self._graph_or_default()
             self.eat_kw("TO")
-            return U.CopyMoveAdd(kind, src, self._graph_or_default())
+            return U.CopyMoveAdd(kind, src, self._graph_or_default(),
+                                 silent=silent)
         if self.at_kw("LOAD"):
             self.next()
             silent = False

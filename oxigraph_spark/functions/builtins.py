@@ -164,9 +164,12 @@ def fn_substr(t: Column, start: Column, length: Column = None) -> Column:
     from the end (SUBSTR("hello", 0, 3) = "he"; SUBSTR("hello", -1) =
     "hello"), unlike Spark's substr which treats negatives as
     from-the-end offsets."""
-    pos = start["num"].cast("int")
+    # XPath applies fn:round (half toward +inf) to BOTH args before the
+    # window arithmetic: substring("12345", 1.6) = "2345".  floor(x+0.5)
+    # is exactly fn:round for all signs (HALF_UP differs at -n.5).
+    pos = F.floor(start["num"] + F.lit(0.5)).cast("int")
     if length is not None:
-        end = pos + length["num"].cast("int")   # exclusive
+        end = pos + F.floor(length["num"] + F.lit(0.5)).cast("int")  # exclusive
         clamped = F.greatest(pos, F.lit(1))
         ln = F.greatest(end - clamped, F.lit(0))
         out_lex = t["lex"].substr(clamped, ln)
@@ -511,11 +514,8 @@ def register_custom(iri: str, fn: Callable[..., Column]) -> None:
 
 
 # RDF-star builtins live in their own module (which imports this one for
-# err/bool_term); registered here after REGISTRY exists to avoid a cycle.
-from . import rdfstar as _rdfstar  # noqa: E402
-
-REGISTRY.update({
-    "TRIPLE": _rdfstar.fn_triple, "SUBJECT": _rdfstar.fn_subject,
-    "PREDICATE": _rdfstar.fn_predicate, "OBJECT": _rdfstar.fn_object,
-    "ISTRIPLE": _rdfstar.fn_is_triple,
-})
+# err/bool_term); rdfstar registers itself into REGISTRY at the end of
+# its own module body, so the import works from EITHER direction
+# (importing rdfstar first used to AttributeError on the half-built
+# module here).
+from . import rdfstar as _rdfstar  # noqa: E402, F401

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 
 from ..model import terms as T
-from ..sources.ntriples import format_term, parse_token
+from ..sources.ntriples import format_term, parse_token, qt_token_len
 from .builtins import bool_term, err
 
 
@@ -44,59 +44,30 @@ def quoted_lex(s: Column, p: Column, o: Column) -> Column:
 def fn_triple(s: Column, p: Column, o: Column) -> Column:
     """TRIPLE(s, p, o) → quoted-triple term (SPARQL 1.2 §17).
     Errors (NULL) unless s is IRI/bnode/quoted triple, p is IRI, o is any
-    RDF term."""
-    ok = (s["kind"].isin(T.KIND_IRI, T.KIND_BNODE, T.KIND_TRIPLE)
-          & (p["kind"] == T.KIND_IRI)
-          & o["kind"].isin(T.KIND_IRI, T.KIND_BNODE, T.KIND_LITERAL,
-                           T.KIND_TRIPLE))
-    return F.when(ok, T.term_struct(T.KIND_TRIPLE, quoted_lex(s, p, o))) \
-            .otherwise(err())
+    RDF term.
+
+    Each argument is let-bound once: the body references every argument
+    ~8x (kind checks + format_term), so NESTED TRIPLE() towers would
+    otherwise grow the expression tree ~8^depth — a depth-5 tower OOM'd
+    the driver before round-8's binding."""
+    def mk(sb: Column) -> Column:
+        def mk2(pb: Column) -> Column:
+            def mk3(ob: Column) -> Column:
+                ok = (sb["kind"].isin(T.KIND_IRI, T.KIND_BNODE,
+                                      T.KIND_TRIPLE)
+                      & (pb["kind"] == T.KIND_IRI)
+                      & ob["kind"].isin(T.KIND_IRI, T.KIND_BNODE,
+                                        T.KIND_LITERAL, T.KIND_TRIPLE))
+                return F.when(ok, T.term_struct(
+                    T.KIND_TRIPLE, quoted_lex(sb, pb, ob))).otherwise(err())
+            return T.let1(o, mk3)
+        return T.let1(p, mk2)
+    return T.let1(s, mk)
 
 
-def _subject_token_len(lex: Column) -> Column:
-    """Length of a NESTED quoted-triple subject token at the start of
-    ``lex`` (which begins with ``<<``).  Exact one-pass char scan as a
-    JVM ``aggregate`` over the characters after the opening ``<<``:
-    ``<<``/``>>`` pairs adjust depth, but only OUTSIDE literal strings
-    (escape-aware) and OUTSIDE ``<…>`` IRI tokens (whose ``>`` must not
-    pair with a following ``>``).  Returns the 1-based position of the
-    closing ``>`` — the subject token is ``substr(lex, 1, len)``."""
-    chars = F.split(lex.substr(F.lit(3), F.length(lex)), "")
-    init = F.struct(
-        F.lit(1).alias("d"), F.lit(2).alias("i"),
-        F.lit(False).alias("instr"), F.lit(False).alias("esc"),
-        F.lit(False).alias("iniri"), F.lit("").alias("prev"),
-        F.lit(0).alias("fin"))
-
-    def step(a: Column, c: Column) -> Column:
-        i2 = a["i"] + F.lit(1)
-        at_top = (~a["instr"]) & (~a["iniri"])
-        pend_lt = at_top & (a["prev"] == F.lit("<"))
-        pend_gt = at_top & (a["prev"] == F.lit(">"))
-        open_ = pend_lt & (c == F.lit("<"))          # "<<" quote-open
-        close = pend_gt & (c == F.lit(">"))          # ">>" quote-close
-        iri_start = pend_lt & (c != F.lit("<")) & (c != F.lit(">"))
-        empty_iri = pend_lt & (c == F.lit(">"))      # "<>"
-        d2 = F.when(open_, a["d"] + 1).when(close, a["d"] - 1) \
-              .otherwise(a["d"])
-        fin2 = F.when(close & (d2 == F.lit(0)), i2).otherwise(F.lit(0))
-        instr2 = F.when(a["instr"], ~((c == F.lit('"')) & (~a["esc"]))) \
-                  .otherwise(at_top & (~pend_lt) & (c == F.lit('"')))
-        esc2 = a["instr"] & (c == F.lit("\\")) & (~a["esc"])
-        iniri2 = (F.when(a["instr"], F.lit(False))
-                   .when(a["iniri"], c != F.lit(">"))
-                   .otherwise(iri_start))
-        prev2 = (F.when(a["instr"] | a["iniri"] | open_ | close
-                        | iri_start | empty_iri | instr2, F.lit(""))
-                  .when(c == F.lit("<"), F.lit("<"))
-                  .when(c == F.lit(">"), F.lit(">"))
-                  .otherwise(F.lit("")))
-        upd = F.struct(d2.alias("d"), i2.alias("i"), instr2.alias("instr"),
-                       esc2.alias("esc"), iniri2.alias("iniri"),
-                       prev2.alias("prev"), fin2.alias("fin"))
-        return F.when(a["fin"] > F.lit(0), a).otherwise(upd)
-
-    return F.aggregate(chars, init, step)["fin"]
+# the exact quoted-triple char scan lives in sources.ntriples
+# (qt_token_len) — shared with the any-depth N-Triples line tokenizer
+_subject_token_len = qt_token_len
 
 
 def _component(t: Column, which: str) -> Column:
@@ -140,3 +111,15 @@ def fn_object(t: Column) -> Column:
 def fn_is_triple(t: Column) -> Column:
     return F.when(t.isNull(), err()) \
             .otherwise(bool_term(t["kind"] == T.KIND_TRIPLE))
+
+
+# self-registration (see note at the bottom of builtins.py): by the time
+# this module body runs, builtins has fully executed at least through
+# REGISTRY's definition, whichever module was imported first.
+from .builtins import REGISTRY as _REGISTRY  # noqa: E402
+
+_REGISTRY.update({
+    "TRIPLE": fn_triple, "SUBJECT": fn_subject,
+    "PREDICATE": fn_predicate, "OBJECT": fn_object,
+    "ISTRIPLE": fn_is_triple,
+})

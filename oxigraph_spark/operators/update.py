@@ -76,6 +76,7 @@ class CopyMoveAdd:
     kind: str                        # 'COPY' | 'MOVE' | 'ADD'
     src: Optional[str]               # None = DEFAULT
     dst: Optional[str]
+    silent: bool = False
 
 
 @dataclass(frozen=True)
@@ -308,12 +309,16 @@ class MutableQuadSource:
                  else T.iri(F.lit(op.dst)))
         moved = self.df.where(pred(op.src)).select(
             "s", "p", "o", dst_g.alias("g"))
-        # §3.2.3-5: a NON-EXISTENT named source graph is a no-op, not
-        # "clear the destination then insert nothing" (quads-only model:
-        # a named graph exists iff it has quads; DEFAULT always exists).
-        # Without this check, COPY/MOVE from a missing graph destroyed
-        # the destination's data.
+        # §3.2.3-5: a NON-EXISTENT named source graph is an ERROR unless
+        # SILENT (quads-only model: a named graph exists iff it has
+        # quads; DEFAULT always exists).  Either way the destination is
+        # untouched — the old behavior "clear the destination then
+        # insert nothing" destroyed data.
         if op.src is not None and not moved.take(1):
+            if not op.silent:
+                raise ValueError(
+                    f"{op.kind}: source graph <{op.src}> does not exist "
+                    "(no quads); use SILENT to make this a no-op")
             return
         if op.src == op.dst:           # COPY/MOVE/ADD g TO g: no-op
             return
@@ -344,6 +349,12 @@ class MutableQuadSource:
                     f"LOAD supports file/http(s) URIs, got {op.source}")
             else:
                 quads = load_rdf(self.spark, path)
+            # force the read NOW: the strict N-Triples parser validates
+            # lazily in-pass (round-8), so SILENT must materialize the
+            # document inside this try to keep §3.1.31 error semantics.
+            # LOAD targets bounded documents; pinning also avoids
+            # re-reading the file on every downstream action.
+            quads = pin_eager(quads)
         except Exception:
             if op.silent:
                 return

@@ -394,6 +394,9 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
                 .select("id_a", "id_b", "hamming"))
 
 
+_NGRAM_CAP_WARNED = False
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                         n: int = 3, threshold: float = 0.5,
                         max_doc_freq: Optional[int] = 1000) -> DataFrame:
@@ -421,9 +424,28 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     if max_doc_freq is not None:
         # shingles() emits per-doc DISTINCT shingles, so count == doc freq
-        cold = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df")) \
-                 .where(F.col("__df") <= max_doc_freq)
-        sh = sh.join(cold.select("sh"), "sh", "leftsemi")
+        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+        # Check-and-warn is FIRST CALL ONLY per process (the probe is an
+        # extra pass over the shingle index — too costly to repeat at
+        # 100 TB); subsequent calls rely on the documented undercount
+        # bound below.
+        global _NGRAM_CAP_WARNED
+        if not _NGRAM_CAP_WARNED:
+            _NGRAM_CAP_WARNED = True
+            hot = freq.where(F.col("__df") > max_doc_freq).take(1)
+            if hot:
+                import warnings
+                warnings.warn(
+                    f"ngram_jaccard_pairs: shingle(s) with doc_freq > "
+                    f"{max_doc_freq} dropped from the inverted index "
+                    f"(e.g. {hot[0]['sh']!r} in {hot[0]['__df']} docs); "
+                    "reported sims may undercount on corpora with "
+                    "legitimately common shingles — pass "
+                    "max_doc_freq=None for exact results on bounded "
+                    "data (warned on first call only)",
+                    stacklevel=2)
+        sh = sh.join(freq.where(F.col("__df") <= max_doc_freq)
+                     .select("sh"), "sh", "leftsemi")
     a, b = sh.alias("a"), sh.alias("b")
     inter = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
                     & (F.col("a.id") < F.col("b.id")))

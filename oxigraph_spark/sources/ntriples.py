@@ -8,8 +8,15 @@ these formats scale to 100 TB while Turtle (stateful prefixes) does not
 (S3 is deliberately out of the distributed path).
 
 No Python UDFs: term classification and unescaping are built-in column
-expressions.  ``\\uXXXX`` escapes beyond the common control set are left
-as-is (documented limitation; the reference decodes them in its lexer).
+expressions.  ALL string escapes are decoded JVM-side, including
+``\\uXXXX`` (with surrogate-pair coalescing) and ``\\UXXXXXXXX`` via
+hex → UTF-16BE byte decode (see ``_decode_u16`` / ``_decode_u32``).
+
+Quoted triples (RDF-star): the line REGEX unrolls nesting to
+``QT_DEPTH``; deeper lines fall through to an exact char-scan tokenizer
+(``_scan_tokens``), so well-formed statements parse at ANY depth.
+Strict-mode validation is FUSED into the parse (``F.raise_error`` on
+malformed rows) — one scan of the text, no separate validation pass.
 """
 
 from __future__ import annotations
@@ -27,9 +34,10 @@ _T_LIT = r"\"(?:[^\"\\]|\\.)*\"(?:@[A-Za-z0-9-]+|\^\^<[^>]*>)?"
 # RDF-star quoted triple token.  Regex cannot count, so nesting is
 # unrolled to a BOUNDED depth (subject and object positions may each hold
 # a quoted triple of the next-lower depth, per the RDF-star grammar).
-# Deeper documents drop those lines in the lenient reader; the TRIPLE()
-# constructor and SUBJECT/PREDICATE/OBJECT accessors are exact at ANY
-# depth (the accessors use a char-scan, not this regex).
+# Deeper lines fall through to the exact char-scan tokenizer
+# (_scan_tokens), so statements parse at ANY depth; the TRIPLE()
+# constructor and SUBJECT/PREDICATE/OBJECT accessors are likewise exact
+# at any depth (char-scan, not this regex).
 QT_DEPTH = 4
 
 
@@ -155,7 +163,12 @@ def _parse_term(raw: Column, canonicalize_qt: bool = False) -> Column:
                       datatype=F.lit(T.RDF_LANGSTRING), lang=lang))
         .otherwise(T.make_typed(lex, dt)))
     if canonicalize_qt:
-        qt_lex = _norm_qt_body(raw, QT_DEPTH)
+        # whitespace-collapse char scan: exact canonical spacing at ANY
+        # nesting depth (round-8 — replaced the bounded regex
+        # normalizer, which silently corrupted tokens at QT_DEPTH+1
+        # levels and inlined the huge unrolled patterns 4x per term)
+        qt_lex = T.let1(_collapse_qt_ws(raw),
+                        lambda c: c.substr(F.lit(3), F.length(c) - 4))
     else:
         qt_lex = F.trim(raw.substr(F.lit(3), F.length(raw) - 4))
     return (F.when(is_qt, T.term_struct(T.KIND_TRIPLE, qt_lex))
@@ -164,29 +177,189 @@ def _parse_term(raw: Column, canonicalize_qt: bool = False) -> Column:
              .otherwise(lit))
 
 
-def _norm_qt_body(tok: Column, depth: int) -> Column:
-    """Quoted-triple TOKEN (``<<…>>``) → canonical space-separated
-    component body (the term's ``lex``), recursively normalizing the
-    spacing of NESTED quoted-triple tokens in subject/object position so
-    identity matches what the TRIPLE() constructor and the writer
-    produce.  Bounded by ``depth`` — matching the reader's token regex;
-    a level-k component can only hold a depth-(k-1) token, so the
-    embedded patterns SHRINK with recursion (expression stays small)."""
-    inner = F.trim(tok.substr(F.lit(3), F.length(tok) - 4))
-    comp = _qt_pattern(depth - 1) if depth > 0 else None
-    s_pat = rf"{comp}|{_T_IRI}|{_T_BN}" if comp else rf"{_T_IRI}|{_T_BN}"
-    qs = F.regexp_extract(inner, rf"^({s_pat})", 1)
-    qp = F.regexp_extract(inner, rf"^(?:{s_pat})\s+({_T_IRI})", 1)
-    qo = F.regexp_extract(
-        inner, rf"^(?:{s_pat})\s+{_T_IRI}\s+(.*?)\s*$", 1)
-    if depth > 0:
-        def norm(c: Column) -> Column:
-            return F.when(
-                c.startswith("<<"),
-                F.concat(F.lit("<<"), _norm_qt_body(c, depth - 1),
-                         F.lit(">>"))).otherwise(c)
-        qs, qo = norm(qs), norm(qo)
-    return F.concat_ws(" ", qs, qp, qo)
+def qt_token_len(lex: Column) -> Column:
+    """Length of a quoted-triple token at the start of ``lex`` (which
+    begins with ``<<``).  Exact one-pass char scan as a JVM ``aggregate``
+    over the characters after the opening ``<<``: ``<<``/``>>`` pairs
+    adjust depth, but only OUTSIDE literal strings (escape-aware) and
+    OUTSIDE ``<…>`` IRI tokens (whose ``>`` must not pair with a
+    following ``>``).  Returns the 1-based position of the closing ``>``
+    — the token is ``substr(lex, 1, len)`` — or 0 if unbalanced.
+    Shared by the RDF-star accessors (nested subject split) and the
+    any-depth line tokenizer below."""
+    chars = F.split(lex.substr(F.lit(3), F.length(lex)), "")
+    init = F.struct(
+        F.lit(1).alias("d"), F.lit(2).alias("i"),
+        F.lit(False).alias("instr"), F.lit(False).alias("esc"),
+        F.lit(False).alias("iniri"), F.lit("").alias("prev"),
+        F.lit(0).alias("fin"))
+
+    def step(a: Column, c: Column) -> Column:
+        i2 = a["i"] + F.lit(1)
+        at_top = (~a["instr"]) & (~a["iniri"])
+        pend_lt = at_top & (a["prev"] == F.lit("<"))
+        pend_gt = at_top & (a["prev"] == F.lit(">"))
+        open_ = pend_lt & (c == F.lit("<"))          # "<<" quote-open
+        close = pend_gt & (c == F.lit(">"))          # ">>" quote-close
+        iri_start = pend_lt & (c != F.lit("<")) & (c != F.lit(">"))
+        empty_iri = pend_lt & (c == F.lit(">"))      # "<>"
+        d2 = F.when(open_, a["d"] + 1).when(close, a["d"] - 1) \
+              .otherwise(a["d"])
+        fin2 = F.when(close & (d2 == F.lit(0)), i2).otherwise(F.lit(0))
+        instr2 = F.when(a["instr"], ~((c == F.lit('"')) & (~a["esc"]))) \
+                  .otherwise(at_top & (~pend_lt) & (c == F.lit('"')))
+        esc2 = a["instr"] & (c == F.lit("\\")) & (~a["esc"])
+        iniri2 = (F.when(a["instr"], F.lit(False))
+                   .when(a["iniri"], c != F.lit(">"))
+                   .otherwise(iri_start))
+        prev2 = (F.when(a["instr"] | a["iniri"] | open_ | close
+                        | iri_start | empty_iri | instr2, F.lit(""))
+                  .when(c == F.lit("<"), F.lit("<"))
+                  .when(c == F.lit(">"), F.lit(">"))
+                  .otherwise(F.lit("")))
+        upd = F.struct(d2.alias("d"), i2.alias("i"), instr2.alias("instr"),
+                       esc2.alias("esc"), iniri2.alias("iniri"),
+                       prev2.alias("prev"), fin2.alias("fin"))
+        return F.when(a["fin"] > F.lit(0), a).otherwise(upd)
+
+    return F.aggregate(chars, init, step)["fin"]
+
+
+def _collapse_qt_ws(tok: Column) -> Column:
+    """Canonicalize the whitespace of a quoted-triple TOKEN of ANY
+    nesting depth: collapse whitespace runs OUTSIDE string literals and
+    IRIs to a single space, and drop the space after ``<<`` / before
+    ``>>`` — producing exactly the spacing the TRIPLE() constructor and
+    the writer emit, so deep quoted-triple identity works through
+    ordinary term keys.  One exact char scan (JVM ``aggregate`` building
+    the output string); used only for tokens DEEPER than ``QT_DEPTH``
+    (shared canonicalizer for ALL reader-ingested quoted-triple terms;
+    exact at any depth)."""
+    chars = F.split(tok, "")
+    init = F.struct(
+        F.lit("").alias("out"), F.lit(False).alias("instr"),
+        F.lit(False).alias("esc"), F.lit(False).alias("iniri"),
+        F.lit(False).alias("lt"), F.lit(False).alias("pend"))
+
+    def step(a: Column, c: Column) -> Column:
+        out, instr, esc = a["out"], a["instr"], a["esc"]
+        iniri, lt, pend = a["iniri"], a["lt"], a["pend"]
+        is_ws = c.isin(" ", "\t")
+        # top-level content char: emit the pending separator space unless
+        # it follows "<<" or precedes the ">" of a ">>" close
+        sp = pend & (F.substring(out, -2, 2) != F.lit("<<")) \
+            & (c != F.lit(">"))
+        emit = F.concat(out, F.when(sp, F.lit(" ")).otherwise(F.lit("")), c)
+        return (
+            F.when(c == F.lit(""), a)            # split("") trailing token
+            .when(instr, F.struct(
+                F.concat(out, c).alias("out"),
+                (~((c == F.lit('"')) & (~esc))).alias("instr"),
+                ((c == F.lit("\\")) & (~esc)).alias("esc"),
+                iniri.alias("iniri"), lt.alias("lt"),
+                F.lit(False).alias("pend")))
+            .when(lt, F.struct(                  # classify char after "<"
+                F.concat(out, c).alias("out"), F.lit(False).alias("instr"),
+                F.lit(False).alias("esc"),
+                ((c != F.lit("<")) & (c != F.lit(">"))).alias("iniri"),
+                F.lit(False).alias("lt"), F.lit(False).alias("pend")))
+            .when(iniri, F.struct(               # verbatim inside <…>
+                F.concat(out, c).alias("out"), F.lit(False).alias("instr"),
+                F.lit(False).alias("esc"),
+                (c != F.lit(">")).alias("iniri"), F.lit(False).alias("lt"),
+                F.lit(False).alias("pend")))
+            .when(is_ws, F.struct(
+                out.alias("out"), instr.alias("instr"), esc.alias("esc"),
+                iniri.alias("iniri"), lt.alias("lt"),
+                F.lit(True).alias("pend")))
+            .otherwise(F.struct(
+                emit.alias("out"),
+                (c == F.lit('"')).alias("instr"), F.lit(False).alias("esc"),
+                F.lit(False).alias("iniri"),
+                (c == F.lit("<")).alias("lt"), F.lit(False).alias("pend"))))
+
+    return F.aggregate(chars, init, step)["out"]
+
+
+_BIG = 0x7FFFFFF
+
+
+def _scan_tokens(v: Column) -> Column:
+    """Exact tokenizer for statement lines the bounded ``_LINE`` regex
+    cannot match — quoted triples nested deeper than ``QT_DEPTH``.
+    Splits the line into (subject, predicate, object[, graph]) raw
+    tokens using :func:`qt_token_len` for the space-bearing quoted
+    positions and the shared token regexes for everything else.
+    Returns a struct ``(rs, rp, ro, rg)``; all-empty when the line is
+    not a well-formed statement (quoted-triple INTERNALS deeper than
+    ``QT_DEPTH`` are validated by balanced-scan, not full grammar —
+    documented trade-off, matching the accessors)."""
+    def lead_qt(sub: Column) -> Column:
+        # leading quoted-triple token of ``sub`` ("" if unbalanced)
+        return T.let1(qt_token_len(sub),
+                      lambda n: F.when(n > 0, sub.substr(F.lit(1), n))
+                                 .otherwise(F.lit("")))
+
+    def sep_ok(sub: Column, tok: Column) -> Column:
+        # the char right after ``tok`` must be whitespace (or end)
+        nxt = F.substring(sub, F.length(tok) + 1, 1)
+        return (nxt == "") | nxt.isin(" ", "\t")
+
+    def f_body(body: Column) -> Column:
+        stok0 = (F.when(body.startswith("<<"), lead_qt(body))
+                  .otherwise(F.regexp_extract(
+                      body, rf"^({_T_IRI}|{_T_BN})\s", 1)))
+
+        def f_stok(stok: Column) -> Column:
+            rest1_0 = F.ltrim(body.substr(F.length(stok) + 1,
+                                          F.lit(_BIG)))
+
+            def f_rest1(rest1: Column) -> Column:
+                ptok0 = F.regexp_extract(rest1, rf"^({_T_IRI})\s", 1)
+
+                def f_ptok(ptok: Column) -> Column:
+                    rest2_0 = F.ltrim(rest1.substr(F.length(ptok) + 1,
+                                                   F.lit(_BIG)))
+
+                    def f_rest2(rest2: Column) -> Column:
+                        otok0 = (
+                            F.when(rest2.startswith("<<"), lead_qt(rest2))
+                            .when(rest2.startswith('"'),
+                                  F.regexp_extract(
+                                      rest2, rf"^({_T_LIT})(?:\s|$)", 1))
+                            .otherwise(F.regexp_extract(
+                                rest2, rf"^({_T_IRI}|{_T_BN})(?:\s|$)", 1)))
+
+                        def f_otok(otok: Column) -> Column:
+                            gtok = F.trim(rest2.substr(
+                                F.length(otok) + 1, F.lit(_BIG)))
+                            ok = ((stok != "") & (ptok != "")
+                                  & (otok != "")
+                                  & sep_ok(body, stok)
+                                  & sep_ok(rest2, otok)
+                                  & ((gtok == "") | F.regexp_like(
+                                      gtok,
+                                      F.lit(f"^(?:{_T_IRI}|{_T_BN})$"))))
+                            empty = F.struct(
+                                F.lit("").alias("rs"), F.lit("").alias("rp"),
+                                F.lit("").alias("ro"), F.lit("").alias("rg"))
+                            return F.when(ok, F.struct(
+                                stok.alias("rs"), ptok.alias("rp"),
+                                otok.alias("ro"), gtok.alias("rg"))) \
+                                    .otherwise(empty)
+
+                        return T.let1(otok0, f_otok)
+
+                    return T.let1(rest2_0, f_rest2)
+
+                return T.let1(ptok0, f_ptok)
+
+            return T.let1(rest1_0, f_rest1)
+
+        return T.let1(stok0, f_stok)
+
+    body0 = F.regexp_extract(F.trim(v), r"^(.*?)\s*\.$", 1)
+    return T.let1(body0, f_body)
 
 
 def parse_token(raw: Column) -> Column:
@@ -199,46 +372,60 @@ def read_ntriples(spark: SparkSession, path: str,
     """Parse N-Triples (or N-Quads with ``quads=True``) into a quads
     DataFrame (s, p, o, g).
 
-    STRICT by default (round-7): a line that is neither a statement,
-    a ``#`` comment, nor blank raises with samples — at 100 TB a
-    silently-dropped malformed shard is unrecoverable data loss, so
+    STRICT by default (round-7; FUSED round-8): a line that is neither
+    a statement, a ``#`` comment, nor blank fails the read — at 100 TB
+    a silently-dropped malformed shard is unrecoverable data loss, so
     the default matches the reference's checked parser.  The check is
-    one extra distributed pass over the raw lines (no shuffle; the
-    text is OS-cached for the parse that follows).  ``lenient=True``
-    restores the drop-malformed behavior (the reference's
-    ``unchecked()`` path) for dirty corpora and is the streaming
-    ingest default (a stream can't usefully abort mid-batch)."""
-    lines = spark.read.text(path)
-    if not lenient:
-        v = F.trim(F.col("value"))
-        bad = lines.where((v != "") & ~v.startswith("#")
-                          & (F.regexp_extract("value", _LINE, 1) == ""))
-        sample = [r["value"] for r in bad.take(3)]
-        if sample:
-            raise ValueError(
-                f"malformed N-{'Quads' if quads else 'Triples'} line(s) "
-                f"in {path}, e.g. {sample[0][:120]!r} "
-                "(pass lenient=True to drop malformed lines)")
-    return parse_nt_lines(lines, quads=quads)
+    fused into the parse itself (``F.raise_error`` on malformed rows
+    inside the one projection), so strict mode costs ZERO extra passes
+    — the error surfaces when the returned frame is first computed,
+    carrying the offending line.  ``lenient=True`` restores the
+    drop-malformed behavior (the reference's ``unchecked()`` path) for
+    dirty corpora and is the streaming ingest default (a stream can't
+    usefully abort mid-batch)."""
+    return parse_nt_lines(spark.read.text(path), quads=quads,
+                          strict=not lenient)
 
 
-def parse_nt_lines(lines: DataFrame, quads: bool = False) -> DataFrame:
+def parse_nt_lines(lines: DataFrame, quads: bool = False,
+                   strict: bool = False) -> DataFrame:
     """:func:`read_ntriples` body over an existing frame of raw lines
     (column ``value``) — shared by the file reader and the streaming
     ingest path (continuous queries parse each micro-batch with the
-    same pure-column expressions)."""
-    parts = lines.select(
+    same pure-column expressions).
+
+    Token extraction is the bounded ``_LINE`` regex (one JVM pass);
+    lines bearing ``<<`` that the bounded regex misses fall through to
+    the exact char-scan tokenizer, so RDF-star statements parse at ANY
+    nesting depth.  ``strict=True`` raises (lazily, in-pass) on any
+    non-comment non-blank line that still fails both."""
+    rx = F.regexp_extract("value", _LINE, 1)
+    tok0 = F.when(
+        (rx == "") & F.col("value").contains("<<"),
+        _scan_tokens(F.col("value"))
+    ).otherwise(F.struct(
         F.regexp_extract("value", _LINE, 1).alias("rs"),
         F.regexp_extract("value", _LINE, 2).alias("rp"),
         F.regexp_extract("value", _LINE, 3).alias("ro"),
-        F.regexp_extract("value", _LINE, 4).alias("rg"),
-    ).where(F.col("rs") != "")
-    g = F.when(F.col("rg") == "", T.default_graph()) \
-         .otherwise(_parse_term(F.col("rg")))
+        F.regexp_extract("value", _LINE, 4).alias("rg")))
+    parts = lines.select("value", tok0.alias("tok"))
+    if strict:
+        v = F.trim(F.col("value"))
+        bad = (v != "") & ~v.startswith("#") & (F.col("tok")["rs"] == "")
+        keep = F.when(bad, F.raise_error(F.concat(
+            F.lit(f"malformed N-{'Quads' if quads else 'Triples'} line: "),
+            F.substring(F.col("value"), 1, 120),
+            F.lit(" (pass lenient=True to drop malformed lines)")))) \
+                .otherwise(F.col("tok")["rs"] != "")
+    else:
+        keep = F.col("tok")["rs"] != ""
+    parts = parts.where(keep).select("tok")
+    g = F.when(F.col("tok")["rg"] == "", T.default_graph()) \
+         .otherwise(_parse_term(F.col("tok")["rg"]))
     return parts.select(
-        _parse_term(F.col("rs"), canonicalize_qt=True).alias("s"),
-        _parse_term(F.col("rp")).alias("p"),
-        _parse_term(F.col("ro"), canonicalize_qt=True).alias("o"),
+        _parse_term(F.col("tok")["rs"], canonicalize_qt=True).alias("s"),
+        _parse_term(F.col("tok")["rp"]).alias("p"),
+        _parse_term(F.col("tok")["ro"], canonicalize_qt=True).alias("o"),
         (g if quads else T.default_graph()).alias("g"))
 
 

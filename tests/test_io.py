@@ -667,16 +667,64 @@ def test_results_roundtrip_fuzz(spark):
 
 def test_ntriples_strict_rejects_malformed(spark, tmp_path):
     """Round-7: the distributed N-Triples reader is STRICT by default —
-    a malformed line raises (silent dropping at 100 TB is data loss);
-    lenient=True restores the drop-malformed path; comments and blank
-    lines are fine in both modes."""
+    a malformed line fails the read (silent dropping at 100 TB is data
+    loss); round-8 FUSED the check into the parse itself (raise_error
+    in-pass, zero extra scans), so the error surfaces lazily when the
+    frame is computed.  lenient=True restores the drop-malformed path;
+    comments and blank lines are fine in both modes."""
     p = tmp_path / "mixed.nt"
     p.write_text('# comment\n\n<urn:s> <urn:p> "ok" .\n'
                  '"literal subject" <urn:p> <urn:o> .\n')
-    with pytest.raises(ValueError, match="malformed"):
-        read_ntriples(spark, str(p))
+    with pytest.raises(Exception, match="malformed"):
+        read_ntriples(spark, str(p)).collect()
     rows = read_ntriples(spark, str(p), lenient=True).collect()
     assert len(rows) == 1 and rows[0].o.lex == "ok"
     good = tmp_path / "good.nt"
     good.write_text('# only good lines\n<urn:s> <urn:p> "ok" .\n')
     assert read_ntriples(spark, str(good)).count() == 1
+
+
+def test_ntriples_single_scan_strict(spark, tmp_path):
+    """The strict reader's plan reads the text exactly ONCE — validation
+    is fused into the parse projection, not a separate pre-pass (at
+    100 TB a second validation scan doubles I/O with a cold OS cache)."""
+    p = tmp_path / "one.nt"
+    p.write_text('<urn:s> <urn:p> "ok" .\n')
+    df = read_ntriples(spark, str(p))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+    scans = len(re.findall(r"FileScan text|Scan text", plan))
+    assert scans == 1, f"expected one text scan, plan:\n{plan}"
+
+
+def test_ntriples_deep_rdfstar_any_depth(spark, tmp_path):
+    """Quoted triples nested DEEPER than the bounded line regex
+    (QT_DEPTH=4) parse in strict mode via the exact char-scan tokenizer,
+    in subject and object position, with N-Quads graph labels — and the
+    resulting lex is IDENTICAL to what a TRIPLE() constructor tower
+    produces (canonical spacing at any depth)."""
+    deep = ("<< << << << << <urn:a> <urn:b> <urn:c> >> <urn:p1> <urn:o1> "
+            ">> <urn:p2> <urn:o2> >> <urn:p3> <urn:o3> >> <urn:p4> "
+            "<urn:o4> >>")
+    p = tmp_path / "deep.nq"
+    p.write_text(f'{deep} <urn:p> "v" <urn:g> .\n'
+                 f'<urn:x> <urn:y> {deep} .\n')
+    rows = read_ntriples(spark, str(p), quads=True).collect()
+    assert len(rows) == 2
+    by_pred = {r.p.lex: r for r in rows}
+    subj = by_pred["urn:p"].s
+    obj = by_pred["urn:y"].o
+    assert subj.kind == obj.kind and subj.lex == obj.lex
+    assert by_pred["urn:p"].g.lex == "urn:g"
+    # constructor tower must produce the same lex (identity across
+    # reader- and TRIPLE()-built deep terms)
+    from pyspark.sql import functions as F
+    from oxigraph_spark.functions.rdfstar import fn_triple
+    from oxigraph_spark.model import terms as T
+    t = fn_triple(T.iri(F.lit("urn:a")), T.iri(F.lit("urn:b")),
+                  T.iri(F.lit("urn:c")))
+    for i in (1, 2, 3, 4):
+        t = fn_triple(t, T.iri(F.lit(f"urn:p{i}")),
+                      T.iri(F.lit(f"urn:o{i}")))
+    built = spark.range(1).select(t.alias("t")).collect()[0].t
+    assert built.lex == subj.lex

@@ -265,3 +265,18 @@ def test_nested_aggregates_rejected():
     # non-nested composition stays fine
     parse_query("SELECT (SUM(?x) + COUNT(*) AS ?c) WHERE "
                 "{ ?s <urn:p> ?x }")
+
+
+def test_truncated_unicode_escapes_rejected():
+    """UCHAR requires exactly 4 (\\u) / 8 (\\U) HEX digits: a literal
+    ending in "\\u12" must reject, not silently decode as U+0012
+    (round-8 ADVICE fix)."""
+    import pytest as _pytest
+    from oxigraph_spark.algebra.parser import ParseError, parse_query
+    for bad in (r'"x\u12"', r'"x\u12G4"', r'"x\U0001F60"', r'"\u"'):
+        with _pytest.raises(ParseError, match="escape"):
+            parse_query(f"SELECT * WHERE {{ ?s ?p {bad} }}")
+    # exact-length escapes still decode
+    q = parse_query(r'SELECT * WHERE { ?s ?p "xA\U0001F600" }')
+    lit = q.pattern.inner.patterns[0].o
+    assert lit.lex == "xA\U0001F600"

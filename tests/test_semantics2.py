@@ -321,3 +321,24 @@ def test_describe_bnode_closure(spark):
                      "urn:ex:knows", "urn:ex:lat"]
     # z's own description is NOT pulled in; both bnodes' are
     assert not any(p == "urn:ex:name" for _, p, _ in got)
+
+
+def test_copy_move_add_missing_source_errors_unless_silent(spark):
+    """SPARQL 1.1 Update §3.2.3-5: COPY/MOVE/ADD from a NON-EXISTENT
+    named source graph is an error unless SILENT; either way the
+    destination is untouched (round-8 ADVICE fix — previously always a
+    silent no-op; before round 7 it destroyed the destination)."""
+    import pytest as _pytest
+    st = quads_store(spark, [(iri("x"), iri("p"), integer(1))])
+    st = st.update(f"INSERT DATA {{ GRAPH <{EX}g2> {{ <{EX}y> <{EX}q> 2 }} }}")
+    for kind in ("COPY", "MOVE", "ADD"):
+        with _pytest.raises(ValueError, match="does not exist"):
+            st.update(f"{kind} <{EX}missing> TO <{EX}g2>")
+        st2 = st.update(f"{kind} SILENT <{EX}missing> TO <{EX}g2>")
+        # SILENT: no-op, destination intact
+        df = st2.query(
+            f"SELECT ?o WHERE {{ GRAPH <{EX}g2> {{ ?s <{EX}q> ?o }} }}")
+        assert [int(r.o.num) for r in df.collect()] == [2]
+    # the DEFAULT graph always exists: COPY DEFAULT TO g works on empty
+    st3 = quads_store(spark, [(iri("x"), iri("p"), integer(1))])
+    st3.update(f"MOVE DEFAULT TO <{EX}g9>")  # no raise
