@@ -159,10 +159,38 @@ def _persist_sig(sig: DataFrame) -> DataFrame:
     return sig
 
 
+def _hot_bucket_keys(buckets: DataFrame, max_bucket: int,
+                     frac: float = 0.01, seed: int = 7) -> DataFrame:
+    """Approximate (band, bh) keys of DEGENERATE bucket families — the
+    round-8 pre-filter for the one residual straggler in the window
+    guard below: the exact per-bucket window count is linear and
+    spill-capable, but a billion-row identical-text family would still
+    land in ONE window task before being dropped.  This estimates
+    bucket sizes from a ``frac`` sample (map-side-combinable count of a
+    tiny projection), keeps only keys whose estimate is far above the
+    cap, and the caller broadcasts them into an anti-join so the family
+    never reaches the window at all.
+
+    Conservative by construction: a key qualifies only with
+    ``max(8, 5·max_bucket·frac + 1)`` SAMPLED rows, so a bucket that is
+    actually under the cap has astronomically small odds of being
+    pre-dropped (P[Binom(max_bucket, frac) ≥ 8] ≈ 0 for the default
+    cap 64 / frac 1%), while any family big enough to be a straggler
+    has thousands of sampled rows.  Buckets between the cap and the
+    trigger are still dropped by the exact window — results are
+    identical to the window-only guard."""
+    min_count = max(8, int(5 * max_bucket * frac) + 1)
+    return (buckets.sample(fraction=frac, seed=seed)
+            .groupBy("band", "bh").agg(F.count(F.lit(1)).alias("__c"))
+            .where(F.col("__c") >= min_count)
+            .select("band", "bh"))
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                       num_perm: int = 32, bands: int = 8,
                       threshold: float = 0.5,
-                      max_bucket: Optional[int] = None) -> DataFrame:
+                      max_bucket: Optional[int] = None,
+                      prefilter_sample: float = 0.01) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH, verified by
     signature-agreement similarity.
 
@@ -194,14 +222,14 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
         # join (a groupBy+semijoin guard costs two extra shuffles of the
         # same 24-byte rows; measured 2x on the sf0.1 headline).  Hot
         # buckets never reach the self-join; the hot partition's window
-        # count is linear, not quadratic.  KNOWN BOUND (r6 verdict note):
-        # the whole hot bucket still lands in ONE window task before
-        # being dropped — linear and spill-capable (observed fine at the
-        # soak's 2,529-row family), but a DEGENERATE billion-row family
-        # would make that task a straggler; if a soak ever shows it,
-        # pre-filter with an approximate per-(band,bh) count
-        # (groupBy.count over a 1% sample, broadcast the over-cap keys)
-        # before the exact window.
+        # count is linear, not quadratic.  Round-8: DEGENERATE families
+        # (which would land in ONE window task before being dropped —
+        # a straggler at billion-row scale) are removed first by an
+        # approximate sampled count broadcast into an anti-join; the
+        # exact window then enforces the precise cap on what remains.
+        hot = _hot_bucket_keys(buckets, max_bucket, frac=prefilter_sample)
+        buckets = buckets.join(F.broadcast(hot), ["band", "bh"],
+                               "left_anti")
         from pyspark.sql import Window
         w = Window.partitionBy("band", "bh")
         buckets = buckets.withColumn("__n", F.count(F.lit(1)).over(w)) \

@@ -133,3 +133,20 @@ def test_fuzz_key64_matches_key128(spark, sf_dir, seed):
     a = Compiler(spark, w128, optimize=True).compile_query(ast)
     b = Compiler(spark, w64, optimize=True).compile_query(ast)
     assert _multiset(a) == _multiset(b), q
+
+
+# Round-8 (r7 verdict item 7): structurally distinct seeds promoted from
+# the 250-seed per-round sweep (tools/fuzz_sweep.py) so regressions in
+# swept territory fail CI, not just the one-off sweep.  Signatures:
+# 28 COUNT+MAX+FILTER+GROUP BY; 38 EXISTS; 34 EXISTS+OPTIONAL;
+# 41 MINUS+OPTIONAL; 29 DISTINCT+UNION; 113 OPTIONAL+UNION.
+@pytest.mark.parametrize("seed", [28, 29, 34, 38, 41, 113])
+def test_fuzz_sweep_promoted_seeds(spark, sf_dir, seed):
+    from oxigraph_spark.algebra.parser import parse_query
+    from oxigraph_spark.plans.compiler import Compiler
+    from oxigraph_spark.sources.direct_mapping import DirectMappingSource
+    src = DirectMappingSource(spark, sf_dir)
+    ast = parse_query(gen_query(seed))
+    a = _multiset(Compiler(spark, src, optimize=True).compile_query(ast))
+    b = _multiset(Compiler(spark, src, optimize=False).compile_query(ast))
+    assert a == b

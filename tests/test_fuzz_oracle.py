@@ -149,3 +149,11 @@ def test_fuzz_duckdb_oracle(spark, sf_dir, seed):
                     f"FROM '{sf_dir}/{t}.parquet'")
     want = _norm([tuple(r) for r in con.execute(sql).fetchall()])
     assert got == want, f"\nSPARQL: {sparql}\nSQL: {sql}"
+
+
+# Round-8 (r7 verdict item 7): structurally distinct seeds promoted from
+# the per-round sweep range (16+).  Signatures: 24 CONTAINS+UNION;
+# 28 HAVING agg; 30 DISTINCT+OPTIONAL; 31 HAVING+FILTER agg.
+@pytest.mark.parametrize("seed", [24, 28, 30, 31])
+def test_fuzz_sweep_promoted_oracle_seeds(spark, sf_dir, seed):
+    test_fuzz_duckdb_oracle(spark, sf_dir, seed)

@@ -45,6 +45,39 @@ def test_minhash_hot_bucket_cap(spark):
     assert got == {(100, 200)}  # hot bucket dropped, small bucket kept
 
 
+def test_minhash_degenerate_family_prefilter(spark):
+    """Round-8: a DEGENERATE identical-text family is removed by the
+    sampled pre-filter (broadcast anti-join) BEFORE the exact window,
+    and the result is identical to the window-only guard: hot family
+    gone, cold pairs intact.  prefilter_sample=1.0 makes the estimate
+    exact so the 2k-row family deterministically triggers at test
+    scale (at 100 TB the default 1% sample sees thousands of rows of
+    any straggler-sized family)."""
+    from oxigraph_spark.pipeline.dedup import (_band_buckets,
+                                               _hot_bucket_keys,
+                                               minhash_lsh_pairs,
+                                               minhash_signatures)
+    n_fam = 2000
+    df = spark.createDataFrame(
+        [(i, "boilerplate header repeated on every single page")
+         for i in range(n_fam)]
+        + [(100000, "another unique document"),
+           (200000, "another unique document")],
+        "id long, text string")
+    capped = minhash_lsh_pairs(df, "text", "id", num_perm=16, bands=4,
+                               max_bucket=10, prefilter_sample=1.0)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert got == {(100000, 200000)}
+    # the pre-filter itself flags the family's bucket keys (all 4 bands)
+    sig = minhash_signatures(df, "text", "id", num_perm=16)
+    buckets = _band_buckets(sig, 16, 4)
+    hot = _hot_bucket_keys(buckets, max_bucket=10, frac=1.0)
+    assert hot.count() >= 4
+    # and at the default 1% sample the same family still triggers
+    hot_sampled = _hot_bucket_keys(buckets, max_bucket=10, frac=0.01)
+    assert hot_sampled.count() >= 1
+
+
 def test_simhash_planted_recall(doubled):
     from oxigraph_spark.pipeline.dedup import simhash_pairs
     pairs = simhash_pairs(doubled, "text", "id", max_hamming=3)
