@@ -125,7 +125,10 @@ def fn_strdt(lex: Column, dt: Column) -> Column:
 
 
 def fn_strlang(lex: Column, lang: Column) -> Column:
-    ok = _is_plain_string(lex) & _is_plain_string(lang)
+    # the tag must be a well-formed (BCP47-shaped, non-empty) language
+    # tag — STRLANG("x", "") is an error, not an empty-tagged literal
+    ok = (_is_plain_string(lex) & _is_plain_string(lang)
+          & lang["lex"].rlike(r"^[A-Za-z]+(-[A-Za-z0-9]+)*$"))
     return F.when(ok, T.lang_lit(lex["lex"], F.lower(lang["lex"]))).otherwise(err())
 
 
@@ -260,21 +263,35 @@ def fn_langmatches(tag: Column, rng: Column) -> Column:
 
 
 def _regex_pattern(pattern: Column, flags: Column = None) -> Column:
+    """XPath regex pattern with flags (§17.4.3.14): ``smix`` map to Java
+    inline flags; ``q`` (match as a literal string) has no Java inline
+    form, so the pattern is wrapped in ``\\Q…\\E`` instead."""
     if flags is None:
         return pattern["lex"]
-    return F.when(F.length(flags["lex"]) > 0,
-                  F.concat(F.lit("(?"), flags["lex"], F.lit(")"), pattern["lex"])) \
-            .otherwise(pattern["lex"])
+    has_q = flags["lex"].contains("q")
+    rest = F.replace(flags["lex"], F.lit("q"), F.lit(""))
+    base = F.when(has_q, F.concat(F.lit("\\Q"), pattern["lex"],
+                                  F.lit("\\E"))).otherwise(pattern["lex"])
+    return F.when(F.length(rest) > 0,
+                  F.concat(F.lit("(?"), rest, F.lit(")"), base)) \
+            .otherwise(base)
+
+
+def _flags_ok(flags: Column = None) -> Column:
+    # an invalid flag char is an evaluation ERROR, not a Java crash
+    return (F.lit(True) if flags is None
+            else flags["lex"].rlike(r"^[smixq]*$"))
 
 
 def fn_regex(text: Column, pattern: Column, flags: Column = None) -> Column:
-    ok = _is_stringish(text) & _is_plain_string(pattern)
+    ok = _is_stringish(text) & _is_plain_string(pattern) & _flags_ok(flags)
     return F.when(ok, bool_term(F.regexp_like(
         text["lex"], _regex_pattern(pattern, flags)))).otherwise(err())
 
 
 def fn_replace(text: Column, pattern: Column, repl: Column, flags: Column = None) -> Column:
-    ok = _is_stringish(text) & _is_plain_string(pattern) & _is_plain_string(repl)
+    ok = (_is_stringish(text) & _is_plain_string(pattern)
+          & _is_plain_string(repl) & _flags_ok(flags))
     out = _same_kind_string(
         text, F.regexp_replace(text["lex"], _regex_pattern(pattern, flags), repl["lex"]))
     return F.when(ok, out).otherwise(err())
@@ -289,7 +306,7 @@ def _rebuild_numeric(src: Column, num: Column, dbl: Column) -> Column:
     is_int = src["datatype"].isin(*T.INTEGER_DATATYPES)
     lex = F.when(is_int, num.cast("long").cast("string")) \
            .when(src["num"].isNotNull(), K._decimal_lex(num)) \
-           .otherwise(dbl.cast("string"))
+           .otherwise(T.double_lex(dbl))
     return T.term_struct(
         T.KIND_LITERAL, lex, datatype=src["datatype"],
         num=F.when(src["num"].isNotNull(), num),
@@ -439,7 +456,13 @@ def _cast_double(t: Column, datatype: str) -> Column:
                            .when(t["lex"] == "-INF", F.lit(float("-inf")))
                            .when(t["lex"] == "NaN", F.lit(float("nan")))
                            .otherwise(t["lex"].cast("double"))))
-    out = T.term_struct(T.KIND_LITERAL, v.cast("string"),
+    # XSD canonical special values are INF/-INF/NaN, not Java's
+    # Infinity/-Infinity (value payload is unaffected either way)
+    lex = (F.when(F.isnan(v), F.lit("NaN"))
+            .when(v == float("inf"), F.lit("INF"))
+            .when(v == float("-inf"), F.lit("-INF"))
+            .otherwise(v.cast("string")))
+    out = T.term_struct(T.KIND_LITERAL, lex,
                         datatype=F.lit(datatype), dbl=v)
     return F.when(v.isNotNull(), out).otherwise(err())
 
@@ -455,10 +478,40 @@ def _cast_boolean(t: Column) -> Column:
     return F.when(v.isNotNull(), T.bool_lit(v)).otherwise(err())
 
 
-def _cast_datetime(t: Column) -> Column:
-    v = F.coalesce(t["ts"],
-                   F.when(_is_plain_string(t), F.to_timestamp(t["lex"])))
-    return F.when(v.isNotNull(), T.datetime_lit(v)).otherwise(err())
+# XPath casting: string sources must match the TARGET type's lexical
+# space exactly (xsd:dateTime("2020-01-01") is an ERROR — no time part);
+# temporal-value sources convert (dateTime→date truncates, date→dateTime
+# anchors at 00:00:00), both keeping the source's timezone.
+_DT_LEX = r"^-?\d{4,}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})?$"
+_DATE_LEX = r"^-?\d{4,}-\d{2}-\d{2}(Z|[+-]\d{2}:\d{2})?$"
+_TIME_LEX = r"^\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})?$"
+
+
+def _cast_datetime(t: Column, datatype: str) -> Column:
+    date_part = F.regexp_extract(t["lex"], r"^(-?\d{4,}-\d{2}-\d{2})", 1)
+    time_part = F.regexp_extract(
+        t["lex"], r"T(\d{2}:\d{2}:\d{2}(?:\.\d+)?)", 1)
+    tz_suf = F.regexp_extract(t["lex"], r"(Z|[+-]\d{2}:\d{2})$", 1)
+    is_lit = t["kind"] == T.KIND_LITERAL
+    is_dt_src = is_lit & (t["datatype"] == T.XSD_DATETIME)
+    is_d_src = is_lit & (t["datatype"] == T.XSD_DATE)
+    if datatype == T.XSD_DATETIME:
+        str_ok = _is_plain_string(t) & t["lex"].rlike(_DT_LEX)
+        conv = (F.when(is_dt_src | str_ok, t["lex"])
+                 .when(is_d_src,
+                       F.concat(date_part, F.lit("T00:00:00"), tz_suf)))
+    elif datatype == T.XSD_DATE:
+        str_ok = _is_plain_string(t) & t["lex"].rlike(_DATE_LEX)
+        conv = (F.when(is_d_src | str_ok, t["lex"])
+                 .when(is_dt_src, F.concat(date_part, tz_suf)))
+    else:                                         # XSD_TIME
+        str_ok = _is_plain_string(t) & t["lex"].rlike(_TIME_LEX)
+        conv = (F.when(is_lit & (t["datatype"] == T.XSD_TIME), t["lex"])
+                 .when(str_ok, t["lex"])
+                 .when(is_dt_src, F.concat(time_part, tz_suf)))
+    out = T.let1(conv, lambda lx: T.make_typed(lx, F.lit(datatype)))
+    return T.let1(out, lambda o: F.when(
+        o["lex"].isNotNull() & o["ts"].isNotNull(), o).otherwise(err()))
 
 
 def fn_cast(datatype: str, t: Column) -> Column:
@@ -470,8 +523,8 @@ def fn_cast(datatype: str, t: Column) -> Column:
         return _cast_double(t, datatype)
     if datatype == T.XSD_BOOLEAN:
         return _cast_boolean(t)
-    if datatype in (T.XSD_DATETIME, T.XSD_DATE):
-        return _cast_datetime(t)
+    if datatype in (T.XSD_DATETIME, T.XSD_DATE, T.XSD_TIME):
+        return _cast_datetime(t, datatype)
     if datatype in T.DURATION_DATATYPES:
         src_dur = (t["kind"] == T.KIND_LITERAL) \
             & t["datatype"].isin(*T.DURATION_DATATYPES)

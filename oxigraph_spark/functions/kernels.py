@@ -327,7 +327,7 @@ def arith_typed(op: str, a: Column, b: Column, nta, ntb) -> Column:
             d = (F.when(db_ != 0.0, da / db_)
                  .when(F.isnan(da) | F.isnan(db_), nan)
                  .when(da > 0, inf).when(da < 0, -inf).otherwise(nan))
-        out = T.term_struct(T.KIND_LITERAL, d.cast("string"),
+        out = T.term_struct(T.KIND_LITERAL, T.double_lex(d),
                             datatype=T._dtlit(T.XSD_DOUBLE), dbl=d)
         return F.when(d.isNotNull(), out).otherwise(_null_term())
     exact = ("integer", "decimal")
@@ -504,7 +504,7 @@ def arith(op: str, a: Column, b: Column) -> Column:
         F.when(dt_exact == T.XSD_INTEGER, nres.cast("long").cast("string"))
          .otherwise(_decimal_lex(nres)),
         datatype=dt_exact, num=nres)
-    dbl_term = T.term_struct(T.KIND_LITERAL, dres.cast("string"),
+    dbl_term = T.term_struct(T.KIND_LITERAL, T.double_lex(dres),
                              datatype=dt_dbl, dbl=dres)
 
     result = F.when(use_double, dbl_term).otherwise(exact_term)

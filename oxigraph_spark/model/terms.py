@@ -226,8 +226,17 @@ def decimal_lit(value: ColumnOrName) -> Column:
 
 def double_lit(value: ColumnOrName) -> Column:
     v = _lit(value).cast("double")
-    return term_struct(KIND_LITERAL, v.cast("string"),
+    return term_struct(KIND_LITERAL, double_lex(v),
                        datatype=_dtlit(XSD_DOUBLE), dbl=v)
+
+
+def double_lex(v: Column) -> Column:
+    """Canonical XSD lexical for a double value: the special values are
+    INF/-INF/NaN, not Java's Infinity strings."""
+    return (F.when(F.isnan(v), F.lit("NaN"))
+             .when(v == float("inf"), F.lit("INF"))
+             .when(v == float("-inf"), F.lit("-INF"))
+             .otherwise(v.cast("string")))
 
 
 def bool_lit(value: ColumnOrName) -> Column:

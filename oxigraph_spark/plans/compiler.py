@@ -1838,8 +1838,7 @@ class Compiler:
         name = e.name.upper() if not e.name.startswith("http") else e.name
         if name == "BOUND":
             return df, self._compile_call(e, env)
-        if name in ("NOW", "RAND", "UUID", "STRUUID") or (
-                name == "BNODE" and not e.args):
+        if name in ("NOW", "RAND", "UUID", "STRUUID", "BNODE"):
             return df, self._compile_call(e, env)
         cols = []
         for a in e.args:
@@ -1946,6 +1945,27 @@ class Compiler:
             return T.str_lit(F.expr("uuid()"))
         if name == "BNODE" and not e.args:
             return T.bnode(F.expr("uuid()"))
+        if name == "BNODE":
+            # BNODE(str): same label + same solution → same bnode,
+            # different solutions → different bnodes (§17.4.2.9).  Row
+            # identity via monotonically_increasing_id — stable per
+            # (partition, row) within the evaluating stage, so two
+            # BNODE("l") references in the same pattern agree; a fresh
+            # per-query nonce keeps labels from colliding across
+            # queries/graphs.
+            lbl = self.compile_expr(e.args[0], env)
+            ok = ((lbl["kind"] == T.KIND_LITERAL)
+                  & (lbl["datatype"] == T.XSD_STRING)
+                  & lbl["lang"].isNull())
+            # per-QUERY nonce (not per-call!): two BNODE("l") references
+            # in the same query must agree for the same row
+            if not hasattr(self, "_bnode_nonce"):
+                self._bnode_nonce = _uuid.uuid4().hex[:8]
+            lex = F.concat(F.lit(f"bl{self._bnode_nonce}x"),
+                           F.md5(lbl["lex"]).substr(1, 16), F.lit("r"),
+                           F.conv(F.monotonically_increasing_id()
+                                  .cast("string"), 10, 16))
+            return F.when(ok, T.bnode(lex)).otherwise(B.err())
         if name.startswith(T.XSD):
             return B.fn_cast(name, self.compile_expr(e.args[0], env))
         fn = B.REGISTRY.get(name)
