@@ -435,6 +435,14 @@ class Parser:
                 elif self.peek().kind == "NAME" and self.peek().value.upper() in (
                         BUILTIN_NAMES | AGG_NAMES):
                     order.append(A.OrderCond(self._builtin_or_function_call()))
+                elif (self.peek().kind in ("IRIREF", "PNAME")
+                        and self.peek(1).kind == "OP"
+                        and self.peek(1).value == "("):
+                    # Constraint ::= … | FunctionCall (iri ArgList) —
+                    # e.g. ORDER BY xsd:integer(?x)
+                    iri = self._iri()
+                    order.append(A.OrderCond(
+                        A.ECall(iri, tuple(self._expr_list()))))
                 else:
                     break
 
@@ -460,7 +468,7 @@ class Parser:
         order: List[A.OrderCond] = []
         if self.at_kw("ORDER"):
             self.next(); self.eat_kw("BY")
-            while self.peek().kind == "VAR" or self.at_kw("ASC", "DESC") or self.at_op("("):
+            while True:
                 if self.at_kw("ASC", "DESC"):
                     asc = self.eat_kw("ASC", "DESC") == "ASC"
                     self.eat_op("(")
@@ -470,8 +478,19 @@ class Parser:
                 elif self.at_op("("):
                     self.next(); e = self._expression(); self.eat_op(")")
                     order.append(A.OrderCond(e))
-                else:
+                elif self.peek().kind == "VAR":
                     order.append(A.OrderCond(A.EVar(self.next().value[1:])))
+                elif self.peek().kind == "NAME" and self.peek().value.upper() in (
+                        BUILTIN_NAMES | AGG_NAMES):
+                    order.append(A.OrderCond(self._builtin_or_function_call()))
+                elif (self.peek().kind in ("IRIREF", "PNAME")
+                        and self.peek(1).kind == "OP"
+                        and self.peek(1).value == "("):
+                    iri = self._iri()
+                    order.append(A.OrderCond(
+                        A.ECall(iri, tuple(self._expr_list()))))
+                else:
+                    break
         if order:
             pattern = A.OrderBy(pattern, tuple(order))
         offset, limit = 0, None

@@ -312,8 +312,14 @@ def to_tsv_document(df: DataFrame, limit: Optional[int] = None) -> str:
 
 
 def parse_json_results(doc: str) -> List[Dict[str, dict]]:
-    """Results JSON parser (sparesults reader analog; for tests/interop)."""
+    """Results JSON parser (sparesults reader analog; for tests/interop).
+    Truncated or non-results documents raise (JSONDecodeError /
+    ValueError) rather than returning an empty binding list."""
     data = json.loads(doc)
+    if (not isinstance(data, dict) or not isinstance(data.get("results"), dict)
+            or not isinstance(data["results"].get("bindings"), list)):
+        raise ValueError(
+            "not a SPARQL results JSON document (missing results.bindings)")
     return data["results"]["bindings"]
 
 
@@ -387,14 +393,22 @@ _TSV_LIT = re.compile(
     r'^"((?:[^"\\]|\\.)*)"(?:@([A-Za-z0-9-]+)|\^\^<([^>]*)>)?$')
 
 
+_TSV_ESCAPES = {"n": "\n", "r": "\r", "t": "\t", '"': '"', "\\": "\\",
+                "'": "'", "b": "\b", "f": "\f"}
+
+
 def _nt_unescape(s: str) -> str:
     out: List[str] = []
     i = 0
     while i < len(s):
         c = s[i]
-        if c == "\\" and i + 1 < len(s):
-            n = s[i + 1]
-            out.append({"n": "\n", "r": "\r", "t": "\t"}.get(n, n))
+        if c == "\\":
+            if i + 1 >= len(s) or s[i + 1] not in _TSV_ESCAPES:
+                # round-8: an unknown escape is a PARSE error, not a
+                # silently-dropped backslash (ECHAR is a closed set)
+                raise ValueError(
+                    f"illegal escape in TSV literal: \\{s[i + 1:i + 2]}")
+            out.append(_TSV_ESCAPES[s[i + 1]])
             i += 2
         else:
             out.append(c)
@@ -408,12 +422,18 @@ def parse_tsv_term(tok: str) -> Optional[dict]:
         return None
     if tok.startswith("<<") and tok.endswith(">>"):
         return _triple_lex_to_json(tok[2:-2].strip())
-    if tok.startswith("<") and tok.endswith(">"):
+    if tok.startswith("<"):
+        if not tok.endswith(">") or any(c in tok[1:-1] for c in '<>" '):
+            raise ValueError(f"malformed TSV IRI token: {tok[:60]!r}")
         return {"type": "uri", "value": tok[1:-1]}
     if tok.startswith("_:"):
         return {"type": "bnode", "value": tok[2:]}
-    m = _TSV_LIT.match(tok)
-    if m:
+    if tok.startswith('"'):
+        m = _TSV_LIT.match(tok)
+        if not m:
+            # unterminated/garbage-suffixed literal is a PARSE error —
+            # the bare-token shorthand below must not swallow it
+            raise ValueError(f"malformed TSV literal token: {tok[:60]!r}")
         d = {"type": "literal", "value": _nt_unescape(m.group(1))}
         if m.group(2):
             d["xml:lang"] = m.group(2)
@@ -434,6 +454,10 @@ def parse_tsv_results(text: str) -> List[Dict[str, dict]]:
     out: List[Dict[str, dict]] = []
     for line in lines[1:]:
         cells = line.split("\t")
+        if len(cells) != len(hdr):
+            raise ValueError(
+                f"TSV row arity {len(cells)} != header arity {len(hdr)}: "
+                f"{line[:60]!r}")
         b = {}
         for var, tok in zip(hdr, cells):
             term = parse_tsv_term(tok)
