@@ -689,8 +689,14 @@ class Parser:
 
     def _triples_block(self, out: List) -> None:
         while True:
+            # TriplesSameSubject ::= VarOrTerm PropertyListNotEmpty
+            #                      | TriplesNode PropertyList
+            # — only [ … ] / ( … ) subjects may omit the predicate list;
+            # a plain term with none used to be SILENTLY DROPPED
+            # ("{ 5 }" parsed as an empty BGP, "1.2.3" as one triple)
+            is_node = self.at_op("[", "(")
             subj = self._graph_node(out)
-            self._property_list(subj, out, required=False)
+            self._property_list(subj, out, required=not is_node)
             if self.at_op("."):
                 self.next()
                 t = self.peek()

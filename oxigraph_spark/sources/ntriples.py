@@ -177,22 +177,22 @@ def _parse_term(raw: Column, canonicalize_qt: bool = False) -> Column:
              .otherwise(lit))
 
 
-def qt_token_len(lex: Column) -> Column:
-    """Length of a quoted-triple token at the start of ``lex`` (which
-    begins with ``<<``).  Exact one-pass char scan as a JVM ``aggregate``
-    over the characters after the opening ``<<``: ``<<``/``>>`` pairs
-    adjust depth, but only OUTSIDE literal strings (escape-aware) and
-    OUTSIDE ``<…>`` IRI tokens (whose ``>`` must not pair with a
-    following ``>``).  Returns the 1-based position of the closing ``>``
-    — the token is ``substr(lex, 1, len)`` — or 0 if unbalanced.
-    Shared by the RDF-star accessors (nested subject split) and the
-    any-depth line tokenizer below."""
+def _qt_scan(lex: Column) -> Column:
+    """Quoted-triple char scan over ``lex`` (which begins with ``<<``):
+    one JVM ``aggregate`` pass in which ``<<``/``>>`` pairs adjust
+    depth, but only OUTSIDE literal strings (escape-aware) and OUTSIDE
+    ``<…>`` IRI tokens (whose ``>`` must not pair with a following
+    ``>``).  Returns the final state struct: ``fin`` is the 1-based
+    position of the closing ``>`` of the leading token (0 if
+    unbalanced), ``maxd`` the maximum nesting depth seen.  Shared by
+    the RDF-star accessors (nested subject split) and the any-depth
+    line tokenizer below."""
     chars = F.split(lex.substr(F.lit(3), F.length(lex)), "")
     init = F.struct(
         F.lit(1).alias("d"), F.lit(2).alias("i"),
         F.lit(False).alias("instr"), F.lit(False).alias("esc"),
         F.lit(False).alias("iniri"), F.lit("").alias("prev"),
-        F.lit(0).alias("fin"))
+        F.lit(0).alias("fin"), F.lit(1).alias("maxd"))
 
     def step(a: Column, c: Column) -> Column:
         i2 = a["i"] + F.lit(1)
@@ -219,10 +219,17 @@ def qt_token_len(lex: Column) -> Column:
                   .otherwise(F.lit("")))
         upd = F.struct(d2.alias("d"), i2.alias("i"), instr2.alias("instr"),
                        esc2.alias("esc"), iniri2.alias("iniri"),
-                       prev2.alias("prev"), fin2.alias("fin"))
+                       prev2.alias("prev"), fin2.alias("fin"),
+                       F.greatest(a["maxd"], d2).alias("maxd"))
         return F.when(a["fin"] > F.lit(0), a).otherwise(upd)
 
-    return F.aggregate(chars, init, step)["fin"]
+    return F.aggregate(chars, init, step)
+
+
+def qt_token_len(lex: Column) -> Column:
+    """Length of the quoted-triple token at the start of ``lex`` —
+    the 1-based position of its closing ``>``, or 0 if unbalanced."""
+    return _qt_scan(lex)["fin"]
 
 
 def _collapse_qt_ws(tok: Column) -> Column:
@@ -295,10 +302,19 @@ def _scan_tokens(v: Column) -> Column:
     ``QT_DEPTH`` are validated by balanced-scan, not full grammar —
     documented trade-off, matching the accessors)."""
     def lead_qt(sub: Column) -> Column:
-        # leading quoted-triple token of ``sub`` ("" if unbalanced)
-        return T.let1(qt_token_len(sub),
-                      lambda n: F.when(n > 0, sub.substr(F.lit(1), n))
-                                 .otherwise(F.lit("")))
+        # leading quoted-triple token of ``sub`` — "" if unbalanced OR
+        # structurally invalid.  Tokens within the regex bound must
+        # full-match the exact grammar (a balanced-but-malformed token
+        # like "<< <a> <b> >>" must NOT sneak through the scan path);
+        # deeper tokens are validated by balanced-scan only (documented
+        # trade-off, matching the accessors).
+        def mk(st: Column) -> Column:
+            tok = sub.substr(F.lit(1), st["fin"])
+            valid = (st["fin"] > 0) & (
+                (st["maxd"] > QT_DEPTH + 1)
+                | F.regexp_like(tok, F.lit(f"^{_T_QT}$")))
+            return F.when(valid, tok).otherwise(F.lit(""))
+        return T.let1(_qt_scan(sub), mk)
 
     def sep_ok(sub: Column, tok: Column) -> Column:
         # the char right after ``tok`` must be whitespace (or end)
