@@ -1359,7 +1359,23 @@ class Compiler:
         return Compiled(df, names, certain)
 
     def _c_Graph(self, n: A.Graph, graph_ctx) -> Compiled:
-        return self.compile_pattern(n.inner, n.name)
+        sol = self.compile_pattern(n.inner, n.name)
+        if isinstance(n.name, A.Var) and n.name.name not in sol.vars:
+            # §13.3: GRAPH ?g P is the union over the dataset's NAMED
+            # graphs of eval(D[n], P) ⋈ {g→n}.  When P contains no quad
+            # pattern (e.g. the empty group), no scan ever binds ?g —
+            # bind it here by crossing with the distinct named-graph
+            # names (dataset-restricted via the same _graph_filter the
+            # scans use).  Named-graph counts are small; the distinct is
+            # one shuffle of g terms only.
+            g = self._graph_filter(self.source.scan(None), n.name)
+            names = g.select(g["g"].alias(n.name.name)).distinct()
+            return Compiled(sol.df.crossJoin(names),
+                            sol.vars | {n.name.name},
+                            sol.certain | {n.name.name},
+                            stypes=dict(sol.stypes),
+                            ntypes=dict(sol.ntypes), ids=dict(sol.ids))
+        return sol
 
     # pluggable federation (J7): mirrors spareval's ServiceHandler
     # (lib/spareval/src/service.rs) — a handler takes (spark, pattern)
