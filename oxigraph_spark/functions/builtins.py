@@ -290,8 +290,12 @@ def fn_regex(text: Column, pattern: Column, flags: Column = None) -> Column:
 
 
 def fn_replace(text: Column, pattern: Column, repl: Column, flags: Column = None) -> Column:
+    # XPath fn:replace err:FORX0003: a pattern that matches the
+    # zero-length string is an evaluation error (Java would happily
+    # interleave the replacement between every char)
     ok = (_is_stringish(text) & _is_plain_string(pattern)
-          & _is_plain_string(repl) & _flags_ok(flags))
+          & _is_plain_string(repl) & _flags_ok(flags)
+          & ~F.regexp_like(F.lit(""), _regex_pattern(pattern, flags)))
     out = _same_kind_string(
         text, F.regexp_replace(text["lex"], _regex_pattern(pattern, flags), repl["lex"]))
     return F.when(ok, out).otherwise(err())

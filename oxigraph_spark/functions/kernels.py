@@ -327,8 +327,17 @@ def arith_typed(op: str, a: Column, b: Column, nta, ntb) -> Column:
             d = (F.when(db_ != 0.0, da / db_)
                  .when(F.isnan(da) | F.isnan(db_), nan)
                  .when(da > 0, inf).when(da < 0, -inf).otherwise(nan))
+        # XPath promotion: double wins, else float + (float|exact) stays
+        # FLOAT (ntype_of lumps float under 'double', so decide from the
+        # runtime datatypes — one comparison per operand)
+        has_dbl = (a["datatype"] == T.XSD_DOUBLE) \
+            | (b["datatype"] == T.XSD_DOUBLE)
+        has_flt = (a["datatype"] == T.XSD_FLOAT) \
+            | (b["datatype"] == T.XSD_FLOAT)
+        dt = F.when(~has_dbl & has_flt, T._dtlit(T.XSD_FLOAT)) \
+              .otherwise(T._dtlit(T.XSD_DOUBLE))
         out = T.term_struct(T.KIND_LITERAL, T.double_lex(d),
-                            datatype=T._dtlit(T.XSD_DOUBLE), dbl=d)
+                            datatype=dt, dbl=d)
         return F.when(d.isNotNull(), out).otherwise(_null_term())
     exact = ("integer", "decimal")
     if nta in exact and ntb in exact:

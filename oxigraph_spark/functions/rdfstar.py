@@ -22,9 +22,10 @@ accessor be a pure JVM regex/substring expression:
   triples) is the remainder, re-parsed by the shared N-Triples token
   parser, which rebuilds the full typed payload for literals.
 
-TRIPLE()/SUBJECT/PREDICATE/OBJECT are exact at ANY nesting depth.  Only
-the N-Triples LINE reader bounds nesting (``ntriples.QT_DEPTH``, regex
-unrolling — see there).
+TRIPLE()/SUBJECT/PREDICATE/OBJECT are exact at ANY nesting depth, and
+since round 8 so is the N-Triples LINE reader (its bounded regex is
+only the fast path; deeper lines fall through to the same char-scan —
+``ntriples._scan_tokens``).
 """
 
 from __future__ import annotations

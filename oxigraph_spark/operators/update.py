@@ -6,9 +6,11 @@ Our execution model is Spark-native batch: each operation produces a NEW
 quads DataFrame from the old one (union / left_anti / filter) — RDF graphs
 are sets, so inserts dedup and deletes anti-join on term identity.
 
-No ACID: plain-parquet single-writer semantics (documented; Delta Lake
-would supply OCC if needed).  At 100 TB each op is one shuffle-free
-union or one anti-join on the narrow term_key.
+Durability: an in-memory ``MutableQuadSource`` is single-session;
+``sources.quad_store.TransactionalQuadStore`` adds serializable
+multi-writer commits (manifest CAS + ``update_with_retry`` backoff —
+r6/r7).  At 100 TB each op is one shuffle-free union or one anti-join
+on the narrow term_key.
 """
 
 from __future__ import annotations

@@ -30,7 +30,11 @@ def get_spark(app: str = "oxigraph-spark", shuffle_partitions: int | None = None
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 16g default (r8): one long-lived local JVM accumulates plan
+        # state across hundreds of test queries (the 380-entry manifest
+        # suite + fuzz in one session tipped 8g); env-overridable, and a
+        # real cluster sets its own driver sizing anyway
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         # static conf: Python-side call-site capture off (see configure())
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
