@@ -243,6 +243,9 @@ def test_service_handler(spark, nt_path):
           SERVICE SILENT <urn:svc:missing> { ?y <urn:p> ?x }
         }""")
     assert df2.count() == 1
+    # don't leak the handler into later tests (SERVICE ?var ranges over
+    # the registered set, so a leftover registration changes results)
+    Compiler.SERVICE_HANDLERS.pop("urn:svc:test", None)
 
 
 def test_variable_service_target(spark, nt_path):

@@ -117,6 +117,23 @@ def _store_for(spark, data_file):
     return _DATA_STORES[data_file]
 
 
+@pytest.fixture(autouse=True)
+def _no_leaked_service_handlers():
+    """SERVICE ?var deliberately ranges over REGISTERED endpoint
+    handlers (engine extension) — but other test modules register
+    handlers into the class-level dict, which made the
+    service-silent-var-endpoint entry order-dependent in the full
+    suite.  Run the manifest against a clean registry, restore after."""
+    from oxigraph_spark.plans.compiler import Compiler
+    saved = dict(Compiler.SERVICE_HANDLERS)
+    Compiler.SERVICE_HANDLERS.clear()
+    try:
+        yield
+    finally:
+        Compiler.SERVICE_HANDLERS.clear()
+        Compiler.SERVICE_HANDLERS.update(saved)
+
+
 def test_manifest_suite(spark):
     from oxigraph_spark.algebra.parser import ParseError, parse_query
     from oxigraph_spark.operators.canonicalize import isomorphic
