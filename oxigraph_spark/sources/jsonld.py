@@ -47,6 +47,10 @@ class _Ctx:
     def ref(self, ident: str):
         """``@id`` string → term (``_:`` labels relabel through the
         per-document prefix so files never collide)."""
+        if not isinstance(ident, str):
+            raise ValueError(
+                f"@id must be a string, got {type(ident).__name__}: "
+                f"{ident!r}")
         if ident.startswith("_:"):
             if ident not in self.relabel:
                 self.relabel[ident] = self.bnode()
@@ -137,7 +141,8 @@ def _object(v, ctx: _Ctx, out: List[Triple], graph):
 def _value(v: dict):
     val = v["@value"]
     if "@language" in v:
-        return A.Literal(str(val), lang=v["@language"])
+        # RDF 1.1: language-tag value space is lowercase
+        return A.Literal(str(val), lang=str(v["@language"]).lower())
     dt = v.get("@type")
     if isinstance(val, bool):
         return A.Literal("true" if val else "false",

@@ -147,7 +147,11 @@ def _parse_term(raw: Column, canonicalize_qt: bool = False) -> Column:
     lex_iri = raw.substr(F.lit(2), F.length(raw) - 2)
     # literal parts
     quoted = F.regexp_extract(raw, r'^"((?:[^"\\]|\\.)*)"', 1)
-    lang = F.nullif(F.regexp_extract(raw, r'"@([A-Za-z0-9-]+)$', 1), F.lit(""))
+    # language tags normalize to LOWERCASE on read (RDF 1.1: the value
+    # space is lowercase, so "x"@FR and "x"@fr are the SAME term — raw
+    # case made them distinct, splitting DISTINCT/joins across files)
+    lang = F.nullif(F.lower(F.regexp_extract(raw, r'"@([A-Za-z0-9-]+)$', 1)),
+                    F.lit(""))
     dtype = F.nullif(F.regexp_extract(raw, r'\^\^<([^>]*)>$', 1), F.lit(""))
     dt = F.coalesce(
         dtype,

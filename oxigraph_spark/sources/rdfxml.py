@@ -86,7 +86,10 @@ def _resolve(iri: str, base: Optional[str]) -> str:
 
 
 def _scoped(el, lang: Optional[str], base: Optional[str]):
-    return (el.get(_X + "lang", lang) or None,
+    own = el.get(_X + "lang")
+    if own is not None:
+        lang = own.lower() or None   # RDF 1.1: lowercase value space
+    return (lang or None,
             el.get(_X + "base", base))
 
 
@@ -107,12 +110,18 @@ def parse_rdfxml(text: str, base: Optional[str] = None,
 
 def _subject_of(el, ctx: _Ctx, base: Optional[str]):
     about = el.get(_R + "about")
+    rid = el.get(_R + "ID")
+    nid = el.get(_R + "nodeID")
+    if sum(x is not None for x in (about, rid, nid)) > 1:
+        # the grammar allows AT MOST ONE of rdf:about / rdf:ID /
+        # rdf:nodeID on a node element
+        raise ValueError(
+            "node element carries more than one of rdf:about/rdf:ID/"
+            f"rdf:nodeID ({el.tag})")
     if about is not None:
         return A.NamedNode(_resolve(about, base))
-    rid = el.get(_R + "ID")
     if rid is not None:
         return A.NamedNode(_resolve("#" + rid, base))
-    nid = el.get(_R + "nodeID")
     if nid is not None:
         return A.BlankNode(nid)
     return ctx.bnode()

@@ -38,7 +38,8 @@ def main() -> None:
         try:
             if rf == "-":  # negative syntax (query or rdf doc)
                 try:
-                    if qf.endswith((".ttl", ".trig", ".nt", ".nq")):
+                    if qf.endswith((".ttl", ".trig", ".nt", ".nq",
+                                    ".rdf", ".xml", ".jsonld")):
                         load_rdf(spark, os.path.join(HERE, qf)).collect()
                     else:
                         from oxigraph_spark.algebra.parser import (
