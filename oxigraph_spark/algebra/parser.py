@@ -58,18 +58,20 @@ def resolve_iri(base: Optional[str], iri: str) -> str:
 
 TOKEN_RE = re.compile(r"""
     (?P<WS>\s+|\#[^\n]*)
-  | (?P<IRIREF><[^<>"{}|^`\\\s]*>)
+  | (?P<IRIREF><(?:[^<>"{}|^`\\\s]|\\[uU][0-9A-Fa-f]+)*>)
   | (?P<STRING_LONG1>'''(?:[^'\\]|\\.|'(?!''))*''')
   | (?P<STRING_LONG2>\"\"\"(?:[^"\\]|\\.|"(?!""))*\"\"\")
   | (?P<STRING1>'(?:[^'\\\n]|\\.)*')
   | (?P<STRING2>"(?:[^"\\\n]|\\.)*")
-  | (?P<BLANK>_:[A-Za-z0-9_][A-Za-z0-9_.-]*)
+  | (?P<BLANK>_:[A-Za-z0-9_](?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?)
   | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
   | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
-  | (?P<DOUBLE>[0-9]*\.?[0-9]+[eE][+-]?[0-9]+)
-  | (?P<DECIMAL>[0-9]*\.[0-9]+)
-  | (?P<INTEGER>[0-9]+)
-  | (?P<PNAME>(?:[A-Za-z_][A-Za-z0-9_.-]*)?:(?:[A-Za-z0-9_:%\-.]*[A-Za-z0-9_:%\-])?)
+  | (?P<DOUBLE>[+-]?(?:[0-9]+\.[0-9]*|\.[0-9]+|[0-9]+)[eE][+-]?[0-9]+)
+  | (?P<DECIMAL>[+-]?[0-9]*\.[0-9]+)
+  | (?P<INTEGER>[+-]?[0-9]+)
+  | (?P<PNAME>(?:[A-Za-z_][A-Za-z0-9_.-]*)?:
+      (?:(?:[A-Za-z0-9_:%\-.]|\\[_~.!$&'()*+,;=/?#@%-])*
+         (?:[A-Za-z0-9_:%\-]|\\[_~.!$&'()*+,;=/?#@%-]))?)
   | (?P<NAME>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<OP>\^\^|&&|\{\||\|\}|\|\||!=|<=|>=|<<|>>|[{}()\[\],;.^|/*+?!=<>-])
 """, re.VERBOSE)
@@ -137,6 +139,37 @@ def _unescape(s: str) -> str:
     return "".join(out)
 
 
+def _decode_iri_uchar(s: str) -> str:
+    """Decode UCHAR (``\\uXXXX`` / ``\\UXXXXXXXX``) escapes inside an
+    IRIREF — the only escapes the IRIREF production admits.  The decoded
+    character must itself be legal in an IRIREF (no control/space/
+    bracket characters), matching the reference's checked IRI parse."""
+    out: List[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c != "\\":
+            out.append(c); i += 1; continue
+        kind = s[i + 1:i + 2]
+        width = 4 if kind == "u" else 8 if kind == "U" else 0
+        hx = s[i + 2:i + 2 + width]
+        if not width or len(hx) != width or any(
+                ch not in "0123456789abcdefABCDEF" for ch in hx):
+            raise ParseError(f"invalid \\{kind or ''} escape in IRIREF")
+        cp = int(hx, 16)
+        if cp > 0x10FFFF or 0xD800 <= cp <= 0xDFFF:
+            raise ParseError(f"\\{kind} escape outside Unicode scalar "
+                             f"range in IRIREF")
+        ch = chr(cp)
+        if cp <= 0x20 or ch in '<>"{}|^`\\':
+            raise ParseError(
+                f"\\{kind} escape decodes to a character illegal in an "
+                f"IRIREF: U+{cp:04X}")
+        out.append(ch)
+        i += 2 + width
+    return "".join(out)
+
+
 AGG_NAMES = {"COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT"}
 
 BUILTIN_NAMES = {
@@ -178,6 +211,10 @@ class Parser:
         # triples with variables stay QuotedTriple terms (constructed at
         # runtime via TRIPLE()) instead of being lowered to pattern vars
         self._template_depth = 0
+        # True while parsing a DATA document (Turtle/TriG reuse this
+        # parser): enables Turtle-only strictness (case-sensitive
+        # booleans) that SPARQL's case-insensitive keywords forbid
+        self.data_mode = False
         # FROM / FROM NAMED iris (top-level query dataset)
         self._from_graphs: List[str] = []
         self._from_named: List[str] = []
@@ -252,7 +289,10 @@ class Parser:
         t = self.next()
         if t.kind != "IRIREF":
             raise ParseError(f"expected IRIREF, got {t}")
-        return resolve_iri(self.base, t.value[1:-1])
+        raw = t.value[1:-1]
+        if "\\" in raw:
+            raw = _decode_iri_uchar(raw)
+        return resolve_iri(self.base, raw)
 
     # -- query forms -----------------------------------------------------
 
@@ -450,11 +490,12 @@ class Parser:
         while self.at_kw("LIMIT", "OFFSET"):
             kw = self.eat_kw("LIMIT", "OFFSET")
             tok = self.next()
-            try:
-                n = int(tok.value)
-            except ValueError:
+            # the grammar takes the unsigned INTEGER token only — a
+            # signed count ("LIMIT -1", now one token) must reject
+            if tok.kind != "INTEGER" or tok.value[0] in "+-":
                 raise ParseError(
                     f"{kw} requires a non-negative INTEGER, got {tok.value!r}")
+            n = int(tok.value)
             if kw == "LIMIT":
                 limit = n
             else:
@@ -497,11 +538,12 @@ class Parser:
         while self.at_kw("LIMIT", "OFFSET"):
             kw = self.eat_kw("LIMIT", "OFFSET")
             tok = self.next()
-            try:
-                n = int(tok.value)
-            except ValueError:
+            # the grammar takes the unsigned INTEGER token only — a
+            # signed count ("LIMIT -1", now one token) must reject
+            if tok.kind != "INTEGER" or tok.value[0] in "+-":
                 raise ParseError(
                     f"{kw} requires a non-negative INTEGER, got {tok.value!r}")
+            n = int(tok.value)
             if kw == "LIMIT":
                 limit = n
             else:
@@ -864,22 +906,19 @@ class Parser:
         if t.kind in ("STRING1", "STRING2", "STRING_LONG1", "STRING_LONG2"):
             return self._rdf_literal()
         if t.kind in ("INTEGER", "DECIMAL", "DOUBLE"):
+            # signs are part of the token (SPARQL INTEGER_POSITIVE etc.);
+            # the lexical form is preserved exactly as written ("+2E-1")
             self.next()
             dt = {"INTEGER": XSD + "integer", "DECIMAL": XSD + "decimal",
                   "DOUBLE": XSD + "double"}[t.kind]
             return A.Literal(t.value, datatype=dt)
-        if self.at_op("-", "+"):
-            sign = self.next().value
-            n = self.next()
-            if n.kind not in ("INTEGER", "DECIMAL", "DOUBLE"):
-                raise ParseError(
-                    f"expected numeric literal after {sign!r}, got {n} "
-                    f"at {n.pos}")
-            dt = {"INTEGER": XSD + "integer", "DECIMAL": XSD + "decimal",
-                  "DOUBLE": XSD + "double"}[n.kind]
-            lex = n.value if sign == "+" else "-" + n.value
-            return A.Literal(lex, datatype=dt)
         if t.kind == "NAME" and t.value.upper() in ("TRUE", "FALSE"):
+            # SPARQL keywords are case-insensitive; Turtle booleans are
+            # NOT ('TRUE' is a syntax error in data documents)
+            if self.data_mode and t.value not in ("true", "false"):
+                raise ParseError(
+                    f"Turtle boolean literals are case-sensitive: "
+                    f"{t.value!r} at {t.pos}")
             self.next()
             return A.Literal(t.value.lower(), datatype=XSD + "boolean")
         raise ParseError(f"expected RDF term, got {t} at {t.pos}")
@@ -1044,10 +1083,27 @@ class Parser:
 
     def _additive(self) -> A.Expression:
         left = self._multiplicative()
-        while self.at_op("+", "-"):
-            op = self.next().value
-            left = A.EOp(op, (left, self._multiplicative()))
-        return left
+        while True:
+            if self.at_op("+", "-"):
+                op = self.next().value
+                left = A.EOp(op, (left, self._multiplicative()))
+            elif (self.peek().kind in ("INTEGER", "DECIMAL", "DOUBLE")
+                  and self.peek().value[0] in "+-"):
+                # SPARQL grammar quirk: "?x-1" lexes as VAR INTEGER(-1)
+                # (signs are part of numeric tokens); AdditiveExpression
+                # admits NumericLiteralPositive/Negative as an implicit
+                # addend, optionally continued by '*'/'/' UnaryExpression
+                t = self.next()
+                dt = {"INTEGER": XSD + "integer",
+                      "DECIMAL": XSD + "decimal",
+                      "DOUBLE": XSD + "double"}[t.kind]
+                rhs: A.Expression = A.ETerm(A.Literal(t.value, datatype=dt))
+                while self.at_op("*", "/"):
+                    op = self.next().value
+                    rhs = A.EOp(op, (rhs, self._unary()))
+                left = A.EOp("+", (left, rhs))
+            else:
+                return left
 
     def _multiplicative(self) -> A.Expression:
         left = self._unary()

@@ -170,17 +170,23 @@ def fn_substr(t: Column, start: Column, length: Column = None) -> Column:
     # XPath applies fn:round (half toward +inf) to BOTH args before the
     # window arithmetic: substring("12345", 1.6) = "2345".  floor(x+0.5)
     # is exactly fn:round for all signs (HALF_UP differs at -n.5).
-    pos = F.floor(start["num"] + F.lit(0.5)).cast("int")
+    # xsd:double/xsd:float args carry their value in dbl with num NULL,
+    # so coalesce across both; a non-numeric arg is an evaluation ERROR.
+    start_v = F.coalesce(start["num"].cast("double"), start["dbl"])
+    pos = F.floor(start_v + F.lit(0.5)).cast("int")
+    args_ok = T.is_numeric(start)
     if length is not None:
-        end = pos + F.floor(length["num"] + F.lit(0.5)).cast("int")  # exclusive
+        len_v = F.coalesce(length["num"].cast("double"), length["dbl"])
+        end = pos + F.floor(len_v + F.lit(0.5)).cast("int")  # exclusive
         clamped = F.greatest(pos, F.lit(1))
         ln = F.greatest(end - clamped, F.lit(0))
         out_lex = t["lex"].substr(clamped, ln)
+        args_ok = args_ok & T.is_numeric(length)
     else:
         out_lex = t["lex"].substr(F.greatest(pos, F.lit(1)),
                                   F.lit(2 ** 31 - 1))
     out = _same_kind_string(t, out_lex)
-    return F.when(_is_stringish(t), out).otherwise(err())
+    return F.when(_is_stringish(t) & args_ok, out).otherwise(err())
 
 
 def fn_ucase(t: Column) -> Column:
@@ -270,7 +276,11 @@ def _regex_pattern(pattern: Column, flags: Column = None) -> Column:
         return pattern["lex"]
     has_q = flags["lex"].contains("q")
     rest = F.replace(flags["lex"], F.lit("q"), F.lit(""))
-    base = F.when(has_q, F.concat(F.lit("\\Q"), pattern["lex"],
+    # a literal "\E" inside the pattern would terminate the \Q quote and
+    # leak the remainder as live regex — re-quote around it exactly the
+    # way java.util.regex.Pattern.quote does (\E -> \E\\E\Q)
+    quotable = F.replace(pattern["lex"], F.lit("\\E"), F.lit("\\E\\\\E\\Q"))
+    base = F.when(has_q, F.concat(F.lit("\\Q"), quotable,
                                   F.lit("\\E"))).otherwise(pattern["lex"])
     return F.when(F.length(rest) > 0,
                   F.concat(F.lit("(?"), rest, F.lit(")"), base)) \

@@ -99,9 +99,14 @@ class MutableQuadSource:
     target of update operations."""
 
     def __init__(self, spark: SparkSession, df: DataFrame,
-                 key_width: int = 64):
+                 key_width: int = 64, dedup: bool = True):
         self.spark = spark
-        self.df = df
+        # an RDF dataset is a SET of quads: a statement written twice in
+        # a document is ONE triple, so BGP scans must never see the
+        # duplicate (round-9 — updates already held the invariant via
+        # distinct()/anti-joins; the initial load did not).  Callers
+        # that already hold a deduplicated frame pass dedup=False.
+        self.df = df.dropDuplicates() if dedup else df
         # identity-key width the compiler uses over this source (64 =
         # compact single-xxhash64 longs, model.terms.join_key64 —
         # the default; 128 = struct double-hash fallback)
@@ -117,8 +122,11 @@ class MutableQuadSource:
         # re-reads the full per-predicate union from parquet.  Inherit
         # the source's key width so Store.update keeps the same
         # dictionary mode end to end.
+        # dedup=False: engine sources hold the set invariant already
+        # (direct mapping is relational-unique; ParquetQuadStore.write
+        # dedups at ingest; this class dedups raw frames on __init__)
         return cls(spark, source.quads().transform(pin_eager),
-                   key_width=getattr(source, "key_width", 64))
+                   key_width=getattr(source, "key_width", 64), dedup=False)
 
     def scan(self, p_lex: Optional[str] = None) -> DataFrame:
         df = self.df

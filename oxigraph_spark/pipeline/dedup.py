@@ -17,7 +17,9 @@ sizes, so results are oracle-checkable.
 
 from __future__ import annotations
 
-from typing import List, Optional
+import threading as _threading
+from collections import deque as _deque
+from typing import Deque, List, Optional
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 from ..session import pin
@@ -144,18 +146,29 @@ def minhash_signature(shingle_col: Column, num_perm: int = 32) -> Column:
 
 
 # Signature tables cached by the two minhash_lsh_pairs entry points.
-# Each call releases the PREVIOUS call's cache, so repeated invocations
-# in one session hold at most one extra table instead of leaking a
+# A bounded FIFO: each call registers its persisted table and evicts the
+# OLDEST entries beyond the cap, so repeated invocations in one session
+# hold at most _SIG_CACHE_CAP extra tables instead of leaking a
 # MEMORY_AND_DISK entry per call (DataFrame persist is never GC-cleaned).
-# A pairs DataFrame from an earlier call stays CORRECT after its cache
-# is released — it just recomputes signatures on next execution.
-_SIG_CACHE: List[DataFrame] = []
+# The lock + cap>1 make the cache safe under server.py's concurrent
+# queries (round-9): with the old one-slot swap, two simultaneous dedup
+# requests would unpersist each other's in-flight signature table.  A
+# pairs DataFrame from an evicted call stays CORRECT — it just
+# recomputes signatures on next execution.
+_SIG_LOCK = _threading.Lock()
+_SIG_CACHE: Deque[DataFrame] = _deque()
+_SIG_CACHE_CAP = 4
 
 
 def _persist_sig(sig: DataFrame) -> DataFrame:
-    while _SIG_CACHE:
-        _SIG_CACHE.pop().unpersist()
-    _SIG_CACHE.append(sig.persist())
+    sig.persist()
+    with _SIG_LOCK:
+        _SIG_CACHE.append(sig)
+        evict = []
+        while len(_SIG_CACHE) > _SIG_CACHE_CAP:
+            evict.append(_SIG_CACHE.popleft())
+    for old in evict:
+        old.unpersist()
     return sig
 
 

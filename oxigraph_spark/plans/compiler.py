@@ -1964,11 +1964,16 @@ class Compiler:
         if name == "BNODE":
             # BNODE(str): same label + same solution → same bnode,
             # different solutions → different bnodes (§17.4.2.9).  Row
-            # identity via monotonically_increasing_id — stable per
-            # (partition, row) within the evaluating stage, so two
-            # BNODE("l") references in the same pattern agree; a fresh
-            # per-query nonce keeps labels from colliding across
-            # queries/graphs.
+            # identity is a DETERMINISTIC hash of the solution's bound
+            # term columns (xxhash64 over the TERM structs), so two
+            # BNODE("l") references agree even when they evaluate in
+            # different projections/stages, under lazily-evaluated
+            # branches, or across a task retry — unlike a
+            # monotonically_increasing_id nonce, which is per-instance
+            # and nondeterministic under recompute.  A solution mapping
+            # is a function Var→Term, so duplicate rows ARE the same
+            # mapping and correctly share a bnode.  A fresh per-query
+            # nonce keeps labels from colliding across queries/graphs.
             lbl = self.compile_expr(e.args[0], env)
             ok = ((lbl["kind"] == T.KIND_LITERAL)
                   & (lbl["datatype"] == T.XSD_STRING)
@@ -1977,10 +1982,11 @@ class Compiler:
             # in the same query must agree for the same row
             if not hasattr(self, "_bnode_nonce"):
                 self._bnode_nonce = _uuid.uuid4().hex[:8]
+            row_key = (F.xxhash64(*[env[v] for v in sorted(env)])
+                       if env else F.lit(0).cast("bigint"))
             lex = F.concat(F.lit(f"bl{self._bnode_nonce}x"),
                            F.md5(lbl["lex"]).substr(1, 16), F.lit("r"),
-                           F.conv(F.monotonically_increasing_id()
-                                  .cast("string"), 10, 16))
+                           F.lower(F.hex(row_key)))
             return F.when(ok, T.bnode(lex)).otherwise(B.err())
         if name.startswith(T.XSD):
             return B.fn_cast(name, self.compile_expr(e.args[0], env))

@@ -388,7 +388,8 @@ def parse_token(raw: Column) -> Column:
 
 
 def read_ntriples(spark: SparkSession, path: str,
-                  quads: bool = False, lenient: bool = False) -> DataFrame:
+                  quads: bool = False, lenient: bool = False,
+                  eager: bool = False) -> DataFrame:
     """Parse N-Triples (or N-Quads with ``quads=True``) into a quads
     DataFrame (s, p, o, g).
 
@@ -399,12 +400,54 @@ def read_ntriples(spark: SparkSession, path: str,
     fused into the parse itself (``F.raise_error`` on malformed rows
     inside the one projection), so strict mode costs ZERO extra passes
     — the error surfaces when the returned frame is first computed,
-    carrying the offending line.  ``lenient=True`` restores the
-    drop-malformed behavior (the reference's ``unchecked()`` path) for
-    dirty corpora and is the streaming ingest default (a stream can't
-    usefully abort mid-batch)."""
-    return parse_nt_lines(spark.read.text(path), quads=quads,
-                          strict=not lenient)
+    carrying the offending line.  Because the check is LAZY, it is only
+    guaranteed to fire on full materialization: a partial action
+    (``take``/``limit`` early-exit, or a user predicate the optimizer
+    evaluates ahead of the parse filter) can complete without touching
+    the malformed rows.  The LOAD path pins (full materialization) and
+    so always surfaces errors; for ad-hoc reads that need an up-front
+    guarantee, pass ``eager=True`` to spend one extra validation scan
+    (early-exits on the first malformed line) before returning.
+    ``lenient=True`` restores the drop-malformed behavior (the
+    reference's ``unchecked()`` path) for dirty corpora and is the
+    streaming ingest default (a stream can't usefully abort
+    mid-batch)."""
+    lines = spark.read.text(path)
+    if eager and not lenient:
+        bad = malformed_nt_lines(lines).take(1)
+        if bad:
+            raise ValueError(
+                f"malformed N-{'Quads' if quads else 'Triples'} line: "
+                f"{bad[0]['value'][:120]} "
+                f"(pass lenient=True to drop malformed lines)")
+    return parse_nt_lines(lines, quads=quads, strict=not lenient)
+
+
+def _tokenize_line() -> Column:
+    """value → struct(rs, rp, ro, rg): the bounded ``_LINE`` regex (one
+    JVM pass); lines bearing ``<<`` that the bounded regex misses fall
+    through to the exact char-scan tokenizer, so RDF-star statements
+    parse at ANY nesting depth."""
+    rx = F.regexp_extract("value", _LINE, 1)
+    return F.when(
+        (rx == "") & F.col("value").contains("<<"),
+        _scan_tokens(F.col("value"))
+    ).otherwise(F.struct(
+        F.regexp_extract("value", _LINE, 1).alias("rs"),
+        F.regexp_extract("value", _LINE, 2).alias("rp"),
+        F.regexp_extract("value", _LINE, 3).alias("ro"),
+        F.regexp_extract("value", _LINE, 4).alias("rg")))
+
+
+def malformed_nt_lines(lines: DataFrame) -> DataFrame:
+    """Frame of lines that are neither a statement, a comment, nor
+    blank — the eager-validation scan behind ``read_ntriples(...,
+    eager=True)``.  Same tokenizer as the parse itself (bounded regex
+    with the char-scan RDF-star fallback), so the two passes agree."""
+    tok0 = _tokenize_line()
+    v = F.trim(F.col("value"))
+    bad = (v != "") & ~v.startswith("#") & (tok0["rs"] == "")
+    return lines.where(bad)
 
 
 def parse_nt_lines(lines: DataFrame, quads: bool = False,
@@ -419,16 +462,7 @@ def parse_nt_lines(lines: DataFrame, quads: bool = False,
     the exact char-scan tokenizer, so RDF-star statements parse at ANY
     nesting depth.  ``strict=True`` raises (lazily, in-pass) on any
     non-comment non-blank line that still fails both."""
-    rx = F.regexp_extract("value", _LINE, 1)
-    tok0 = F.when(
-        (rx == "") & F.col("value").contains("<<"),
-        _scan_tokens(F.col("value"))
-    ).otherwise(F.struct(
-        F.regexp_extract("value", _LINE, 1).alias("rs"),
-        F.regexp_extract("value", _LINE, 2).alias("rp"),
-        F.regexp_extract("value", _LINE, 3).alias("ro"),
-        F.regexp_extract("value", _LINE, 4).alias("rg")))
-    parts = lines.select("value", tok0.alias("tok"))
+    parts = lines.select("value", _tokenize_line().alias("tok"))
     if strict:
         v = F.trim(F.col("value"))
         bad = (v != "") & ~v.startswith("#") & (F.col("tok")["rs"] == "")

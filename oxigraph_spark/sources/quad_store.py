@@ -47,7 +47,8 @@ class ParquetQuadStore:
     def write(df: DataFrame, path: str,
               sort_in_partition: bool = True,
               with_keys: bool = True,
-              key_width: int = 64) -> None:
+              key_width: int = 64,
+              dedup: bool = True) -> None:
         """Write quads (s,p,o,g) partitioned by predicate.
 
         At 100 TB you run this once per ingest batch; repartitioning by
@@ -68,6 +69,14 @@ class ParquetQuadStore:
         keys of repeated terms dictionary-encode well) for corpora
         beyond that — read back with the SAME ``key_width``."""
         from . import dictionary as D
+        if dedup:
+            # an RDF dataset is a SET of quads — duplicate statements in
+            # the ingested documents are one triple (the reference's
+            # store insert dedups via its index structure; here it costs
+            # one extra exchange at ingest, never at query time).  Pass
+            # dedup=False when the input is already a set (relational
+            # exports, a re-layout of an existing store).
+            df = df.dropDuplicates()
         keyed = df.withColumn(
             "p_part",
             F.concat(

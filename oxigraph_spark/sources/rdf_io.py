@@ -296,9 +296,13 @@ def _parse_turtle_triples(body: str, prefixes: dict,
     from ..plans.compiler import _term_to_py
     if require_dot:
         _require_final_dot(body)
-    p = Parser("{" + body + "}")
+    # the trailing newline keeps a final '#' comment in the document
+    # from swallowing the closing brace (round-9: a trailing comment
+    # made the whole block a parse error)
+    p = Parser("{" + body + "\n}")
     p.base = base
     p.prefixes.update(prefixes)
+    p.data_mode = True
     pattern = p._group_graph_pattern()
     triples: List[Tuple] = []
     if isinstance(pattern, A.BGP):
@@ -318,6 +322,18 @@ def _parse_turtle_triples(body: str, prefixes: dict,
                 triples.append((_term_to_py(ground(tp.s)),
                                 _term_to_py(ground(tp.p)),
                                 _term_to_py(ground(tp.o))))
+            else:
+                # the SPARQL grammar this parser reuses also matches
+                # property paths (":s :p+ :o"); those are NOT Turtle —
+                # rejecting here keeps an illegal statement from being
+                # silently dropped (round-9: ":s :p +2E-1 ." parsed as
+                # the path ":p+" and vanished)
+                raise ParseError(
+                    f"not a Turtle statement: {type(tp).__name__} "
+                    f"(property paths are not valid in data documents)")
+    else:
+        raise ParseError(
+            f"not Turtle statement text: parsed as {type(pattern).__name__}")
     return triples
 
 
@@ -344,6 +360,12 @@ def _require_final_dot(body: str) -> None:
         elif ch in " \t\r\n":
             i += 1
         else:
+            if (ch == "." and last in ("", ".")
+                    and not body[i + 1:i + 2].isdigit()):
+                # a statement terminator with no statement before it
+                # ('.' alone, or '..') — the SPARQL group grammar
+                # downstream would silently tolerate it (round-9)
+                raise ParseError("empty Turtle statement (bare '.')")
             last = ch
             i += 1
     if last and last != ".":

@@ -60,6 +60,7 @@ class _Ctx:
         self.prefix = bnode_prefix
         self.n = 0
         self.li: dict = {}  # element id → next rdf:li ordinal
+        self.ids: set = set()  # resolved rdf:ID IRIs (must be unique)
 
     def bnode(self) -> A.BlankNode:
         self.n += 1
@@ -69,6 +70,22 @@ class _Ctx:
         k = id(node_el)
         self.li[k] = self.li.get(k, 0) + 1
         return f"{RDF_NS}_{self.li[k]}"
+
+
+_NCNAME_RE = re.compile(r"^[^\d\W][\w.\-]*$", re.UNICODE)
+
+
+def _rdf_id_iri(ctx: _Ctx, rid: str, base: Optional[str]) -> str:
+    """Validate + resolve an ``rdf:ID`` value: must be an XML NCName
+    (``rdf-id`` production), and each (base, ID) pair may appear at most
+    once per document."""
+    if not _NCNAME_RE.match(rid):
+        raise ValueError(f"rdf:ID value is not an XML NCName: {rid!r}")
+    iri = _resolve("#" + rid, base)
+    if iri in ctx.ids:
+        raise ValueError(f"duplicate rdf:ID in document: {rid!r}")
+    ctx.ids.add(iri)
+    return iri
 
 
 def _tag_iri(tag: str) -> str:
@@ -121,7 +138,7 @@ def _subject_of(el, ctx: _Ctx, base: Optional[str]):
     if about is not None:
         return A.NamedNode(_resolve(about, base))
     if rid is not None:
-        return A.NamedNode(_resolve("#" + rid, base))
+        return A.NamedNode(_rdf_id_iri(ctx, rid, base))
     if nid is not None:
         return A.BlankNode(nid)
     return ctx.bnode()
@@ -200,7 +217,7 @@ def _property_element(subj, el, node_el, ctx: _Ctx, out: List[Triple],
 
     rid = el.get(_R + "ID")
     if rid is not None:  # statement reification
-        st = A.NamedNode(_resolve("#" + rid, base))
+        st = A.NamedNode(_rdf_id_iri(ctx, rid, base))
         out.extend([
             (st, A.NamedNode(RDF_NS + "type"),
              A.NamedNode(RDF_NS + "Statement")),

@@ -320,7 +320,27 @@ def parse_json_results(doc: str) -> List[Dict[str, dict]]:
             or not isinstance(data["results"].get("bindings"), list)):
         raise ValueError(
             "not a SPARQL results JSON document (missing results.bindings)")
-    return data["results"]["bindings"]
+    bindings = data["results"]["bindings"]
+    for row in bindings:
+        if isinstance(row, dict):
+            for term in row.values():
+                _lc_lang_inplace(term)
+    return bindings
+
+
+def _lc_lang_inplace(term) -> None:
+    """Lowercase ``xml:lang`` (recursing into quoted-triple values) so
+    interop-parsed terms share identity with the data readers, which
+    all lowercase language tags on read."""
+    if not isinstance(term, dict):
+        return
+    lang = term.get("xml:lang")
+    if isinstance(lang, str):
+        term["xml:lang"] = lang.lower()
+    val = term.get("value")
+    if term.get("type") == "triple" and isinstance(val, dict):
+        for sub in val.values():
+            _lc_lang_inplace(sub)
 
 
 # -- results parsers for the other three formats ---------------------------
@@ -375,7 +395,7 @@ def _parse_xml_term(el) -> Optional[dict]:
         lang = lit.attrib.get(_XML_LANG)
         dt = lit.attrib.get("datatype")
         if lang:
-            d["xml:lang"] = lang
+            d["xml:lang"] = lang.lower()
         elif dt:
             d["datatype"] = dt
         return d
@@ -403,13 +423,32 @@ def _nt_unescape(s: str) -> str:
     while i < len(s):
         c = s[i]
         if c == "\\":
-            if i + 1 >= len(s) or s[i + 1] not in _TSV_ESCAPES:
+            nxt = s[i + 1:i + 2]
+            if nxt in ("u", "U"):
+                # UCHAR: SPARQL-syntax terms in TSV results may carry
+                # \uXXXX / \UXXXXXXXX escapes (sparesults decodes them)
+                n = 4 if nxt == "u" else 8
+                hexs = s[i + 2:i + 2 + n]
+                if len(hexs) != n or any(
+                        ch not in "0123456789abcdefABCDEF" for ch in hexs):
+                    raise ValueError(
+                        f"malformed \\{nxt} escape in TSV literal: "
+                        f"\\{nxt}{hexs!r}")
+                cp = int(hexs, 16)
+                if cp > 0x10FFFF or 0xD800 <= cp <= 0xDFFF:
+                    raise ValueError(
+                        f"\\{nxt} escape outside Unicode scalar range: "
+                        f"\\{nxt}{hexs}")
+                out.append(chr(cp))
+                i += 2 + n
+            elif not nxt or nxt not in _TSV_ESCAPES:
                 # round-8: an unknown escape is a PARSE error, not a
                 # silently-dropped backslash (ECHAR is a closed set)
                 raise ValueError(
-                    f"illegal escape in TSV literal: \\{s[i + 1:i + 2]}")
-            out.append(_TSV_ESCAPES[s[i + 1]])
-            i += 2
+                    f"illegal escape in TSV literal: \\{nxt}")
+            else:
+                out.append(_TSV_ESCAPES[nxt])
+                i += 2
         else:
             out.append(c)
             i += 1
@@ -425,7 +464,13 @@ def parse_tsv_term(tok: str) -> Optional[dict]:
     if tok.startswith("<"):
         if not tok.endswith(">") or any(c in tok[1:-1] for c in '<>" '):
             raise ValueError(f"malformed TSV IRI token: {tok[:60]!r}")
-        return {"type": "uri", "value": tok[1:-1]}
+        val = tok[1:-1]
+        if "\\" in val:
+            # IRIREF allows only UCHAR escapes; _nt_unescape handles
+            # them (an ECHAR like \n inside an IRI is also caught there
+            # as data rather than structure — harmless on this path)
+            val = _nt_unescape(val)
+        return {"type": "uri", "value": val}
     if tok.startswith("_:"):
         return {"type": "bnode", "value": tok[2:]}
     if tok.startswith('"'):
@@ -436,7 +481,9 @@ def parse_tsv_term(tok: str) -> Optional[dict]:
             raise ValueError(f"malformed TSV literal token: {tok[:60]!r}")
         d = {"type": "literal", "value": _nt_unescape(m.group(1))}
         if m.group(2):
-            d["xml:lang"] = m.group(2)
+            # lowercase for term-identity consistency with the data
+            # readers (BCP-47 tags compare case-insensitively)
+            d["xml:lang"] = m.group(2).lower()
         elif m.group(3) and m.group(3) != T.XSD_STRING:
             d["datatype"] = m.group(3)
         return d
