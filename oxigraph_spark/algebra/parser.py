@@ -56,6 +56,21 @@ def resolve_iri(base: Optional[str], iri: str) -> str:
 # tokenizer
 # ---------------------------------------------------------------------------
 
+# SPARQL/Turtle identifier character classes (grammar PN_CHARS_BASE /
+# PN_CHARS_U / PN_CHARS / VARNAME) — the unicode ranges matter: ":café"
+# and "?π" are legal prefixed names / variables.
+_PNB = ("A-Za-z\u00C0-\u00D6\u00D8-\u00F6\u00F8-\u02FF\u0370-\u037D"
+        "\u037F-\u1FFF\u200C-\u200D\u2070-\u218F\u2C00-\u2FEF"
+        "\u3001-\uD7FF\uF900-\uFDCF\uFDF0-\uFFFD\U00010000-\U000EFFFF")
+_PNU = _PNB + "_"
+_PNCH = _PNU + "0-9\\-\u00B7\u0300-\u036F\u203F-\u2040"
+_VARCH = _PNU + "0-9\u00B7\u0300-\u036F\u203F-\u2040"   # VARNAME: no '-'
+_ESCC = r"\\[_~.!$&'()*+,;=/?#@%-]"                      # PN_LOCAL_ESC
+_PLX = r"(?:%[0-9A-Fa-f]{2}|" + _ESCC + ")"              # PLX: exact 2 hex
+_PN_PREFIX = f"(?:[{_PNB}](?:[{_PNCH}.]*[{_PNCH}])?)?"
+_PN_LOCAL = (f"(?:(?:[{_PNU}0-9:]|{_PLX})"
+             f"(?:(?:[{_PNCH}.:]|{_PLX})*(?:[{_PNCH}:]|{_PLX}))?)?")
+
 TOKEN_RE = re.compile(r"""
     (?P<WS>\s+|\#[^\n]*)
   | (?P<IRIREF><(?:[^<>"{}|^`\\\s]|\\[uU][0-9A-Fa-f]+)*>)
@@ -63,15 +78,13 @@ TOKEN_RE = re.compile(r"""
   | (?P<STRING_LONG2>\"\"\"(?:[^"\\]|\\.|"(?!""))*\"\"\")
   | (?P<STRING1>'(?:[^'\\\n]|\\.)*')
   | (?P<STRING2>"(?:[^"\\\n]|\\.)*")
-  | (?P<BLANK>_:[A-Za-z0-9_](?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?)
-  | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
+  | (?P<BLANK>_:[""" + _PNU + r"""0-9](?:[""" + _PNCH + r""".]*[""" + _PNCH + r"""])?)
+  | (?P<VAR>[?$][""" + _VARCH + r"""0-9][""" + _VARCH + r"""]*)
   | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
   | (?P<DOUBLE>[+-]?(?:[0-9]+\.[0-9]*|\.[0-9]+|[0-9]+)[eE][+-]?[0-9]+)
   | (?P<DECIMAL>[+-]?[0-9]*\.[0-9]+)
   | (?P<INTEGER>[+-]?[0-9]+)
-  | (?P<PNAME>(?:[A-Za-z_][A-Za-z0-9_.-]*)?:
-      (?:(?:[A-Za-z0-9_:%\-.]|\\[_~.!$&'()*+,;=/?#@%-])*
-         (?:[A-Za-z0-9_:%\-]|\\[_~.!$&'()*+,;=/?#@%-]))?)
+  | (?P<PNAME>""" + _PN_PREFIX + ":" + _PN_LOCAL + r""")
   | (?P<NAME>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<OP>\^\^|&&|\{\||\|\}|\|\||!=|<=|>=|<<|>>|[{}()\[\],;.^|/*+?!=<>-])
 """, re.VERBOSE)

@@ -1982,8 +1982,15 @@ class Compiler:
             # in the same query must agree for the same row
             if not hasattr(self, "_bnode_nonce"):
                 self._bnode_nonce = _uuid.uuid4().hex[:8]
-            row_key = (F.xxhash64(*[env[v] for v in sorted(env)])
-                       if env else F.lit(0).cast("bigint"))
+            # the env-var list is captured at the FIRST BNODE compile and
+            # reused by every later one: a subsequent BIND extends env
+            # with the previous BNODE's own output, so hashing "all of
+            # env" would give each reference a different row key
+            if not hasattr(self, "_bnode_env_vars"):
+                self._bnode_env_vars = sorted(env)
+            keys = [env[v] for v in self._bnode_env_vars if v in env]
+            row_key = (F.xxhash64(*keys) if keys
+                       else F.lit(0).cast("bigint"))
             lex = F.concat(F.lit(f"bl{self._bnode_nonce}x"),
                            F.md5(lbl["lex"]).substr(1, 16), F.lit("r"),
                            F.lower(F.hex(row_key)))

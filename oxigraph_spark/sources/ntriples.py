@@ -26,10 +26,15 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from ..model import terms as T
 
 # token grammar fragments (shared by the line regex and the RDF-star
-# component extractors)
-_T_IRI = r"<[^>]*>"
+# component extractors).  IRIREF is the checked N-Triples production
+# (round-9): absolute (scheme required — NT has no base to resolve a
+# relative reference against), no raw control/space/bracket characters,
+# backslash only as a UCHAR escape; LANGTAG must not end with '-'.
+_T_IRI = (r"<[A-Za-z][A-Za-z0-9+.-]*:"
+          r"(?:[^\x00-\x20<>\"{}|^`\\]|\\[uU][0-9A-Fa-f]+)*>")
 _T_BN = r"_:\S+"
-_T_LIT = r"\"(?:[^\"\\]|\\.)*\"(?:@[A-Za-z0-9-]+|\^\^<[^>]*>)?"
+_T_LIT = (r"\"(?:[^\"\\]|\\.)*\""
+          r"(?:@[A-Za-z]+(?:-[A-Za-z0-9]+)*|\^\^<[^>]*>)?")
 
 # RDF-star quoted triple token.  Regex cannot count, so nesting is
 # unrolled to a BOUNDED depth (subject and object positions may each hold
@@ -144,7 +149,11 @@ def _parse_term(raw: Column, canonicalize_qt: bool = False) -> Column:
     is_qt = raw.startswith("<<")
     is_iri = raw.startswith("<") & ~is_qt
     is_bnode = raw.startswith("_:")
-    lex_iri = raw.substr(F.lit(2), F.length(raw) - 2)
+    # UCHAR escapes are the one escape form IRIREF admits; the \\-guard
+    # keeps the (rare) unescape chain out of the common path
+    lex_iri = T.let1(
+        raw.substr(F.lit(2), F.length(raw) - 2),
+        lambda li: F.when(li.contains("\\"), _unescape(li)).otherwise(li))
     # literal parts
     quoted = F.regexp_extract(raw, r'^"((?:[^"\\]|\\.)*)"', 1)
     # language tags normalize to LOWERCASE on read (RDF 1.1: the value

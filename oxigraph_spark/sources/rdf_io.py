@@ -143,23 +143,14 @@ def turtle_text_to_nt_lines(text: str,
     runs on executors inside :func:`turtle_to_ntriples`).  ``prefixes``
     supplies externally-known prefix bindings (the chunked path's
     document header); in-document directives still win."""
-    from ..algebra import ast as A
-    from ..algebra.parser import Parser
     from ..plans.compiler import _py_token
-    base, merged, body = _strip_directives(text, prefixes, base)
-    p = Parser("{" + body + "}")
-    p.base = base
-    p.prefixes.update(merged)
-    pattern = p._group_graph_pattern()
     out: List[str] = []
-    if isinstance(pattern, A.BGP):
-        def ground(t):
-            return A.BlankNode(t.name) if isinstance(t, A.Var) else t
-        for tp in pattern.patterns:
-            if isinstance(tp, A.TriplePattern):
-                out.append(f"{_py_token(ground(tp.s))} "
-                           f"{_py_token(ground(tp.p))} "
-                           f"{_py_token(ground(tp.o))} .")
+    for i, (sbase, sprefixes, sbody) in enumerate(
+            _directive_segments(text, prefixes, base)):
+        for s, p, o in _parse_turtle_triples(
+                sbody, sprefixes, sbase,
+                bnode_ns=f"s{i}" if i else "", as_ast=True):
+            out.append(f"{_py_token(s)} {_py_token(p)} {_py_token(o)} .")
     return out
 
 
@@ -239,6 +230,47 @@ def _strip_directives(text: str, ext_prefixes: dict = None,
     return base, prefixes, body
 
 
+def _directive_segments(text: str, ext_prefixes: dict = None,
+                        ext_base: str = None):
+    """Position-sensitive directive handling (Turtle 1.1 §6.3: a
+    directive applies from its position to the end or its next
+    re-declaration — ``@prefix p:`` may be re-bound mid-document, and a
+    relative ``@base`` resolves against the PREVIOUS base).  Returns
+    ``[(base, prefixes_snapshot, body_segment), ...]`` in document
+    order; directive text inside strings/IRIs/comments is data and is
+    neither honored nor cut (same opacity discipline as
+    :func:`_strip_directives`)."""
+    from ..algebra.parser import resolve_iri
+    spans = _opaque_spans(text)
+
+    def outside(pos: int) -> bool:
+        return not any(a <= pos < b for a, b in spans)
+
+    ds = []
+    for m in _TTL_PREFIX.finditer(text):
+        if outside(m.start()):
+            ds.append((m.start(), m.end(), "p", m.group(1), m.group(2)))
+    for m in _TTL_BASE.finditer(text):
+        if outside(m.start()):
+            ds.append((m.start(), m.end(), "b", None, m.group(1)))
+    ds.sort()
+    segs = []
+    base = ext_base
+    prefixes = dict(ext_prefixes or {})
+    pos = 0
+    for a, b, kind, name, iri in ds:
+        if text[pos:a].strip():
+            segs.append((base, dict(prefixes), text[pos:a]))
+        if kind == "b":
+            base = resolve_iri(base, iri)
+        else:
+            prefixes[name] = resolve_iri(base, iri)
+        pos = b
+    if text[pos:].strip() or not segs:
+        segs.append((base, dict(prefixes), text[pos:]))
+    return segs
+
+
 def _read_turtle_small(spark: SparkSession, path: str,
                        max_bytes: int = 64 << 20,
                        n3: bool = False) -> DataFrame:
@@ -263,9 +295,12 @@ def _read_turtle_small(spark: SparkSession, path: str,
                 raise NotImplementedError(
                     f"N3 {tok!r}: formulas/rules are outside the RDF data "
                     "model; only the Turtle-compatible N3 subset is read")
-    base, prefixes, body = _strip_directives(text)
-    triples = [(s, p, o, _DEFAULT_G)
-               for s, p, o in _parse_turtle_triples(body, prefixes, base)]
+    triples = []
+    for i, (base, prefixes, body) in enumerate(_directive_segments(text)):
+        triples += [(s, p, o, _DEFAULT_G)
+                    for s, p, o in _parse_turtle_triples(
+                        body, prefixes, base,
+                        bnode_ns=f"s{i}" if i else "")]
     return _quads_df(spark, triples)
 
 
@@ -282,7 +317,9 @@ def _quads_df(spark: SparkSession, rows: List[Tuple]) -> DataFrame:
 
 def _parse_turtle_triples(body: str, prefixes: dict,
                           base: Optional[str] = None,
-                          require_dot: bool = True) -> List[Tuple]:
+                          require_dot: bool = True,
+                          bnode_ns: str = "",
+                          as_ast: bool = False) -> List[Tuple]:
     """Turtle statement text (sans @prefix directives) → ``(s, p, o)``
     py-term tuples.  Reuses the SPARQL triples grammar: a Turtle
     statement block is the same surface as a BGP with ground terms.
@@ -308,8 +345,20 @@ def _parse_turtle_triples(body: str, prefixes: dict,
     if isinstance(pattern, A.BGP):
         def ground(t):
             # the SPARQL grammar surfaces Turtle bnodes as variables;
-            # in DATA they are blank node terms
-            return A.BlankNode(t.name) if isinstance(t, A.Var) else t
+            # in DATA they are blank node terms.  bnode_ns disambiguates
+            # PARSER-GENERATED labels (anonymous []/collection nodes)
+            # across the separate Parser instances a segmented document
+            # or a multi-block TriG doc uses — each parser restarts its
+            # counters at 0, so two distinct [] in different segments
+            # would otherwise merge into one bnode.  Explicit _:labels
+            # are document-scoped and stay shared.
+            if not isinstance(t, A.Var):
+                return t
+            nm = t.name
+            if bnode_ns and (nm.startswith("__anon")
+                             or nm.startswith("__list")):
+                nm = f"__{bnode_ns}_{nm[2:]}"
+            return A.BlankNode(nm)
 
         for tp in pattern.patterns:
             if isinstance(tp, A.TriplePattern):
@@ -319,9 +368,10 @@ def _parse_turtle_triples(body: str, prefixes: dict,
                 if isinstance(tp.s, A.Literal):
                     raise ParseError(
                         f"literal {tp.s.lex!r} as Turtle subject")
-                triples.append((_term_to_py(ground(tp.s)),
-                                _term_to_py(ground(tp.p)),
-                                _term_to_py(ground(tp.o))))
+                conv = (lambda t: t) if as_ast else _term_to_py
+                triples.append((conv(ground(tp.s)),
+                                conv(ground(tp.p)),
+                                conv(ground(tp.o))))
             else:
                 # the SPARQL grammar this parser reuses also matches
                 # property paths (":s :p+ :o"); those are NOT Turtle —
@@ -510,12 +560,16 @@ def _read_trig_small(spark: SparkSession, path: str,
     rows = [(s, p, o, _DEFAULT_G)
             for s, p, o in _parse_turtle_triples(default_text, prefixes,
                                                  base)]
-    for label, btext in block_list:
+    for i, (label, btext) in enumerate(block_list):
         g = (_DEFAULT_G if label is None
              else _graph_term_tuple(label, prefixes, base))
+        # per-block bnode_ns: anonymous []/collection nodes in distinct
+        # blocks are distinct bnodes (each block re-parses with a fresh
+        # Parser whose counters restart at 0)
         rows += [(s, p, o, g)
                  for s, p, o in _parse_turtle_triples(btext, prefixes, base,
-                                                      require_dot=False)]
+                                                      require_dot=False,
+                                                      bnode_ns=f"g{i}")]
     return _quads_df(spark, rows)
 
 
