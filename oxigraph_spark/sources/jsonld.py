@@ -10,9 +10,12 @@ containers — plus COMPACT documents with **inline** ``@context``:
 term→IRI mappings, compact IRIs (``prefix:suffix``), keyword aliases,
 ``@vocab``/``@base``/``@language`` defaults, type coercion (``@id`` /
 ``@vocab`` / datatype), containers (``@list``/``@set``/``@language``/
-``@index``) and node-level ``@reverse``.  Remote context URLs still
-raise (context fetching needs network, unavailable here) — the
-restriction is documented, not silent.
+``@index``) and node-level ``@reverse``.  Remote context URLs resolve
+through the pluggable :func:`register_context_resolver` registry (same
+idiom as the compiler's SERVICE handler registry); with no resolver
+registered they raise — the no-network restriction is documented, not
+silent, and callers with network (or a context cache) close it without
+touching this module.
 
 Spark-first shape: same whole-document parallelism as RDF/XML and
 Turtle — :func:`jsonld_to_ntriples` converts one file per task, then
@@ -197,16 +200,52 @@ class _ActiveCtx:
         return c
 
 
-def _process_context(actx: "_ActiveCtx", local) -> "_ActiveCtx":
+# Pluggable remote-@context resolution (round-9; same registry idiom as
+# Compiler.SERVICE_HANDLERS): a resolver takes the context URL and
+# returns the context VALUE (the dict a dereference would yield under
+# "@context", or a full remote-context document {"@context": ...}).
+# The no-network default still raises — callers supply an HTTP fetcher,
+# a cache, or a test stub.
+_CONTEXT_RESOLVERS: list = []
+
+
+def register_context_resolver(fn) -> None:
+    """Register ``fn(url) -> dict | list | str | None``; resolvers are
+    tried in registration order, first non-None answer wins.  Remove
+    with :func:`unregister_context_resolver` (tests must clean up)."""
+    _CONTEXT_RESOLVERS.append(fn)
+
+
+def unregister_context_resolver(fn) -> None:
+    _CONTEXT_RESOLVERS.remove(fn)
+
+
+def _resolve_remote_context(url: str):
+    for fn in _CONTEXT_RESOLVERS:
+        got = fn(url)
+        if got is not None:
+            if isinstance(got, dict) and "@context" in got:
+                got = got["@context"]   # full remote context document
+            return got
+    raise NotImplementedError(
+        f"remote @context {url!r}: no registered context resolver — "
+        "register_context_resolver(fn) to supply one, inline the "
+        "context, or pre-expand the document")
+
+
+def _process_context(actx: "_ActiveCtx", local, _depth: int = 0) -> "_ActiveCtx":
+    if _depth > 8:
+        raise ValueError("remote @context chain exceeds depth 8 "
+                         "(cycle?)")
     actx = actx.copy()
     for c in (local if isinstance(local, list) else [local]):
         if c is None:          # null context: reset
             actx = _ActiveCtx()
             continue
         if isinstance(c, str):
-            raise NotImplementedError(
-                f"remote @context {c!r}: context fetching needs network — "
-                "inline the context or pre-expand the document")
+            actx = _process_context(actx, _resolve_remote_context(c),
+                                    _depth + 1)
+            continue
         if not isinstance(c, dict):
             raise ValueError(f"@context entry must be object/null/IRI: {c!r}")
         if "@base" in c:

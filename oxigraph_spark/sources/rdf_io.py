@@ -456,9 +456,11 @@ def _skip_string(text: str, i: int) -> int:
     raise ValueError("unterminated string literal")
 
 
+_ANON_GRAPH_N = 0
+
 _TRIG_LABEL = re.compile(
-    r"(?:GRAPH\s+)?(<[^>]*>|[A-Za-z][\w.-]*:[\w.-]*|:[\w.-]*|_:[\w.-]+)"
-    r"\s*$", re.IGNORECASE)
+    r"(?:GRAPH\s+)?(<[^>]*>|[A-Za-z][\w.-]*:[\w.-]*|:[\w.-]*|_:[\w.-]+"
+    r"|\[\s*\])\s*$", re.IGNORECASE)
 
 
 def _split_trig_blocks(body: str):
@@ -532,6 +534,12 @@ def _graph_term_tuple(label: str, prefixes: dict,
         return _term_to_py(A.NamedNode(resolve_iri(base, label[1:-1])))
     if label.startswith("_:"):
         return _term_to_py(A.BlankNode(label[2:]))
+    if label.startswith("["):
+        # ANON graph label ("[] { ... }", TriG labelOrSubject): a fresh
+        # document-unique bnode per occurrence
+        global _ANON_GRAPH_N
+        _ANON_GRAPH_N += 1
+        return _term_to_py(A.BlankNode(f"__anong{_ANON_GRAPH_N}"))
     pfx, _, local = label.partition(":")
     if pfx in prefixes:
         return _term_to_py(A.NamedNode(prefixes[pfx] + local))
@@ -579,7 +587,17 @@ def write_turtle(df: DataFrame, path: str) -> None:
     driver collect — mirrors ``write_ntriples``.  Full IRIs (no prefix
     table needed, every part file self-contained); a
     ``sortWithinPartitions`` on the subject token groups each subject's
-    rows without a shuffle."""
+    rows without a shuffle.
+
+    CONTRACT (round-9, deliberate): bnodes serialize as labeled terms
+    (``_:label``), never as nested ``[...]`` property lists or
+    ``( ... )`` collections — nesting requires grouping a bnode's
+    triples with its single referencing triple, which may live in a
+    DIFFERENT partition (a cross-partition shuffle for cosmetics).  The
+    upstream serializer (lib/oxttl turtle.rs) nests because it is
+    single-stream.  The round-trip guarantee is ISOMORPHISM: write →
+    read yields the same graph up to bnode relabeling
+    (tests/test_round9.py::test_turtle_writer_bnode_roundtrip)."""
     from pyspark.sql import functions as F
     from .ntriples import format_term
     toks = df.select(

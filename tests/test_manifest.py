@@ -1,7 +1,7 @@
 """Mini W3C-style manifest-driven evaluation suite (round-4 VERDICT item
 5; upstream's backbone is ``testsuite/rdf-tests`` manifests).
 
-``tests/w3c_mini/manifest.ttl`` lists 435 entries targeting known-hard
+``tests/w3c_mini/manifest.ttl`` lists 450 entries targeting known-hard
 semantics: nested OPTIONAL scoping, VALUES+UNDEF join compatibility,
 aggregate error propagation, MINUS vs NOT EXISTS divergence, property
 paths on cycles / zero-length over ground terms (in AND out of the
@@ -141,7 +141,7 @@ def test_manifest_suite(spark):
     from pyspark.sql import functions as F
 
     entries = _load_manifest(spark)
-    assert len(entries) == 435
+    assert len(entries) == 450
     failures = []
     for e in entries:
         name = e["name"]

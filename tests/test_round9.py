@@ -138,3 +138,62 @@ _:shared :name "s1" , "s2" .
         open(f, encoding="utf-8").read() for f in parts))
     g2 = load_rdf(spark, str(merged))
     assert isomorphic(g, g2)
+
+
+# -- pluggable JSON-LD context resolver ------------------------------------
+
+def test_jsonld_remote_context_resolver(spark, tmp_path):
+    from oxigraph_spark.sources import jsonld as J
+
+    ctxs = {
+        "http://ctx.example/v1": {"@context": {
+            "name": "http://xmlns.com/foaf/0.1/name",
+            "ex": "http://ex/"}},
+        "http://ctx.example/chain": {"@context":
+                                     ["http://ctx.example/v1",
+                                      {"age": "http://ex/age"}]},
+    }
+
+    def resolver(url):
+        return ctxs.get(url)
+
+    doc = ('{"@context": "http://ctx.example/chain",'
+           ' "@id": "http://ex/alice", "name": "Alice", "age": 30}')
+    p = tmp_path / "d.jsonld"
+    p.write_text(doc)
+
+    # without a resolver the remote context still raises
+    import pytest as _pytest
+    from oxigraph_spark.sources.rdf_io import load_rdf
+    with _pytest.raises(NotImplementedError, match="context resolver"):
+        load_rdf(spark, str(p)).collect()
+
+    J.register_context_resolver(resolver)
+    try:
+        rows = {(r["s"]["lex"], r["p"]["lex"], r["o"]["lex"])
+                for r in load_rdf(spark, str(p)).collect()}
+    finally:
+        J.unregister_context_resolver(resolver)
+    assert rows == {
+        ("http://ex/alice", "http://xmlns.com/foaf/0.1/name", "Alice"),
+        ("http://ex/alice", "http://ex/age", "30"),
+    }
+
+
+def test_jsonld_context_cycle_raises(spark, tmp_path):
+    from oxigraph_spark.sources import jsonld as J
+
+    def resolver(url):
+        return {"@context": "http://ctx.example/loop"}
+
+    doc = '{"@context": "http://ctx.example/loop", "@id": "http://ex/x"}'
+    p = tmp_path / "d.jsonld"
+    p.write_text(doc)
+    import pytest as _pytest
+    from oxigraph_spark.sources.rdf_io import load_rdf
+    J.register_context_resolver(resolver)
+    try:
+        with _pytest.raises(ValueError, match="depth"):
+            load_rdf(spark, str(p)).collect()
+    finally:
+        J.unregister_context_resolver(resolver)
