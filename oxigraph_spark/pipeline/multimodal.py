@@ -70,13 +70,24 @@ def extract_features(media: DataFrame, batch_rows: int = 1024) -> DataFrame:
     def process(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:
         import pandas as pd
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["content"]) if r["content"] is not None else b""
-                w, h = _decode_stub(payload)
-                rows.append((int(r["media_id"]), r["kind"], len(payload),
-                             hashlib.sha256(payload).hexdigest(), w, h))
-            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA])
+            # columnar batch work (optimization guide §4.2): pull each
+            # column ONCE as a plain list and loop over those —
+            # ``iterrows()`` materializes a boxed Series per row and was
+            # the dominant per-batch cost (~10× slower than the decode
+            # stub itself); only the per-payload decode/hash calls
+            # remain per-row, which is inherent to the operator.
+            contents = [bytes(c) if c is not None else b""
+                        for c in pdf["content"]]
+            dims = [_decode_stub(c) for c in contents]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].astype("int64").to_numpy(),
+                "kind": pdf["kind"].to_numpy(),
+                "n_bytes": [len(c) for c in contents],
+                "checksum": [hashlib.sha256(c).hexdigest()
+                             for c in contents],
+                "width": [d[0] for d in dims],
+                "height": [d[1] for d in dims],
+            })
 
     return media.mapInPandas(process, schema=FEATURE_SCHEMA)
 
@@ -106,12 +117,16 @@ def resize(media: DataFrame, width: int, height: int,
     def process(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:
         import pandas as pd
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["content"]) if r["content"] is not None else b""
-                rows.append((int(r["media_id"]), r["kind"],
-                             _resize_stub(payload, width, height), mime))
-            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA])
+            # columnar batch work (guide §4.2) — see extract_features
+            contents = [bytes(c) if c is not None else b""
+                        for c in pdf["content"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].astype("int64").to_numpy(),
+                "kind": pdf["kind"].to_numpy(),
+                "content": [_resize_stub(c, width, height)
+                            for c in contents],
+                "mime": mime,
+            })
 
     return media.mapInPandas(process, schema=MEDIA_SCHEMA)
 

@@ -49,6 +49,19 @@ def configure(spark: SparkSession) -> None:
     (the driver owns the session in ``__spark_entry__``)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # Read parquet TIMESTAMP(isAdjustedToUTC=false) columns as TIMESTAMP
+    # (LTZ) instead of TIMESTAMP_NTZ.  The session is pinned to UTC so
+    # the wall-clock values are identical either way — but the NTZ read
+    # forced a cast(ntz → ltz) on every temporal column (normalize_ntz),
+    # and a comparison on a CAST column is not a data-source filter:
+    # the flagship's l_shipdate range predicate stopped at a post-scan
+    # Filter instead of reaching PushedFilters (optimization guide §6 —
+    # "filters applied to derived columns do not push down"; verified in
+    # plans/r09/flagship_q1_before.txt vs _after.txt).  Reading LTZ at
+    # the source makes temporal range predicates parquet-pushable
+    # (row-group/page pruning — the 100 TB lever on date-partitioned
+    # fact scans).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     # cached/persisted tables (e.g. the MinHash signature table) otherwise
     # pin their output partitioning and OPT OUT of AQE for every consumer
     # — losing runtime broadcast conversion and partition coalescing on
