@@ -1602,8 +1602,37 @@ class Compiler:
 
         # pre-compute aggregate input expressions as columns
         pre_cols = list(df.columns)
+        group_set = {v.name for v in n.by}
+        # SAMPLE over a GROUP BY key needs no aggregate at all: every row
+        # of a group carries the identical key term (grouping is by term
+        # identity), so the sampled value IS the rebuilt group key.  The
+        # alternative — first(term_struct) — carries a STRUCT aggregation
+        # buffer, and one struct buffer pushes the ENTIRE aggregate from
+        # HashAggregate onto the Sort+SortAggregate path (guide §5:
+        # "hash aggregate vs sort aggregate"; plan evidence
+        # plans/r09/A_aggregates_before.txt vs _after.txt).
+        sample_of_key: Dict[str, str] = {}
+        for var, agg in n.aggregates:
+            if (agg.name.upper() == "SAMPLE"
+                    and isinstance(agg.expr, A.EVar)
+                    and agg.expr.name in group_set):
+                sample_of_key[var.name] = agg.expr.name
         agg_inputs: Dict[str, str] = {}
         for var, agg in n.aggregates:
+            if var.name in sample_of_key:
+                continue
+            if (agg.name.upper() == "COUNT" and agg.distinct
+                    and isinstance(agg.expr, A.EVar)
+                    and agg.expr.name in inner.ids):
+                # COUNT(DISTINCT ?v): distinct over the materialized
+                # 8-byte identity key instead of the 9-field term struct
+                # — same distinct-count under the engine's dictionary
+                # identity contract (key NULL iff term NULL; all joins /
+                # dedups already key on it), and the distinct exchange
+                # ships longs instead of full terms (guide §2.3 "shuffle
+                # fewer bytes / narrower types").
+                agg_inputs[var.name] = inner.ids[agg.expr.name]
+                continue
             if agg.expr is not None:
                 df, col, _temps = self.compile_expr_ssa(df, agg.expr, env)
                 cname = self._fresh("aggin")
@@ -1625,6 +1654,8 @@ class Compiler:
         # distinct key is the tuple of in-scope variable columns
         star_cols = [c for c in pre_cols if not c.startswith("__")]
         for var, agg in n.aggregates:
+            if var.name in sample_of_key:
+                continue  # rebuilt from the group key below, no aggregate
             cname = agg_inputs.get(var.name)
             st_, nt_ = agg_types[var.name]
             aggs.extend(_agg_exprs(var.name, agg, cname, st_, nt_,
@@ -1646,6 +1677,7 @@ class Compiler:
         else:
             gdf = df.groupBy().agg(*aggs)
         out_cols = []
+        reps: Dict[str, Column] = {}
         for v in group_cols:
             kind, lex = gdf[f"__k_{v}_kind"], gdf[f"__k_{v}_lex"]
             dt, lang = gdf[f"__k_{v}_datatype"], gdf[f"__k_{v}_lang"]
@@ -1670,8 +1702,15 @@ class Compiler:
             rep = (F.when(kind.isNull(), B.err())
                     .when(kind == T.KIND_LITERAL, lit)
                     .otherwise(T.term_struct(kind, lex)))
+            reps[v] = rep
             out_cols.append(rep.alias(v))
         for var, agg in n.aggregates:
+            if var.name in sample_of_key:
+                # SAMPLE of a group key: the group's rows all carry the
+                # identical key term, so the rebuilt key IS the sample
+                out_cols.append(reps[sample_of_key[var.name]]
+                                .alias(var.name))
+                continue
             st_, nt_ = agg_types[var.name]
             out_cols.append(
                 _agg_finalize(gdf, var.name, agg, st_, nt_).alias(var.name))
