@@ -247,6 +247,14 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
         w = Window.partitionBy("band", "bh")
         buckets = buckets.withColumn("__n", F.count(F.lit(1)).over(w)) \
                          .where(F.col("__n") <= max_bucket).drop("__n")
+        # persist the GUARDED index: the self-join consumes it twice,
+        # and without a materialization each side re-runs the
+        # anti-join + window-sort pass over the banded index (exchange
+        # reuse shares only the shuffle files, not the sort/window
+        # above them).  24 B/row id-only rows, MEMORY_AND_DISK, same
+        # FIFO eviction as the signature table (guide §2.4: one
+        # exchange serving both consumers).
+        buckets = _persist_sig(buckets)
     # candidate generation shuffles ONLY ids: the bucket self-join and the
     # pair-dedup never carry the 32-element signatures (on hot buckets the
     # wide alternative shuffles sig × bucket² — the round-1 bottleneck);
