@@ -145,19 +145,24 @@ def minhash_signature(shingle_col: Column, num_perm: int = 32) -> Column:
         F.transform(shingle_col, lambda s: F.xxhash64(s)), num_perm)
 
 
-# Signature tables cached by the two minhash_lsh_pairs entry points.
-# A bounded FIFO: each call registers its persisted table and evicts the
-# OLDEST entries beyond the cap, so repeated invocations in one session
-# hold at most _SIG_CACHE_CAP extra tables instead of leaking a
-# MEMORY_AND_DISK entry per call (DataFrame persist is never GC-cleaned).
-# The lock + cap>1 make the cache safe under server.py's concurrent
-# queries (round-9): with the old one-slot swap, two simultaneous dedup
-# requests would unpersist each other's in-flight signature table.  A
-# pairs DataFrame from an evicted call stays CORRECT — it just
-# recomputes signatures on next execution.
+# Shared-intermediate persist registry for the pair-generation family
+# (signature tables, guarded bucket/chunk/anchor indexes — any frame a
+# self-join or scorer consumes more than once; exchange reuse shares
+# only shuffle files, never the map/sort work above them, so without a
+# materialization every extra consumer re-runs the whole derivation —
+# guide §2.4 "two operations keyed the same way can share one
+# exchange").  A bounded FIFO: each call registers its persisted table
+# and evicts the OLDEST entries beyond the cap, so repeated invocations
+# in one session hold at most _SIG_CACHE_CAP extra tables instead of
+# leaking a MEMORY_AND_DISK entry per call (DataFrame persist is never
+# GC-cleaned).  The lock + cap>1 make the cache safe under server.py's
+# concurrent queries (round-9): with the old one-slot swap, two
+# simultaneous dedup requests would unpersist each other's in-flight
+# signature table.  A pairs DataFrame from an evicted call stays
+# CORRECT — it just recomputes on next execution.
 _SIG_LOCK = _threading.Lock()
 _SIG_CACHE: Deque[DataFrame] = _deque()
-_SIG_CACHE_CAP = 4
+_SIG_CACHE_CAP = 8
 
 
 def _persist_sig(sig: DataFrame) -> DataFrame:
@@ -470,6 +475,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     corpora (the correctness-gate entry does)."""
     sh = (spread(df).select(F.col(id_col).alias("id"),
                             F.explode(shingles(F.col(text_col), n)).alias("sh")))
+    # NOT persisted, deliberately (r9 measured): the exploded shingle
+    # index is consumed by both self-join sides plus the size/freq aggs,
+    # but re-deriving it is cheap map-side codegen while a
+    # MEMORY_AND_DISK materialization costs a cache write + columnar
+    # round-trip per consumer — measured 23.0 s -> 29.9 s at sf0.1 with
+    # the persist.  Contrast minhash_lsh_pairs, whose duplicated
+    # subtree contains a Window+Exchange and DOES win from persisting.
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     if max_doc_freq is not None:
         # shingles() emits per-doc DISTINCT shingles, so count == doc freq
