@@ -135,11 +135,16 @@ def rdf_edges(quads: DataFrame, predicate: Optional[str] = None,
                          F.col("o_key").alias("ok")).transform(pin_eager)
         edges = pairs.select(F.col("sk").alias("src"),
                              F.col("ok").alias("dst"))
+        # dedup over BOTH columns, not just the id: iri is functionally
+        # determined by the dictionary key (equal key ⇔ equal lex), and
+        # a key-only dedup compiles iri into a first(string) aggregate
+        # buffer that HashAggregate cannot hold — the node dictionary
+        # then built on the Sort+SortAggregate path (r9, guide §5)
         nodes = (pairs.select(F.col("sk").alias("id"),
                               F.col("s_iri").alias("iri"))
                  .unionAll(pairs.select(F.col("ok").alias("id"),
                                         F.col("o_iri").alias("iri")))
-                 .dropDuplicates(["id"]))
+                 .dropDuplicates())
         return edges, nodes
     pairs = q.select(F.col("s")["lex"].alias("s_iri"),
                      F.col("o")["lex"].alias("o_iri")).transform(pin_eager)

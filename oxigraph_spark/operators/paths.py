@@ -41,6 +41,22 @@ def _key(c: Column) -> Column:
 _POS_KEY = {"s": "s_key", "o": "o_key"}
 
 
+def _dedup_det(df: DataFrame) -> DataFrame:
+    """Dedup for frames whose every non-key column is a TERM struct
+    functionally determined by its 64-bit dictionary key (the engine's
+    identity contract: equal key ⇔ equal lexical form ⇔ equal struct).
+
+    Equivalent to ``dropDuplicates(key columns)`` — but a key-only dedup
+    compiles each carried struct into a ``first(struct)`` aggregate
+    buffer, which HashAggregate does not support, pushing the whole
+    dedup onto the Sort+SortAggregate path (r9 measured:
+    plans/r09/PP5_zero_or_one_before.txt vs _after.txt).  Folding the
+    determined columns into the grouping keys keeps the aggregation
+    buffer EMPTY, so the dedup stays on spill-free HashAggregate
+    (optimization guide §5, hash vs sort aggregate)."""
+    return df.dropDuplicates()
+
+
 def _with_keys(df: DataFrame, src_pos: str = "s", dst_pos: str = "o",
                jk=_key, with_graph: bool = False) -> DataFrame:
     """Scan → (src, dst, sk, dk), preferring store-persisted key columns
@@ -63,7 +79,7 @@ def _named_graphs(compiler, gvar) -> DataFrame:
     (respects FROM NAMED via _graph_filter)."""
     df = compiler._graph_filter(compiler.source.scan(), gvar)
     g = df.select(df["g"].alias("g"), compiler._jk(df["g"]).alias("gk"))
-    return g.dropDuplicates(["gk"])
+    return _dedup_det(g)
 
 
 def compile_path(compiler, pp: A.PathPattern, graph_ctx,
@@ -115,7 +131,7 @@ def compile_path(compiler, pp: A.PathPattern, graph_ctx,
                 # starts from the node; W3C pp tests assert this)
                 rel = rel.unionByName(
                     _self_rows(compiler, _const_df(compiler, o))) \
-                         .dropDuplicates(["sk", "dk"])
+                         .transform(_dedup_det)
             rel = rel.select(F.col("dst").alias("src"),
                              F.col("src").alias("dst"),
                              F.col("dk").alias("sk"),
@@ -131,7 +147,7 @@ def compile_path(compiler, pp: A.PathPattern, graph_ctx,
         g_term = s if not isinstance(s, A.Var) else o
         rel = _relation(compiler, path.inner, graph_ctx, grounds) \
             .unionByName(_self_rows(compiler, _const_df(compiler, g_term))) \
-            .dropDuplicates(["sk", "dk"])
+            .transform(_dedup_det)
     else:
         rel = _relation(compiler, path, graph_ctx, grounds)
 
@@ -210,7 +226,6 @@ def _relation(compiler, path, graph_ctx, extra_terms=()) -> DataFrame:
     closure must never stitch an edge from one named graph onto an edge
     from another."""
     wg = isinstance(graph_ctx, A.Var)
-    dedup = ["gk", "sk", "dk"] if wg else ["sk", "dk"]
     if isinstance(path, A.PLink):
         df = compiler.source.scan(path.iri)
         df = compiler._graph_filter(df, graph_ctx)
@@ -242,7 +257,7 @@ def _relation(compiler, path, graph_ctx, extra_terms=()) -> DataFrame:
     if isinstance(path, A.PZeroOrOne):
         return _relation(compiler, path.inner, graph_ctx, extra_terms) \
             .unionByName(_zero_len_for(compiler, graph_ctx, extra_terms)) \
-            .dropDuplicates(dedup)
+            .transform(_dedup_det)
     if isinstance(path, A.POneOrMore):
         return _closure(compiler,
                         _relation(compiler, path.inner, graph_ctx,
@@ -253,7 +268,7 @@ def _relation(compiler, path, graph_ctx, extra_terms=()) -> DataFrame:
                                     extra_terms), None)
         return closed.unionByName(_zero_len_for(compiler, graph_ctx,
                                                 extra_terms)) \
-                     .dropDuplicates(dedup)
+                     .transform(_dedup_det)
     if isinstance(path, A.PNeg):
         df = compiler._graph_filter(compiler.source.scan(), graph_ctx)
         parts = []
@@ -303,7 +318,7 @@ def _zero_len_for(compiler, graph_ctx, extra_terms=()) -> DataFrame:
                 F.broadcast(gdf).crossJoin(graphs).select(
                     gdf["src"].alias("node"), gdf["sk"].alias("k"),
                     graphs["g"], graphs["gk"]))
-        nodes = both.dropDuplicates(["gk", "k"])
+        nodes = _dedup_det(both)
         return nodes.select(nodes["node"].alias("src"),
                             nodes["node"].alias("dst"),
                             nodes["k"].alias("sk"), nodes["k"].alias("dk"),
@@ -312,7 +327,7 @@ def _zero_len_for(compiler, graph_ctx, extra_terms=()) -> DataFrame:
         gdf = _const_df(compiler, t)
         both = both.unionByName(gdf.select(gdf["src"].alias("node"),
                                            gdf["sk"].alias("k")))
-    nodes = both.dropDuplicates(["k"])
+    nodes = _dedup_det(both)
     return nodes.select(nodes["node"].alias("src"), nodes["node"].alias("dst"),
                         nodes["k"].alias("sk"), nodes["k"].alias("dk"))
 
@@ -399,7 +414,7 @@ def _closure(compiler, edges: DataFrame, start: Optional[DataFrame]) -> DataFram
                              F.col("src").alias("term")) \
                      .unionByName(edges.select(F.col("dk").alias("k"),
                                                F.col("dst").alias("term")))
-    gdic = (edges.select("gk", "g").dropDuplicates(["gk"])
+    gdic = (_dedup_det(edges.select("gk", "g"))
             if wg else None)
     if start is not None:
         sk = start["sk"] if "sk" in start.columns else compiler._jk(start["src"])
@@ -463,13 +478,13 @@ def _decode(paths: DataFrame, endpoints: DataFrame,
             paths.select(F.col("dk").alias("sk"))) \
             .distinct().select(F.col("sk").alias("kk"))
         dic = endpoints.join(keys, endpoints["k"] == keys["kk"],
-                             "leftsemi").dropDuplicates(["k"])
+                             "leftsemi").transform(_dedup_det)
         # checkpoint the DECODED relation (it is bounded — the seed-
         # reachable closure): repeated consumption (cached plans
         # re-counting, multi-operand BGPs) must not re-run the edge
         # scans + pruned dedup per action
         return _decode_pairs(paths, dic, gdic).transform(pin)
-    dic = endpoints.dropDuplicates(["k"]).transform(pin)
+    dic = _dedup_det(endpoints).transform(pin)
     return _decode_pairs(paths, dic, gdic)
 
 
@@ -510,7 +525,7 @@ def _seeded_closure(compiler, inner_path, graph_ctx, seeds: DataFrame,
             # with the seed set (broadcast-semi BEFORE the distinct, so
             # the full term domain is never deduplicated)
             zero = _zero_len_seeds(compiler, graph_ctx, seeds)
-        out = out.unionByName(zero).dropDuplicates(["sk", "dk"])
+        out = out.unionByName(zero).transform(_dedup_det)
     return out
 
 
@@ -529,7 +544,7 @@ def _zero_len_seeds(compiler, graph_ctx, seeds: DataFrame) -> DataFrame:
     sk = seeds["sk"] if "sk" in seeds.columns else compiler._jk(seeds["src"])
     both = both.join(F.broadcast(seeds.select(sk.alias("__sk"))),
                      both["k"] == F.col("__sk"), "leftsemi")
-    nodes = both.dropDuplicates(["k"])
+    nodes = _dedup_det(both)
     return nodes.select(nodes["node"].alias("src"),
                         nodes["node"].alias("dst"),
                         nodes["k"].alias("sk"), nodes["k"].alias("dk"))

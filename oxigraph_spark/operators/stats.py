@@ -109,8 +109,12 @@ def graph_diff(a: DataFrame, b: DataFrame,
                                                F.lit("\x00D")),
                                     F.coalesce(df[col]["lang"],
                                                F.lit("\x00G")))])
+        # dedup over the full row: the term structs are determined by the
+        # content hash qk, and a qk-only dedup compiles them into
+        # first(struct) buffers that force the Sort+SortAggregate path
+        # (r9, guide §5 hash vs sort aggregate)
         return df.select(qk.alias("qk"), "s", "p", "o", "g") \
-                 .dropDuplicates(["qk"])
+                 .dropDuplicates()
 
     ka, kb = keyed(a), keyed(b)
     removed = ka.join(kb.select("qk"), "qk", "left_anti") \

@@ -1351,7 +1351,17 @@ class Compiler:
         schema = StructType([StructField(v.name, T.TERM_SCHEMA)
                              for v in n.vars])
         rows = [tuple(_term_to_py(t) for t in row) for row in n.rows]
-        df = self.spark.createDataFrame(rows, schema)
+        # createDataFrame over a nested TERM-struct schema takes the RDD
+        # path, so the plan node is Scan ExistingRDD with UNKNOWN size
+        # statistics (= assumed huge): the join with the solution set can
+        # then never be planned as broadcast, and P4-shaped queries paid
+        # a SortMergeJoin with two exchanges+sorts against a 2-row
+        # inline table (plans/r09/P4_values_before.txt).  A VALUES block
+        # is bounded small by construction — it is literal query text —
+        # so the broadcast hint is sound at any data scale (guide §3.1:
+        # "estimates are often badly wrong … use an explicit broadcast
+        # hint when you know a side is small").
+        df = self.spark.createDataFrame(rows, schema).hint("broadcast")
         names = frozenset(v.name for v in n.vars)
         certain = frozenset(
             v.name for i, v in enumerate(n.vars)

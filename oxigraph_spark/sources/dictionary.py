@@ -52,7 +52,11 @@ def encode(quads: DataFrame) -> tuple[DataFrame, DataFrame]:
         part = quads.select(term_id(quads[c]).alias("id"),
                             quads[c].alias("term"))
         terms = part if terms is None else terms.unionByName(part)
-    terms = terms.dropDuplicates(["id"])
+    # dedup over (id, term), not id alone: the term struct is determined
+    # by its content-hash id, and folding it into the grouping keys keeps
+    # the aggregation buffer empty — HashAggregate instead of the
+    # first(struct) Sort+SortAggregate path (r9, guide §5)
+    terms = terms.dropDuplicates()
     return terms, ids
 
 

@@ -202,8 +202,11 @@ class Store:
         from .model import terms as T
         q = self.source.quads()
         named = q.where(q["g"]["kind"] != T.KIND_DEFAULT_GRAPH)
+        # dedup over (g, __k): g is determined by its content-hash key,
+        # and key-only dedup would put the g struct in a first() buffer
+        # HashAggregate cannot hold (Sort+SortAggregate path; r9 §5)
         return named.select("g", T.join_key(named["g"]).alias("__k")) \
-                    .dropDuplicates(["__k"]).select("g")
+                    .dropDuplicates().select("g")
 
     def contains(self, s, p, o, g=None) -> bool:
         """True iff the ground quad is in the store (``Store::contains``)."""

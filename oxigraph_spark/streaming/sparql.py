@@ -333,9 +333,13 @@ def continuous_sparql(lines: DataFrame, queries: Dict[str, str], *,
         # snapshot identity keys are ALWAYS the 128-bit content hash —
         # independent of the source's dictionary width, stable across
         # parquet round-trips
+        # dedup over terms + keys, not keys alone: each term struct is
+        # determined by its 128-bit content hash, and a key-only dedup
+        # compiles the structs into first() buffers that push the dedup
+        # onto the Sort+SortAggregate path (r9, guide §5)
         newk = new_rows.select(
             "*", *[T.join_key(new_rows[c]).alias(k)
-                   for c, k in zip(cols, kn)]).dropDuplicates(kn)
+                   for c, k in zip(cols, kn)]).dropDuplicates()
         prev = spark.read.parquet(snap_path)
         prevk = prev.select(*[T.join_key(prev[c]).alias(k)
                               for c, k in zip(cols, kn)])
