@@ -122,11 +122,15 @@ def ivf_topk(index: DataFrame, query: Sequence[float], k: int = 10,
     lists.  ``centroids`` defaults to re-deriving distinct centroid rows
     from the index."""
     qcol = F.array(*[F.lit(float(x)) for x in query])
+    # dedup over (id, vec), not id alone: vec is functionally determined
+    # by the vector id, and a key-only dedup would put the array in a
+    # first(array) buffer HashAggregate cannot hold, forcing the whole
+    # centroid derivation onto the Sort+SortAggregate path (r9, guide §5)
     cent_rows = (centroids if centroids is not None
                  else index.select(F.col("centroid_id").alias("id"))
                            .distinct()
                            .join(index.select("id", "vec"), "id")
-                           .dropDuplicates(["id"])).collect()
+                           .dropDuplicates()).collect()
     probe = set(_centroid_order(query, cent_rows)[:nprobe])
     cand = index.where(F.col("centroid_id").isin(*sorted(probe)))
     out = cand.select("id", cosine(F.col("vec"), qcol).alias("sim"))
