@@ -104,11 +104,20 @@ def build_text_index(docs: DataFrame, *, id_col: str = "doc_id",
                 .agg(F.count(F.lit(1)).alias("tf"),
                      F.first("dl").alias("dl")))
     terms = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.count()
-    avgdl = (postings.groupBy("doc_id").agg(F.first("dl").alias("dl"))
-             .agg(F.avg("dl")).first()[0]) or 0.0
-    return TextIndex(postings.persist(), terms.persist(), n_docs,
-                     float(avgdl))
+    # both corpus scalars from ONE map-side aggregate over a narrow
+    # tokenized projection — no shuffle.  This replaces a docs.count()
+    # job plus a full postings.groupBy(doc_id) shuffle (r9, guide §2.1):
+    # avgdl = mean doc length over docs with >=1 non-empty token (the
+    # exact set that appears in postings); dl sums are exact bigint
+    # arithmetic, so the quotient is bit-identical to the old path.
+    stats = (docs.select(_tokens(F.col(text_col)).alias("toks"))
+             .select(F.size("toks").alias("dl"),
+                     F.exists("toks", lambda t: t != "").alias("has"))
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.avg(F.when(F.col("has"), F.col("dl"))).alias("avgdl"))
+             .first())
+    return TextIndex(postings.persist(), terms.persist(), int(stats["n"]),
+                     float(stats["avgdl"] or 0.0))
 
 
 def bm25_topk(index: TextIndex, query: str, k: int = 10, *,
