@@ -549,16 +549,14 @@ def embedding_cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
     dropped before the self-join; their mass is the near-identical
     cluster a pipeline should route through exact/MinHash dedup first.
     Default off for exactness at test scale."""
-    from .simsearch import cosine
-    sgn = [
-        F.when(F.aggregate(
-            F.zip_with(F.col(vec_col),
-                       F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
-                       lambda v, i: v * ((F.xxhash64(i.cast("string"), F.lit(p))
-                                          % 1000).cast("double") / 500.0 - 1.0)),
-            F.lit(0.0), lambda a, x: a + x) > 0, F.lit(1)).otherwise(F.lit(0))
-        for p in range(planes)]
-    bucket = F.concat_ws("", *[s.cast("string") for s in sgn])
+    from .simsearch import cosine, plane_sums
+    # one traversal for all plane projections (see plane_sums) — the
+    # per-plane aggregate loop this replaces did `planes` full array
+    # passes per row
+    bucket = F.array_join(
+        F.transform(plane_sums(F.col(vec_col), planes),
+                    lambda s: F.when(s > 0, F.lit("1")).otherwise(F.lit("0"))),
+        "")
     emb = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                     bucket.alias("bkt"))
     if max_bucket is not None:

@@ -54,17 +54,33 @@ def brute_force_topk(df: DataFrame, vec_col: str, id_col: str,
     return out.orderBy(F.col("sim").desc(), F.col("id")).limit(k)
 
 
+def plane_sums(vec: Column, planes: int) -> Column:
+    """``planes``-wide array of hyperplane projection sums in ONE
+    traversal of the vector (hyperplane weights derive from seeded
+    hashes of the dimension index — deterministic, no fitted model).
+
+    Bit-exact with the per-plane formulation (each plane's accumulator
+    sees the same elements in the same order), but one array pass per
+    row instead of ``planes`` chained ``aggregate`` calls — the same
+    rewrite that cut the SimHash fingerprint 64-fold (r9, guide §4)."""
+    pseq = F.sequence(F.lit(0), F.lit(planes - 1))
+    elems = F.zip_with(vec, F.sequence(F.lit(0), F.size(vec) - 1),
+                       lambda v, i: F.struct(v.alias("v"), i.alias("i")))
+    return F.aggregate(
+        elems, F.array_repeat(F.lit(0.0), planes),
+        lambda acc, e: F.zip_with(
+            acc, pseq,
+            lambda a, p: a + e["v"]
+            * ((F.xxhash64(e["i"].cast("string"), p) % 1000)
+               .cast("double") / 500.0 - 1.0)))
+
+
 def _bucket(vec: Column, planes: int) -> Column:
-    """Deterministic sign-of-projection LSH bucket id (no fitted model:
-    hyperplane weights derive from seeded hashes of the dimension index)."""
-    sgn = [
-        F.when(F.aggregate(
-            F.zip_with(vec, F.sequence(F.lit(0), F.size(vec) - 1),
-                       lambda v, i: v * ((F.xxhash64(i.cast("string"), F.lit(p))
-                                          % 1000).cast("double") / 500.0 - 1.0)),
-            F.lit(0.0), lambda a, x: a + x) > 0, F.lit("1")).otherwise(F.lit("0"))
-        for p in range(planes)]
-    return F.concat(*sgn)
+    """Deterministic sign-of-projection LSH bucket id."""
+    return F.array_join(
+        F.transform(plane_sums(vec, planes),
+                    lambda s: F.when(s > 0, F.lit("1")).otherwise(F.lit("0"))),
+        "")
 
 
 def lsh_index(df: DataFrame, vec_col: str, id_col: str,
