@@ -39,6 +39,18 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _lit_norm(vec) -> float:
+    """Driver-side L2 norm of a literal vector, summing LEFT TO RIGHT so
+    the result is bit-identical to the :func:`norm` column expression's
+    sequential ``aggregate`` fold (do NOT replace with ``math.fsum`` —
+    its compensated sum can differ in the last ulp)."""
+    import math
+    s = 0.0
+    for x in vec:
+        s += float(x) * float(x)
+    return math.sqrt(s)
+
+
 def brute_force_topk(df: DataFrame, vec_col: str, id_col: str,
                      query: Sequence[float], k: int = 10) -> DataFrame:
     """Exact cosine top-k for one query vector.
@@ -48,8 +60,12 @@ def brute_force_topk(df: DataFrame, vec_col: str, id_col: str,
     top-k per partition ever reaches the driver.
     """
     qcol = F.array(*[F.lit(float(x)) for x in query])
+    # query norm folded driver-side (lambda expressions are not foldable,
+    # so norm(qcol) would re-traverse the literal per row); bit-exact
+    # with cosine() — see _lit_norm
+    v = F.col(vec_col).cast("array<double>")
     out = df.select(F.col(id_col).alias("id"),
-                    cosine(F.col(vec_col).cast("array<double>"), qcol)
+                    (dot(v, qcol) / (norm(v) * F.lit(_lit_norm(query))))
                     .alias("sim"))
     return out.orderBy(F.col("sim").desc(), F.col("id")).limit(k)
 
@@ -110,14 +126,24 @@ def ivf_index(df: DataFrame, vec_col: str, id_col: str,
     cents = (base.withColumn("__h", F.xxhash64(F.col("id").cast("string")))
                  .orderBy("__h", "id").limit(n_centroids)
                  .select("id", "vec").collect())
+    # hoist norm(vec) out of the per-centroid cosines (higher-order
+    # functions evaluate interpreted — no codegen CSE — so the inline
+    # cosine re-traversed the vector once PER CENTROID just for the row
+    # norm), and fold norm(centroid) driver-side (lambda expressions are
+    # never foldable, so Catalyst kept re-evaluating the literal-array
+    # norm per row).  _lit_norm sums left-to-right exactly like the
+    # aggregate() fold, so every score is bit-identical (r9, guide §4:
+    # interleaved A/B 0.583 -> 0.414 s at sf0.1, 0 assignment changes).
     scored = F.array(*[
-        F.struct(cosine(F.col("vec"),
-                        F.array(*[F.lit(float(x)) for x in c["vec"]]))
+        F.struct((dot(F.col("vec"),
+                      F.array(*[F.lit(float(x)) for x in c["vec"]]))
+                  / (F.col("__nv") * F.lit(_lit_norm(c["vec"]))))
                  .alias("s"),
                  F.lit(int(c["id"])).alias("cid"))
         for c in cents])
     best = F.array_max(scored)  # struct compare: max by score, then cid
-    return base.select(best["cid"].alias("centroid_id"), "id", "vec")
+    return base.withColumn("__nv", norm(F.col("vec"))) \
+               .select(best["cid"].alias("centroid_id"), "id", "vec")
 
 
 def _centroid_order(query, cents) -> List[int]:
@@ -149,7 +175,11 @@ def ivf_topk(index: DataFrame, query: Sequence[float], k: int = 10,
                            .dropDuplicates()).collect()
     probe = set(_centroid_order(query, cent_rows)[:nprobe])
     cand = index.where(F.col("centroid_id").isin(*sorted(probe)))
-    out = cand.select("id", cosine(F.col("vec"), qcol).alias("sim"))
+    # driver-side folded query norm — bit-exact with cosine(), see
+    # _lit_norm / brute_force_topk
+    out = cand.select("id", (dot(F.col("vec"), qcol)
+                             / (norm(F.col("vec")) * F.lit(_lit_norm(query))))
+              .alias("sim"))
     return out.orderBy(F.col("sim").desc(), F.col("id")).limit(k)
 
 
@@ -158,13 +188,16 @@ def _assign(base: DataFrame, cents: List[Sequence[float]]) -> DataFrame:
     Centroids ride as literal arrays (Catalyst folds them into the task
     binary — no join, no shuffle; bounded by len(cents), same contract
     as :func:`ivf_index`'s centroid literals)."""
+    # same norm(vec) hoist + driver-side centroid-norm fold as ivf_index
+    # (bit-exact — identical ops in identical order, see _lit_norm)
     scored = F.array(*[
-        F.struct(cosine(F.col("vec"),
-                        F.array(*[F.lit(float(x)) for x in c]))
+        F.struct((dot(F.col("vec"), F.array(*[F.lit(float(x)) for x in c]))
+                  / (F.col("__nv") * F.lit(_lit_norm(c))))
                  .alias("s"), F.lit(i).alias("cid"))
         for i, c in enumerate(cents)])
     best = F.array_max(scored)
-    return base.select("id", "vec", best["cid"].alias("cid"),
+    return base.withColumn("__nv", norm(F.col("vec"))) \
+               .select("id", "vec", best["cid"].alias("cid"),
                        best["s"].alias("ccos"))
 
 
