@@ -549,7 +549,7 @@ def embedding_cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
     dropped before the self-join; their mass is the near-identical
     cluster a pipeline should route through exact/MinHash dedup first.
     Default off for exactness at test scale."""
-    from .simsearch import cosine, plane_sums
+    from .simsearch import dot, norm, plane_sums
     # one traversal for all plane projections (see plane_sums) — the
     # per-plane aggregate loop this replaces did `planes` full array
     # passes per row
@@ -567,10 +567,14 @@ def embedding_cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
         w = Window.partitionBy("bkt")
         emb = emb.withColumn("__n", F.count(F.lit(1)).over(w)) \
                  .where(F.col("__n") <= max_bucket).drop("__n")
+    # per-row norm BEFORE the self-join: a row in k candidate pairs
+    # otherwise re-traverses its vector k times just for the norm
+    # (bit-exact — same values, same multiply order as cosine(); r9 §4)
+    emb = emb.withColumn("__nv", norm(F.col("v")))
     a, b = emb.alias("a"), emb.alias("b")
     cand = a.join(b, (F.col("a.bkt") == F.col("b.bkt"))
                   & (F.col("a.id") < F.col("b.id")))
-    sim = cosine(F.col("a.v"), F.col("b.v"))
+    sim = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.__nv") * F.col("b.__nv"))
     return (cand.select(F.col("a.id").alias("id_a"),
                         F.col("b.id").alias("id_b"), sim.alias("sim"))
                 .where(F.col("sim") >= threshold))
@@ -598,7 +602,7 @@ def semantic_dedup(df: DataFrame, vec_col: str, id_col: str,
     such near-identical mass through exact/MinHash dedup first).
     Duplicate groups come from the shared min-label-propagation
     :func:`dedup_clusters` (ids only ever shuffle)."""
-    from .simsearch import cosine, kmeans_clusters
+    from .simsearch import dot, kmeans_clusters, norm
     km = kmeans_clusters(df, vec_col, id_col, k=n_clusters, iters=iters,
                          seed=seed).transform(pin)
     emb = km
@@ -607,12 +611,15 @@ def semantic_dedup(df: DataFrame, vec_col: str, id_col: str,
                   .agg(F.count(F.lit(1)).alias("__n"))
                   .where(F.col("__n") <= max_cluster))
         emb = km.join(cold.select("cid"), "cid", "leftsemi")
+    # per-row norm before the self-join (r9 §4, same as embedding_dedup)
+    emb = emb.withColumn("__nv", norm(F.col("vec")))
     a, b = emb.alias("a"), emb.alias("b")
     pairs = (a.join(b, (F.col("a.cid") == F.col("b.cid"))
                     & (F.col("a.id") < F.col("b.id")))
               .select(F.col("a.id").alias("id_a"),
                       F.col("b.id").alias("id_b"),
-                      cosine(F.col("a.vec"), F.col("b.vec")).alias("sim"))
+                      (dot(F.col("a.vec"), F.col("b.vec"))
+                       / (F.col("a.__nv") * F.col("b.__nv"))).alias("sim"))
               .where(F.col("sim") >= threshold))
     grouped = dedup_clusters(pairs)  # (id, cluster) for paired ids only
     out = (km.join(grouped.withColumnRenamed("cluster", "group"),

@@ -295,12 +295,16 @@ def knn_join(df: DataFrame, vec_col: str, id_col: str, k: int = 5,
                    .agg(F.count(F.lit(1)).alias("__n")) \
                    .where(F.col("__n") <= max_bucket)
         idx = idx.join(sizes.select("bucket"), "bucket", "leftsemi")
+    # per-row norm before the self-join: a row in k candidate pairs
+    # otherwise re-traverses its vector k times (bit-exact; r9 §4)
+    idx = idx.withColumn("__nv", norm(F.col("vec")))
     a, b = idx.alias("a"), idx.alias("b")
     cand = (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
                    & (F.col("a.id") != F.col("b.id")))
              .select(F.col("a.id").alias("id"),
                      F.col("b.id").alias("nbr"),
-                     cosine(F.col("a.vec"), F.col("b.vec")).alias("sim")))
+                     (dot(F.col("a.vec"), F.col("b.vec"))
+                      / (F.col("a.__nv") * F.col("b.__nv"))).alias("sim")))
     w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("nbr"))
     return (cand.withColumn("rk", F.row_number().over(w))
                 .where(F.col("rk") <= k))
@@ -325,5 +329,8 @@ def lsh_topk(index: DataFrame, query: Sequence[float], k: int = 10,
                 b[f] = "1" if b[f] == "0" else "0"
             buckets.add("".join(b))
     cand = index.where(F.col("bucket").isin(*sorted(buckets)))
-    out = cand.select("id", cosine(F.col("vec"), qcol).alias("sim"))
+    # driver-side folded query norm (bit-exact; see _lit_norm)
+    out = cand.select("id", (dot(F.col("vec"), qcol)
+                             / (norm(F.col("vec")) * F.lit(_lit_norm(query))))
+              .alias("sim"))
     return out.orderBy(F.col("sim").desc(), F.col("id")).limit(k)
