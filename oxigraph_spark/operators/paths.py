@@ -74,6 +74,27 @@ def _with_keys(df: DataFrame, src_pos: str = "s", dst_pos: str = "o",
     return df.select(*cols)
 
 
+def _endpoint_nodes(compiler, df: DataFrame,
+                    with_graph: bool = False) -> DataFrame:
+    """(node, k[, g, gk]) rows for BOTH endpoints of every quad in ONE
+    pass: an explode of the (s, o) pair instead of a 2-branch union.
+    The union form planned and scanned the quad subtree twice — the
+    duplicated branch is pure Catalyst/codegen/scan cost (same fix as
+    the closure decode dictionary, r10)."""
+    def pos_struct(pos: str):
+        name = _POS_KEY[pos]
+        k = df[name] if name in df.columns else compiler._jk(df[pos])
+        return F.struct(df[pos].alias("node"), k.alias("k"))
+
+    cols = [F.explode(F.array(pos_struct("s"), pos_struct("o"))).alias("e")]
+    if with_graph:
+        cols += [df["g"].alias("g"), compiler._jk(df["g"]).alias("gk")]
+    out = df.select(*cols)
+    keep = ["g", "gk"] if with_graph else []
+    return out.select(out["e"]["node"].alias("node"),
+                      out["e"]["k"].alias("k"), *keep)
+
+
 def _named_graphs(compiler, gvar) -> DataFrame:
     """Distinct named graphs the GRAPH variable ranges over → (g, gk)
     (respects FROM NAMED via _graph_filter)."""
@@ -300,16 +321,7 @@ def _zero_len_for(compiler, graph_ctx, extra_terms=()) -> DataFrame:
     term never occurs in)."""
     df = compiler._graph_filter(compiler.source.scan(), graph_ctx)
     wg = isinstance(graph_ctx, A.Var)
-
-    def part(pos: str) -> DataFrame:
-        name = _POS_KEY[pos]
-        k = df[name] if name in df.columns else compiler._jk(df[pos])
-        cols = [df[pos].alias("node"), k.alias("k")]
-        if wg:
-            cols += [df["g"].alias("g"), compiler._jk(df["g"]).alias("gk")]
-        return df.select(*cols)
-
-    both = part("s").unionByName(part("o"))
+    both = _endpoint_nodes(compiler, df, with_graph=wg)
     if wg:
         graphs = _named_graphs(compiler, graph_ctx)
         for t in extra_terms:
@@ -410,10 +422,18 @@ def _closure(compiler, edges: DataFrame, start: Optional[DataFrame]) -> DataFram
         # and the dictionary
         edges = edges.transform(pin)
         ek = edges.select(*kcols)
-    endpoints = edges.select(F.col("sk").alias("k"),
-                             F.col("src").alias("term")) \
-                     .unionByName(edges.select(F.col("dk").alias("k"),
-                                               F.col("dst").alias("term")))
+    # (k, term) endpoint rows in ONE pass over the edge relation: an
+    # explode of both endpoints per row instead of a 2-branch union.
+    # The union form planned (and scanned) the whole edges subtree
+    # TWICE — for the seeded closure that subtree is the raw per-
+    # predicate scans with term/key expressions, so the duplicated
+    # branch dominated the decode plan's Catalyst+codegen cold cost
+    # (r10 CPU-time A/B ×3: construct 46.5→29.9 s JVM CPU median) and
+    # doubles the decode's scan work at scale.
+    endpoints = edges.select(F.explode(F.array(
+        F.struct(F.col("sk").alias("k"), F.col("src").alias("term")),
+        F.struct(F.col("dk").alias("k"), F.col("dst").alias("term"))))
+        .alias("e")).select("e.k", "e.term")
     gdic = (_dedup_det(edges.select("gk", "g"))
             if wg else None)
     if start is not None:
@@ -534,13 +554,7 @@ def _zero_len_seeds(compiler, graph_ctx, seeds: DataFrame) -> DataFrame:
     seed set — the zero-length rows a VARIABLE-subject seeded closure
     contributes."""
     df = compiler._graph_filter(compiler.source.scan(), graph_ctx)
-
-    def part(pos: str) -> DataFrame:
-        name = _POS_KEY[pos]
-        k = df[name] if name in df.columns else compiler._jk(df[pos])
-        return df.select(df[pos].alias("node"), k.alias("k"))
-
-    both = part("s").unionByName(part("o"))
+    both = _endpoint_nodes(compiler, df)
     sk = seeds["sk"] if "sk" in seeds.columns else compiler._jk(seeds["src"])
     both = both.join(F.broadcast(seeds.select(sk.alias("__sk"))),
                      both["k"] == F.col("__sk"), "leftsemi")
