@@ -108,8 +108,12 @@ def build_text_index(docs: DataFrame, *, id_col: str = "doc_id",
     # tokenized projection — no shuffle.  This replaces a docs.count()
     # job plus a full postings.groupBy(doc_id) shuffle (r9, guide §2.1):
     # avgdl = mean doc length over docs with >=1 non-empty token (the
-    # exact set that appears in postings); dl sums are exact bigint
-    # arithmetic, so the quotient is bit-identical to the old path.
+    # exact set that appears in postings).  avg() over an int column
+    # accumulates the sum in DOUBLE, which represents integers exactly
+    # below 2^53 — total token count stays far under that at any
+    # realistic corpus size, so the quotient matches the old
+    # postings-derived mean bit-for-bit (r10 advisory: the guarantee is
+    # via exact-in-double, not bigint arithmetic).
     stats = (docs.select(_tokens(F.col(text_col)).alias("toks"))
              .select(F.size("toks").alias("dl"),
                      F.exists("toks", lambda t: t != "").alias("has"))

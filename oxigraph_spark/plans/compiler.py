@@ -1360,8 +1360,14 @@ class Compiler:
         # is bounded small by construction — it is literal query text —
         # so the broadcast hint is sound at any data scale (guide §3.1:
         # "estimates are often badly wrong … use an explicit broadcast
-        # hint when you know a side is small").
-        df = self.spark.createDataFrame(rows, schema).hint("broadcast")
+        # hint when you know a side is small").  Guard: programmatic
+        # clients can inline very large binding lists; above a few
+        # thousand rows fall back to the planner's choice so a 1e6-row
+        # VALUES degrades to SortMergeJoin instead of an executor-wide
+        # broadcast (r10 advisory).
+        df = self.spark.createDataFrame(rows, schema)
+        if len(n.rows) <= 10000:
+            df = df.hint("broadcast")
         names = frozenset(v.name for v in n.vars)
         certain = frozenset(
             v.name for i, v in enumerate(n.vars)

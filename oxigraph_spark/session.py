@@ -46,7 +46,16 @@ def get_spark(app: str = "oxigraph-spark", shuffle_partitions: int | None = None
 
 def configure(spark: SparkSession) -> None:
     """Runtime confs safe to (re)apply on an externally-created session
-    (the driver owns the session in ``__spark_entry__``)."""
+    (the driver owns the session in ``__spark_entry__``).
+
+    Session-global contract (r10 advisory): parquet TIMESTAMP with
+    ``isAdjustedToUTC=false`` is read as TIMESTAMP (LTZ) session-wide —
+    the session timezone is pinned to UTC so wall-clock values are
+    unchanged, but *user* parquet read through this session sees LTZ
+    where a stock session would infer TIMESTAMP_NTZ, and a round-trip
+    rewrites the column as LTZ.  Feed user data through its own session
+    (or re-enable ``spark.sql.parquet.inferTimestampNTZ.enabled``) if
+    NTZ schema fidelity matters."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     # Read parquet TIMESTAMP(isAdjustedToUTC=false) columns as TIMESTAMP
