@@ -313,14 +313,23 @@ def _sig_arrays(sig: DataFrame, num_perm: int) -> DataFrame:
 
 def _score_pairs(cand: DataFrame, arrays_a: DataFrame, arrays_b: DataFrame,
                  num_perm: int, threshold: float) -> DataFrame:
-    """(id_a, id_b) candidates → (id_a, id_b, sim) by signature agreement."""
+    """(id_a, id_b) candidates → (id_a, id_b, sim) by signature agreement.
+
+    Both sides join the signature-array table via join CONDITIONS over
+    aliased frames instead of per-side column renames: when
+    ``arrays_a is arrays_b`` (the self-dedup path) the renames made the
+    two broadcast children canonically DIFFERENT plans, so Spark built
+    and shipped the same signature table twice per run; with identical
+    children the second build collapses to a ReusedExchange — one
+    broadcast build job and one executor-side copy instead of two
+    (guide §2.4, r10)."""
+    sa, sb = arrays_a.alias("__sa"), arrays_b.alias("__sb")
     cand = (cand
-            .join(arrays_a.select(F.col("id").alias("id_a"),
-                                  F.col("sig").alias("sig_a")), "id_a")
-            .join(arrays_b.select(F.col("id").alias("id_b"),
-                                  F.col("sig").alias("sig_b")), "id_b"))
+            .join(sa, F.col("id_a") == F.col("__sa.id"))
+            .join(sb, F.col("id_b") == F.col("__sb.id")))
     agree = F.size(F.filter(
-        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+        F.zip_with(F.col("__sa.sig"), F.col("__sb.sig"),
+                   lambda x, y: x == y),
         lambda v: v))
     sim = agree.cast("double") / F.lit(float(num_perm))
     return (cand.withColumn("sim", sim)

@@ -47,16 +47,23 @@ def main() -> None:
         df.count()
         wall = time.time() - t0
         jobs = [j for j in tracker.getJobIdsForGroup(name) if j not in before]
+        # count only stages that actually RAN: a job's stageIds include
+        # SKIPPED stages (shuffle output reused / cache hit) whose
+        # numTasks is the would-be count — counting them overstated the
+        # executed work ~10x on the cache-backed entries (r10)
         stages, tasks = 0, 0
+        seen = set()
         for j in jobs:
             ji = tracker.getJobInfo(j)
             if ji is None:
                 continue
             for s in ji.stageIds:
                 si = tracker.getStageInfo(s)
-                if si is not None and si.numTasks > 0:
+                if (si is not None and s not in seen
+                        and si.numCompletedTasks > 0):
+                    seen.add(s)
                     stages += 1
-                    tasks += si.numTasks
+                    tasks += si.numCompletedTasks
         sc.setJobGroup("idle", "idle")
         out[name] = {"jobs": len(jobs), "stages": stages, "tasks": tasks,
                      "wall": round(wall, 3)}
