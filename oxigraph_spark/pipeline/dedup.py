@@ -400,8 +400,13 @@ def _simhash_from_hashes(hashes: Column, bits: int = 64) -> Column:
     calls — 64× fewer array traversals per row and a Catalyst tree small
     enough to compile in milliseconds (r9: the old tree dominated the
     entry's cold compile at ~12 s and tripled warm execution)."""
-    masks = F.array(*[F.lit(1 << i if i < 63 else -(2 ** 63)).cast("long")
-                      for i in range(bits)])
+    # one py4j call + one pre-folded Literal for the whole mask array
+    # (see simsearch._lit_vec) — this array appears in BOTH folds below,
+    # so the element-wise F.array(F.lit...) form cost 2×bits driver
+    # round-trips per plan build; values are identical int64s
+    import numpy as np
+    masks = F.lit(np.asarray([(1 << i) if i < 63 else -(2 ** 63)
+                              for i in range(bits)], dtype=np.int64))
     counts = F.aggregate(
         hashes,
         F.array_repeat(F.lit(0), bits),

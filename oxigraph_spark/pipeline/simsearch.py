@@ -39,6 +39,22 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _lit_vec(vec) -> Column:
+    """Literal array<double> column built with ONE py4j call and ONE
+    Catalyst node.
+
+    ``F.array(*[F.lit(float(x)) for x in vec])`` costs one driver RPC
+    per element (64-dim query vector = 65 round-trips, ~40 ms of
+    plan-build latency per call site; a 16-centroid scored array pays
+    16×) and a ``CreateArray`` tree the optimizer only collapses to a
+    Literal at constant-folding time.  ``F.lit(ndarray)`` goes through
+    py4j's array converter → ``Literal.create`` — a single pre-folded
+    array literal with bit-identical float64 values (verified by repr
+    compare on every element class incl. -0.0; r10)."""
+    import numpy as np
+    return F.lit(np.asarray([float(x) for x in vec], dtype=np.float64))
+
+
 def _lit_norm(vec) -> float:
     """Driver-side L2 norm of a literal vector, summing LEFT TO RIGHT so
     the result is bit-identical to the :func:`norm` column expression's
@@ -59,7 +75,7 @@ def brute_force_topk(df: DataFrame, vec_col: str, id_col: str,
     ORDER BY + LIMIT fuses to TakeOrderedAndProject, so nothing but the
     top-k per partition ever reaches the driver.
     """
-    qcol = F.array(*[F.lit(float(x)) for x in query])
+    qcol = _lit_vec(query)
     # query norm folded driver-side (lambda expressions are not foldable,
     # so norm(qcol) would re-traverse the literal per row); bit-exact
     # with cosine() — see _lit_norm
@@ -135,8 +151,7 @@ def ivf_index(df: DataFrame, vec_col: str, id_col: str,
     # aggregate() fold, so every score is bit-identical (r9, guide §4:
     # interleaved A/B 0.583 -> 0.414 s at sf0.1, 0 assignment changes).
     scored = F.array(*[
-        F.struct((dot(F.col("vec"),
-                      F.array(*[F.lit(float(x)) for x in c["vec"]]))
+        F.struct((dot(F.col("vec"), _lit_vec(c["vec"]))
                   / (F.col("__nv") * F.lit(_lit_norm(c["vec"]))))
                  .alias("s"),
                  F.lit(int(c["id"])).alias("cid"))
@@ -163,7 +178,7 @@ def ivf_topk(index: DataFrame, query: Sequence[float], k: int = 10,
     centroid set is tiny), brute-force only the ``nprobe`` best inverted
     lists.  ``centroids`` defaults to re-deriving distinct centroid rows
     from the index."""
-    qcol = F.array(*[F.lit(float(x)) for x in query])
+    qcol = _lit_vec(query)
     # dedup over (id, vec), not id alone: vec is functionally determined
     # by the vector id, and a key-only dedup would put the array in a
     # first(array) buffer HashAggregate cannot hold, forcing the whole
@@ -191,7 +206,7 @@ def _assign(base: DataFrame, cents: List[Sequence[float]]) -> DataFrame:
     # same norm(vec) hoist + driver-side centroid-norm fold as ivf_index
     # (bit-exact — identical ops in identical order, see _lit_norm)
     scored = F.array(*[
-        F.struct((dot(F.col("vec"), F.array(*[F.lit(float(x)) for x in c]))
+        F.struct((dot(F.col("vec"), _lit_vec(c))
                   / (F.col("__nv") * F.lit(_lit_norm(c))))
                  .alias("s"), F.lit(i).alias("cid"))
         for i, c in enumerate(cents)])
@@ -315,7 +330,7 @@ def lsh_topk(index: DataFrame, query: Sequence[float], k: int = 10,
     """ANN top-k: search the query's bucket plus all buckets within
     ``multiprobe`` bit flips (recall/latency knob)."""
     import itertools
-    qcol = F.array(*[F.lit(float(x)) for x in query])
+    qcol = _lit_vec(query)
     # exact replication of xxhash64 driver-side is not practical — derive
     # the query's bucket with a 1-row Spark job instead (cheap, one probe).
     spark = index.sparkSession
