@@ -316,13 +316,17 @@ def _score_pairs(cand: DataFrame, arrays_a: DataFrame, arrays_b: DataFrame,
     """(id_a, id_b) candidates → (id_a, id_b, sim) by signature agreement.
 
     Both sides join the signature-array table via join CONDITIONS over
-    aliased frames instead of per-side column renames: when
-    ``arrays_a is arrays_b`` (the self-dedup path) the renames made the
-    two broadcast children canonically DIFFERENT plans, so Spark built
-    and shipped the same signature table twice per run; with identical
-    children the second build collapses to a ReusedExchange — one
-    broadcast build job and one executor-side copy instead of two
-    (guide §2.4, r10)."""
+    aliased frames instead of per-side column renames, keeping the two
+    build subtrees structurally identical.  NOTE (r10, measured): this
+    does NOT buy a ReusedExchange at runtime — broadcast-exchange reuse
+    never fires when the duplicated subtree bottoms out in an
+    InMemoryRelation or LogicalRDD, because those leaves keep their
+    re-id'd attributes through canonicalization (verified with minimal
+    repros: a plain computed subtree under the same double-join DOES
+    reuse, a persisted or localCheckpoint'ed one does not, with AQE on
+    or off).  Both builds therefore still run, each reading the
+    persisted signature cache — cheap, and the aliased form is kept as
+    the cleaner construction."""
     sa, sb = arrays_a.alias("__sa"), arrays_b.alias("__sb")
     cand = (cand
             .join(sa, F.col("id_a") == F.col("__sa.id"))
