@@ -233,6 +233,7 @@ def test_domain_authority(spark):
     assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-9)
 
 
+@pytest.mark.slow
 def test_curate_corpus_end_to_end(spark, sf_dir):
     """The composed pipeline over the real documents table doubled with
     shifted ids (every original therefore has one exact duplicate):

@@ -498,6 +498,7 @@ def test_turtle_chunked_multiline_long_literals(spark, tmp_path):
                     'middle "quoted" part.\nlast line 0']
 
 
+@pytest.mark.slow
 def test_jsonld_chunked_matches_driver_reader(spark, tmp_path):
     """jsonld_to_ntriples_chunked on a multi-partition single .jsonld
     file (pretty-printed root array) matches the driver-side reader,

@@ -13,6 +13,8 @@ hand-written case enumerates."""
 import random
 
 import pytest
+
+pytestmark = pytest.mark.slow
 from pyspark.sql.types import StructField, StructType
 
 from oxigraph_spark.algebra import ast as A

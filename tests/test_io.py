@@ -600,6 +600,7 @@ def test_json_rows_distributed_rdfstar_nested(spark):
             assert isinstance(inner["value"], dict)
 
 
+@pytest.mark.slow
 def test_results_roundtrip_fuzz(spark):
     """VERDICT r6 item 1: seeded random solution sets — IRIs, bnodes,
     plain/lang/typed literals with hostile lexical forms (quotes,

@@ -43,6 +43,7 @@ def test_sliding_stream_equals_batch(spark):
     assert got == expected
 
 
+@pytest.mark.slow
 def test_stateful_stream_runs(spark):
     """applyInPandasWithState executes under a real stream."""
     from oxigraph_spark.streaming.events import stateful_running_sum
@@ -286,6 +287,7 @@ def test_delta_rewrites_eligibility():
         assert _delta_rewrites(parse_query(bad)) is None, bad
 
 
+@pytest.mark.slow
 def test_incremental_append_equals_snapshot(spark, tmp_path):
     """Monotone DISTINCT standing query under incremental (delta-append)
     evaluation equals full snapshot re-evaluation — including the
