@@ -293,15 +293,25 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
 
 def _band_buckets(sig: DataFrame, num_perm: int, bands: int) -> DataFrame:
     """Signature table → (id, band, bh) LSH bucket index (derived, never
-    persisted: 8 projections of the signature row, map-side only)."""
+    persisted: 8 projections of the signature row, map-side only).
+
+    The band hash is native ``xxhash64`` over the band's minhash LONG
+    columns — NOT over a concatenated decimal string: the string form
+    paid rows/band int→string casts + a concat + a string hash per row
+    per band (measured 25–30% of the derivation, r10 interleaved noop
+    A/B 0.101 → 0.072 s at sf0.1).  Bucketing semantics are unchanged —
+    both forms are injective on the minhash tuple up to a 2⁻⁶⁴ hash
+    collision, and the full per-band bucket PARTITION of ids was
+    verified identical on the sf0.1 corpus before/after.  (Bucket hash
+    VALUES differ from the string form; they are derived, never
+    persisted, and nothing stores or compares them across versions.)"""
     rows = num_perm // bands
     return sig.select(
         "id",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
-                     F.xxhash64(F.concat_ws(
-                         ",", *[F.col(f"m{b * rows + r}").cast("string")
-                                for r in range(rows)])).alias("bh"))
+                     F.xxhash64(*[F.col(f"m{b * rows + r}")
+                                  for r in range(rows)]).alias("bh"))
             for b in range(bands)])).alias("bucket")) \
         .select("id", "bucket.band", "bucket.bh")
 
